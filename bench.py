@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Execution is measured with the noop sink (full plan runs, nothing
+collects) — engine time, not driver-materialization time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_text_clustering_spark.registry import QUERIES
+from spark_text_clustering_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "flagship_top_terms",
+    "groupby_two_keys",
+    "join_inner_shuffle",
+    "join_range_theta",
+    "window_running_sum",
+    "rollup_agg",
+    "topk_order_limit",
+    "json_extract",
+    "date_trunc_agg",
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard",
+    "knn_cosine_exact",
+    "grouped_map_zscore",
+    "stream_tumbling_agg",
+]
+
+
+def main() -> None:
+    spark = get_session("bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + parquet footers with one tiny action
+    QUERIES["count_rows"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        df = QUERIES[key](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

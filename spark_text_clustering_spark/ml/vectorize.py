@@ -1,0 +1,123 @@
+"""Text vectorization pipeline — reference parity for ``TFIDfVectorizer``
+(LDAClustering.scala:99-277) as a ``pyspark.ml.Pipeline``.
+
+Reference chain → rebuild stage:
+* regex clean (P2, :283-284)        → handled upstream via regexp_replace
+* tokenize (P5, :133-135)           → RegexTokenizer(pattern="\\s+")
+* stopword+len filter (P6, :125-136)→ StopWordsRemover (case-sensitive,
+                                      exact match, pre-stemming — same order)
+* Porter stem (P7, :134-137)        → porter-lite pandas UDF (operators.text)
+* empty-doc filter (P8, :139)       → filter(size(tokens) > 0)
+* vocab top-k + dense ids (T1/T2,
+  :148-151) + per-doc counts (A4,
+  :154-167)                          → CountVectorizer(vocabSize, ordered by
+                                      freq; ties broken arbitrarily by Spark
+                                      — our explicit vocab variant adds the
+                                      lexicographic tiebreak)
+* IDF minDocFreq=2 (M2, :177)       → pyspark.ml.feature.IDF(minDocFreq=2)
+                                      (same formula log((m+1)/(df+1)))
+* TF×IDF with 1e-4 floor (M3,
+  :180-192)                          → custom floor transform (non-standard
+                                      semantics, must be custom)
+
+The reference's driver-local vocab ``Map[String,Int]`` closure-captured
+into tasks (J1) becomes the CountVectorizerModel's broadcast vocabulary —
+sent once per executor.
+
+Scale: every stage is a narrow map except CountVectorizer.fit (one
+aggregation shuffle to rank the vocabulary) and IDF.fit (one treeAggregate
+for document frequencies). Nothing collects rows to the driver; the only
+driver-held state is the vocab/idf arrays, which are model parameters
+(bounded by vocabSize, not corpus size).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.feature import CountVectorizer, IDF, RegexTokenizer, StopWordsRemover
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.textnorm import CLEAN_PATTERN, STOPWORDS
+
+IDF_FLOOR = 1e-4  # reference M3: tfidf = tf * (idf == 0 ? 1e-4 : idf)
+
+
+def clean_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """P2: punctuation strip + lowercase + whitespace collapse."""
+    cleaned = F.regexp_replace(F.lower(F.col(text_col)), CLEAN_PATTERN, " ")
+    return docs.withColumn("clean_text", F.trim(F.regexp_replace(cleaned, r"\s+", " ")))
+
+
+def build_vectorizer_pipeline(
+    vocab_size: int = 10_000,
+    stopwords: list[str] | None = None,
+    min_doc_freq: int = 2,
+) -> Pipeline:
+    """P5 → P6 → T1/T2+A4 → M2 as one fit/transform pipeline."""
+    tokenizer = RegexTokenizer(
+        inputCol="clean_text", outputCol="raw_tokens", pattern=r"\s+", toLowercase=True
+    )
+    remover = StopWordsRemover(
+        inputCol="raw_tokens",
+        outputCol="tokens",
+        stopWords=list(stopwords if stopwords is not None else STOPWORDS),
+        caseSensitive=True,
+    )
+    cv = CountVectorizer(inputCol="tokens", outputCol="tf", vocabSize=vocab_size)
+    idf = IDF(inputCol="tf", outputCol="tfidf_raw", minDocFreq=min_doc_freq)
+    return Pipeline(stages=[tokenizer, remover, cv, idf])
+
+
+def fit_vectorizer(docs: DataFrame, **kwargs) -> PipelineModel:
+    cleaned = clean_documents(docs)
+    nonempty = cleaned.where(F.length("clean_text") > 0)  # P8 pre-filter
+    return build_vectorizer_pipeline(**kwargs).fit(nonempty)
+
+
+def apply_idf_floor(df: DataFrame, idf_values: np.ndarray) -> DataFrame:
+    """M3: hand-rolled TF×IDF floor — terms whose idf is 0 (df < minDocFreq)
+    get weight tf × 1e-4 instead of 0, so rare-term signal never vanishes
+    (LDAClustering.scala:180-192; non-standard, replicated as-is).
+
+    Implemented over ``vector_to_array`` with an Arrow-batched pandas UDF;
+    the idf array is a model parameter (vocab-sized), captured once per
+    executor via the UDF closure — the rebuild of the reference's
+    closure-captured ``idfVals`` (scale-safe: size is O(vocab), not O(corpus)).
+    """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    effective = np.where(idf_values == 0.0, IDF_FLOOR, idf_values)
+
+    @pandas_udf("array<double>")
+    def floor_mul(tf_arr: pd.Series) -> pd.Series:
+        return tf_arr.map(lambda a: (np.asarray(a) * effective).tolist())
+
+    return df.withColumn(
+        "tfidf", array_to_vector(floor_mul(vector_to_array(F.col("tf"))))
+    )
+
+
+def vectorize(docs: DataFrame, **kwargs) -> tuple[DataFrame, PipelineModel]:
+    """Full reference-parity vectorization: returns (df with tf/tfidf
+    columns, fitted pipeline model)."""
+    model = fit_vectorizer(docs, **kwargs)
+    cleaned = clean_documents(docs).where(F.length("clean_text") > 0)
+    out = model.transform(cleaned)
+    out = out.where(F.size("tokens") > 0)  # P8: drop docs with no surviving tokens
+    idf_model = model.stages[-1]
+    return apply_idf_floor(out, np.asarray(idf_model.idf.toArray())), model
+
+
+def vocabulary_table(model: PipelineModel, spark) -> DataFrame:
+    """(term, term_id) broadcast-join form of the fitted vocabulary —
+    replaces the reference's comma-joined vocab text file (S3/S5,
+    LDAClustering.scala:71-72, LDALoader.scala:43)."""
+    vocab = model.stages[2].vocabulary
+    return spark.createDataFrame(
+        [(t, i) for i, t in enumerate(vocab)], "term string, term_id int"
+    )

@@ -1,0 +1,253 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families (north star, SURVEY §2.9): exact content hash, MinHash+LSH,
+SimHash, and exact n-gram Jaccard. The reference has no dedup at all; its
+closest analogue is the within-sentence ``toMap`` dedup bug
+(LDAClustering.scala:298) which we deliberately do NOT replicate.
+
+Scale design (100 TB):
+* exact: hash-groupBy on sha256(text) — the shuffle carries (hash, id),
+  never the text payloads; pick min(id) as survivor.
+* MinHash/LSH: signatures are fixed-size regardless of doc length; the LSH
+  band join buckets candidates so comparison cost is |candidate pairs|, not
+  |docs|². This is THE standard web-corpus near-dedup design (Spark ML's
+  MinHashLSH implements the banding join natively).
+* SimHash: 64-bit signature per doc; near-dup candidates share band
+  prefixes (join on rotated prefixes); Hamming distance is a cheap
+  post-filter.
+* n-gram Jaccard: exact verification — shingle-explode + pair join grouped
+  by shared shingles; always run AFTER a candidate-narrowing stage at
+  scale (here blocked by ``lang`` to bound the pair space).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .._registry import Registry
+from ..catalog import load_table
+
+REG = Registry()
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ re-keyed copy of documents — guarantees every text has at
+    least one exact duplicate so the dedup operators have real work to do
+    (the synthetic corpus itself may be duplicate-free)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+    return docs.unionByName(copy)
+
+
+@REG.register(
+    "dedup_exact_hash",
+    oracle="""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+    SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dupes
+    FROM all_docs
+    GROUP BY text
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by sha256 of the content, keep min(doc_id).
+
+    The oracle groups by raw text (same equivalence classes — sha256 is
+    injective for our purposes); the Spark side groups by the hash so the
+    shuffle never carries document payloads — the point of the design at
+    100 TB.
+    """
+    docs = _doubled_docs(spark, sf_dir)
+    return (
+        docs.withColumn("h", F.sha2("text", 256))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .select("doc_id", "n_dupes")
+    )
+
+
+def _shingles(tokens_col, n: int = 3):
+    """Token n-gram shingles via JVM array ops (no Python)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(tokens_col) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(tokens_col, i + off + 1) for off in range(n)]),
+    )
+
+
+@REG.register("dedup_minhash")  # rows-only: MinHashLSH is approximate/seeded
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup candidates via MinHashLSH over 3-gram shingle sets.
+
+    Shingle → HashingTF(2^18, binary) → MinHashLSH(8 tables, fixed seed)
+    → approxSimilarityJoin (banding join on hash buckets) at Jaccard
+    distance ≤ 0.6. Deterministic given the seed. Output: candidate pairs
+    (id_a < id_b) with Jaccard distance.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    sh = docs.select("doc_id", _shingles(toks).alias("shingles")).where(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.6, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+def _simhash_series(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash over token multisets (Charikar 2002). Deterministic:
+    per-token hash is a fixed FNV-1a; no RNG."""
+
+    def tok_hash(t: str) -> int:
+        h = 0xCBF29CE484222325
+        for ch in t.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def simhash(arr) -> int:
+        acc = [0] * 64
+        for t in arr:
+            h = tok_hash(t)
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        v = 0
+        for b in range(64):
+            if acc[b] > 0:
+                v |= 1 << b
+        # map to signed 64-bit for Spark LongType
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return tokens.map(simhash)
+
+
+@REG.register("dedup_simhash")  # rows-only: bit-twiddling hash not ANSI-SQL-expressible
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: 64-bit signature per doc (pandas
+    UDF), candidates = docs sharing any of four 16-bit bands (join per
+    band — at most 3 bit-flips guarantee a shared band), verified by
+    Hamming distance ≤ 3 via JVM ``bit_count(xor)``.
+
+    Scale: band join buckets on 16-bit prefixes → shuffle on small keys;
+    the quadratic verify only runs within buckets.
+    """
+    simhash_udf = pandas_udf(_simhash_series, "long")
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    sig = docs.select("doc_id", simhash_udf(toks).alias("simhash")).cache()
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 3)
+    )
+    return pairs
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS l FROM documents),
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(generate_series(1, len(l) - 2),
+                                      i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS shingles
+  FROM toks WHERE len(l) >= 3),
+ex AS (SELECT doc_id, lang, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         any_value(a.n) AS n_a, any_value(b.n) AS n_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+FROM common
+WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+"""
+
+
+@REG.register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity pairs (≥ 0.5), blocked by language.
+
+    Plan: distinct shingles per doc → explode → self-join on (shingle,
+    lang) with id_a < id_b → count common shingles per pair → Jaccard =
+    |∩| / (|A| + |B| − |∩|). Integer counts → the division is bit-identical
+    to the oracle.
+
+    Scale: the shingle join is the candidate generator; frequency-skewed
+    shingles (boilerplate) explode the pair space, so at 100 TB drop
+    too-frequent shingles first (a WHERE on a windowed count) — noted in
+    docs/SCALE.md.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    sh = (
+        docs.select("doc_id", "lang", F.array_distinct(_shingles(toks)).alias("shingles"))
+        .where(F.size("shingles") > 0)
+    )
+    ex = sh.select(
+        "doc_id", "lang", F.explode("shingles").alias("s"), F.size("shingles").alias("n")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.n")).alias("n_a"),
+            F.first(F.col("b.n")).alias("n_b"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return common.where(jac >= 0.5).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )

@@ -1,0 +1,58 @@
+"""Grouped-map (pandas UDAF) operators — the custom-aggregation escape
+hatch the reference implements as driver-side mutable arrays
+(LDALoader.scala:76-77, 142-149).
+
+``applyInPandas`` ships each group to Python as one Arrow batch — correct
+for bounded per-group state. Scale note: group size must fit an executor's
+memory; for unbounded groups pre-aggregate or window instead. The z-score
+here is also expressible as a pure window query (that's exactly what the
+DuckDB oracle does) — the pandas path exists to exercise the UDAF surface
+that genuinely-custom aggregations (e.g. per-group model fits) need.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .._registry import Registry
+from ..catalog import load_table
+
+REG = Registry()
+
+_ZSCORE_ORACLE = """
+SELECT event_id, user_id,
+       round(CASE WHEN stddev_samp(value) OVER w IS NULL
+                    OR stddev_samp(value) OVER w = 0
+                  THEN 0.0
+                  ELSE (value - avg(value) OVER w) / stddev_samp(value) OVER w
+             END, 6) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+"""
+
+
+def _zscore_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    std = pdf["value"].std(ddof=1)  # matches stddev_samp
+    if not np.isfinite(std) or std == 0.0:
+        z = np.zeros(len(pdf))
+    else:
+        z = (pdf["value"] - pdf["value"].mean()) / std
+    return pd.DataFrame(
+        {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": np.round(z, 6)}
+    )
+
+
+@REG.register("grouped_map_zscore", oracle=_ZSCORE_ORACLE)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score of event values via ``applyInPandas`` (Arrow batch
+    per group), cross-checked against the equivalent window-function SQL.
+    Rounded to 6 decimals: numpy and the SQL engines sum in different
+    orders, identical to ~1e-12."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        _zscore_pdf, schema="event_id long, user_id long, zscore double"
+    )

@@ -1,0 +1,275 @@
+"""Similarity search over embedding columns (north star, SURVEY §2.9).
+
+Exact brute-force top-k cosine (oracle-checkable) plus two approximate
+scale paths: random-projection LSH and an IVF-style coarse quantizer
+(KMeans partitions). The reference has no vector search; its closest
+analogue is the argmax over topic-distribution vectors (T5,
+LDALoader.scala:131-140), which is also implemented here.
+
+Scale design (100 TB):
+* Exact: queries are broadcast against a partitioned candidate set; each
+  executor scans its shard once; per-query top-k via window rank on
+  (query_id) — shuffle carries only |queries|·k rows after a map-side
+  rank prune. Dot products are JVM ``zip_with``/``aggregate`` — no Python.
+* LSH: `BucketedRandomProjectionLSH` on L2-normalized vectors turns
+  cosine into euclidean; the bucket join bounds the pair space.
+* IVF: KMeans centroids (tiny, broadcast) → assign partition → probe the
+  nearest few partitions only — classic FAISS-IVF reshaped as a join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .._registry import Registry
+from ..catalog import load_table
+
+REG = Registry()
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+@REG.register(
+    "argmax_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_position(embedding, list_aggregate(embedding, 'max')) - 1 AS BIGINT)
+             AS argmax_idx
+    FROM embeddings
+    """,
+)
+def argmax_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax over an array column (reference T5: main-topic argmax loop,
+    LDALoader.scala:131-140 — first-index tie rule, 0-based; the
+    reference's last-index ``<=`` rule is a documented divergence)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        (F.array_position(F.col("embedding"), F.array_max("embedding")) - 1)
+        .cast("long")
+        .alias("argmax_idx"),
+    )
+
+
+_KNN_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+  GROUP BY a.vec_id, b.vec_id),
+scored AS (
+  SELECT d.query_id, d.neighbor_id, d.dot / (qn.nrm * nn.nrm) AS cos
+  FROM dots d
+  JOIN norms qn ON qn.vec_id = d.query_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id)
+SELECT query_id, neighbor_id,
+       round(cos, 6) AS cosine_sim,
+       CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= {TOP_K}
+"""
+
+
+@REG.register("knn_cosine_exact", oracle=_KNN_ORACLE)
+def knn_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the first N_QUERIES vectors.
+
+    Brute-force baseline: broadcast the (tiny) query set against the full
+    candidate table, JVM-side dot products in double precision, per-query
+    top-k via window rank with neighbor-id tiebreak. The candidate scan is
+    embarrassingly parallel; the only shuffle is the |queries|-keyed rank.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    emb = emb.withColumn("nrm", _l2norm(F.col("e")))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    pairs = cand.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine_sim"), "rank")
+    )
+
+
+@REG.register("knn_cosine_lsh")  # rows-only: LSH is approximate (seeded, deterministic)
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighbor pairs via random-projection LSH on L2-normalized
+    vectors (cosine ≥ ~0.5 ⇔ euclidean ≤ 1.0 after normalization).
+
+    Scale path for the exact query above: the bucketed join restricts
+    comparisons to same-bucket candidates.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    normed = emb.select(
+        "vec_id",
+        array_to_vector(
+            F.transform("e", lambda x: x / F.coalesce(F.nullif(_l2norm(F.col("e")), F.lit(0.0)), F.lit(1.0)))
+        ).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(normed)
+    pairs = model.approxSimilarityJoin(normed, normed, 1.0, distCol="euclid")
+    return (
+        pairs.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            F.round(1 - F.col("euclid") * F.col("euclid") / 2, 6).alias("cosine_sim"),
+        )
+    )
+
+
+@REG.register("knn_cosine_ivf")  # rows-only: IVF probe is approximate (seeded, deterministic)
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer partitions the corpus; each
+    query probes only its nearest ``nprobe`` partitions.
+
+    The centroid table is tiny → broadcast; candidate scan cost drops by
+    ~n_clusters/nprobe vs brute force. This is the 100 TB shape: cluster
+    assignment is a one-time batch job, probes are partition-pruned scans.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    n_clusters, nprobe = 16, 4
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    vecs = emb.select("vec_id", "e", array_to_vector(F.col("e")).alias("features"))
+    km = KMeans(k=n_clusters, seed=42, maxIter=20, featuresCol="features")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "e", F.col("prediction").alias("cluster"))
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
+    )
+    q = assigned.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    # nearest nprobe centroids per query (centroid table is tiny)
+    qc = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qe",
+            "cluster",
+            _dot(F.col("qe"), F.col("centroid")).alias("score"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("score"), "cluster")),
+        )
+        .where(F.col("r") <= nprobe)
+        .select("query_id", "qe", "cluster")
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "cluster"
+    )
+    scored = (
+        qc.join(cand, "cluster")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qe"), F.col("ce")) / (_l2norm(F.col("qe")) * _l2norm(F.col("ce")))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine_sim"), "rank")
+    )
+
+
+_EMB_DEDUP_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, label,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.v * b.v) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id),
+scored AS (
+  SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cos
+  FROM dots d JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b)
+SELECT id_a, id_b, round(cos, 6) AS cosine_sim
+FROM scored WHERE cos >= 0.9
+"""
+
+
+@REG.register("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ 0.9 within a label block.
+
+    Blocking on ``label`` stands in for the LSH/IVF candidate stage — the
+    exact-verify join only runs inside blocks, which is the scalable shape
+    (never the full n² cross join).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    emb = emb.withColumn("nrm", _l2norm(F.col("e")))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+    scored = pairs.select(
+        "id_a", "id_b", (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cos")
+    )
+    return scored.where(F.col("cos") >= 0.9).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cosine_sim")
+    )

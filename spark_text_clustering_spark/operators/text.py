@@ -1,0 +1,547 @@
+"""Text-pipeline operators: the reference's NLP chain re-expressed
+relationally, plus the LLM-data-pipeline text-analysis operators.
+
+Reference chain (SURVEY §2.2-2.4): regex clean (P2, LDAClustering.scala:
+283-284) → tokenize (P5, :133-135) → stopword/length filter (P6, :125-136)
+→ stem (P7, :134-137) → word count (A1, :144-146) → frequency-ranked vocab
+(T1/T2, :148-151) → vocab lookup join (J1, :154-167).
+
+Everything except the stemmer/fingerprint UDFs is built-in Catalyst and has
+a DuckDB oracle. The two Python paths are Arrow-batched pandas UDFs (never
+row-at-a-time), mirroring the reference's per-partition heavy-object
+pattern (Morphology per partition, LDAClustering.scala:116-121).
+
+Scale: token explode multiplies rows by ~tokens/doc, but the very next
+operator is a partial hash aggregation — the Zipf distribution of natural
+text means map-side combine collapses the heavy hitters before the
+shuffle. The vocabulary (output of top-k) is small by construction, so all
+vocab joins are broadcasts, exactly replacing the reference's
+closure-captured driver Map (J1) without serializing it into every task.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .._registry import Registry
+from ..catalog import load_table
+from ..functions.textnorm import CLEAN_PATTERN, CLEAN_PATTERN_SQL, STOPWORDS, stopwords_sql_list
+
+REG = Registry()
+
+# Shared oracle CTE fragments (DuckDB) — must mirror the Spark expressions.
+_TOK_CTE = (
+    "tok AS (SELECT doc_id, lang, "
+    "unnest(regexp_split_to_array(lower(text), '\\s+')) AS token FROM documents)"
+)
+_CNT_CTE = "cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token)"
+_RANKED_CTE = (
+    "ranked AS (SELECT token, cnt, "
+    "CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS term_id FROM cnt)"
+)
+
+
+def _tokens_col() -> Column:
+    """lower + whitespace-split tokenizer (reference P5, OpenNLP
+    SimpleTokenizer → built-in split; no Python in the loop)."""
+    return F.split(F.lower(F.col("text")), r"\s+")
+
+
+def _token_rows(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "lang", F.explode(_tokens_col()).alias("token"))
+
+
+def _token_counts(docs: DataFrame) -> DataFrame:
+    """Reference A1: flatMap + reduceByKey → explode + partial/final
+    hash agg (LDAClustering.scala:144-146)."""
+    return _token_rows(docs).groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# P2/P5/P6 — clean / tokenize / stopword-filter
+# ---------------------------------------------------------------------------
+
+
+@REG.register(
+    "regexp_replace_clean",
+    oracle=f"""
+    SELECT doc_id,
+           trim(regexp_replace(
+                 regexp_replace(lower(text), '{CLEAN_PATTERN_SQL}', ' ', 'g'),
+                 '\\s+', ' ', 'g')) AS clean_text
+    FROM documents
+    """,
+)
+def regexp_replace_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punctuation strip (reference P2 ``filterSpecialCharacters``,
+    LDAClustering.scala:283-284) + whitespace collapse. Pure JVM regex in
+    whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.regexp_replace(F.lower(F.col("text")), CLEAN_PATTERN, " ")
+    return docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(cleaned, r"\s+", " ")).alias("clean_text"),
+    )
+
+
+@REG.register(
+    "tokenize_split",
+    oracle="""
+    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tokens
+    FROM documents
+    """,
+)
+def tokenize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenizer (reference P5, LDAClustering.scala:133-135)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _tokens_col().alias("tokens"))
+
+
+@REG.register(
+    "stopword_filter",
+    oracle=f"""
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) >= 1 AND NOT list_contains({stopwords_sql_list()}, x))
+             AS tokens
+    FROM documents
+    """,
+)
+def stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword + length filter (reference P6, LDAClustering.scala:125-136;
+    exact match, case-folded). Array lambda stays JVM-side — note this is
+    NOT ``array_except``, which would also dedupe (reference keeps
+    duplicates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop = list(STOPWORDS)
+    return docs.select(
+        "doc_id",
+        F.filter(
+            _tokens_col(),
+            lambda x: (F.length(x) >= 1) & (~x.isin(stop)),
+        ).alias("tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 / T1 / T2 — word count, top-k vocabulary, dense re-index
+# ---------------------------------------------------------------------------
+
+
+@REG.register(
+    "explode_groupby_count",
+    oracle=f"WITH {_TOK_CTE} SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token",
+)
+def explode_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word count (reference A1: flatMap + reduceByKey,
+    LDAClustering.scala:144-146). Partial agg → shuffle |vocab| rows."""
+    return _token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@REG.register(
+    "topk_order_limit",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_CNT_CTE}
+    SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT 15
+    """,
+)
+def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most frequent tokens (reference T1: ``sortBy + take(k)``,
+    LDAClustering.scala:148-151). Catalyst plans TakeOrderedAndProject —
+    per-partition heaps, never a global sort. Deterministic tiebreak
+    (cnt DESC, token ASC) fixes the reference's tie nondeterminism."""
+    counts = _token_counts(load_table(spark, sf_dir, "documents"))
+    return counts.orderBy(F.desc("cnt"), F.asc("token")).limit(15)
+
+
+@REG.register(
+    "window_row_number",
+    oracle=f"WITH {_TOK_CTE}, {_CNT_CTE}, {_RANKED_CTE} SELECT token, term_id, cnt FROM ranked",
+)
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense vocabulary re-index (reference T2: ``zipWithIndex.toMap``,
+    LDAClustering.scala:150). Global window is safe here because its input
+    is vocab-sized (post-aggregation), not corpus-sized; for huge vocabs use
+    a two-stage rank (per-partition rank + offset) — see docs/SCALE.md."""
+    counts = _token_counts(load_table(spark, sf_dir, "documents"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.select(
+        "token",
+        (F.row_number().over(w) - 1).cast("long").alias("term_id"),
+        "cnt",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array sort / slice (reference T3, T4)
+# ---------------------------------------------------------------------------
+
+
+@REG.register(
+    "sort_array_desc",
+    oracle="""
+    SELECT doc_id,
+           list_sort(regexp_split_to_array(lower(text), '\\s+'), 'DESC') AS tokens_desc
+    FROM documents
+    """,
+)
+def sort_array_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc descending token sort (reference T3: driver-local
+    ``sortWith``, LDALoader.scala:86-94 — here a distributed array op)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sort_array(_tokens_col(), asc=False).alias("tokens_desc"))
+
+
+@REG.register(
+    "limit_slice",
+    oracle="""
+    SELECT doc_id,
+           list_slice(list_sort(regexp_split_to_array(lower(text), '\\s+')), 1, 5)
+             AS first_tokens
+    FROM documents
+    """,
+)
+def limit_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array slice top-N prefix (reference T4: ``slice(0, 100)``,
+    LDALoader.scala:155-184)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.slice(F.sort_array(_tokens_col()), 1, 5).alias("first_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 / J2 / J3 — vocabulary joins (the reference's driver-map lookups)
+# ---------------------------------------------------------------------------
+
+_VOCAB20_CTE = (
+    "vocab AS (SELECT token FROM cnt ORDER BY cnt DESC, token LIMIT 20)"
+)
+
+
+@REG.register(
+    "broadcast_join_inner",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_CNT_CTE}, {_VOCAB20_CTE}
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_vocab_tokens
+    FROM tok t JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+)
+def broadcast_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token→vocabulary inner broadcast join (reference J1: the
+    closure-captured ``Map[String,Int]`` lookup, LDAClustering.scala:154-167
+    — rebuilt as a real broadcast hash join, sent once per executor instead
+    of once per task)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        _token_counts(docs).orderBy(F.desc("cnt"), F.asc("token")).limit(20).select("token")
+    )
+    return (
+        _token_rows(docs)
+        .join(F.broadcast(vocab), "token", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_vocab_tokens"))
+    )
+
+
+@REG.register(
+    "broadcast_join_anti",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_CNT_CTE}, {_VOCAB20_CTE}
+    SELECT DISTINCT t.doc_id, t.token AS oov_token
+    FROM tok t ANTI JOIN vocab v ON t.token = v.token
+    """,
+)
+def broadcast_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary detection via left-anti broadcast join — the
+    explicit fix for the reference's silent ``indexOf == -1`` OOV bug
+    (J2, LDALoader.scala:97-105)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        _token_counts(docs).orderBy(F.desc("cnt"), F.asc("token")).limit(20).select("token")
+    )
+    return (
+        _token_rows(docs)
+        .join(F.broadcast(vocab), "token", "left_anti")
+        .select("doc_id", F.col("token").alias("oov_token"))
+        .distinct()
+    )
+
+
+@REG.register(
+    "array_intersect_semi",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_CNT_CTE},
+    top10 AS (SELECT array_agg(token) AS arr
+              FROM (SELECT token FROM cnt ORDER BY cnt DESC, token LIMIT 10)),
+    doc_tokens AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
+                   FROM documents)
+    SELECT d.doc_id,
+           CAST(len(list_filter(d.toks, x -> list_contains(t.arr, x))) AS INTEGER) AS n_common
+    FROM doc_tokens d CROSS JOIN top10 t
+    """,
+)
+def array_intersect_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc overlap with the corpus top-10 terms (reference J3:
+    ``intersect`` of top-100 doc terms with top-300 topic terms,
+    LDALoader.scala:154-164). The 1-row top-10 side is a broadcast nested
+    loop — constant cost at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    top10 = (
+        _token_counts(docs)
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(10)
+        .agg(F.collect_list("token").alias("arr"))
+    )
+    return (
+        docs.select("doc_id", F.array_distinct(_tokens_col()).alias("toks"))
+        .crossJoin(F.broadcast(top10))
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("toks", "arr")).alias("n_common"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (LLM-pipeline north star): stats, lang-id, quality, tokens
+# ---------------------------------------------------------------------------
+
+
+@REG.register(
+    "text_stats_agg",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           AVG(length(text)) AS avg_chars,
+           AVG(len(regexp_split_to_array(lower(text), '\\s+'))) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics — single-pass aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.length("text")).alias("avg_chars"),
+        F.avg(F.size(_tokens_col())).alias("avg_tokens"),
+    )
+
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # Deterministic n-gram-style heuristic over marker function-words. The
+    # synthetic corpus shares one vocabulary across langs, so this exercises
+    # the operator shape (per-class evidence scores → argmax with a fixed
+    # tie order), not linguistic accuracy.
+    "en": ("the", "a", "fast", "order"),
+    "de": ("hash", "join", "group"),
+    "es": ("slow", "agg", "merge"),
+    "fr": ("scan", "data", "small"),
+    "zh": ("row", "column", "value"),
+}
+_LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
+def _marker_sql(lang: str) -> str:
+    inner = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        f" x -> list_contains([{inner}], x)))"
+    )
+
+
+def _lang_case_sql() -> str:
+    branches = []
+    for i, lang in enumerate(_LANG_ORDER):
+        conds = [f"s_{lang} >= s_{other}" for other in _LANG_ORDER[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " END"
+
+
+@REG.register(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_marker_sql(lang)} AS s_{lang}" for lang in _LANG_ORDER)}
+      FROM documents)
+    SELECT doc_id, lang, {_lang_case_sql()} AS predicted_lang FROM scored
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID: per-class evidence counts → deterministic
+    argmax (ties resolved by fixed class order). All JVM-side array
+    lambdas — at 100 TB this is a pure map, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+
+    def marker_filter(markers: tuple[str, ...]):
+        words = list(markers)
+        return lambda x: x.isin(words)
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(toks, marker_filter(_LANG_MARKERS[lang]))).alias(f"s_{lang}")
+            for lang in _LANG_ORDER
+        ],
+    )
+    # Build the CASE from the last branch backwards to mirror the SQL.
+    expr = F.lit(_LANG_ORDER[-1])
+    for i in range(len(_LANG_ORDER) - 2, -1, -1):
+        lang = _LANG_ORDER[i]
+        cond = None
+        for other in _LANG_ORDER[i + 1 :]:
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return scored.select("doc_id", "lang", expr.alias("predicted_lang"))
+
+
+@REG.register(
+    "quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> list_contains({stopwords_sql_list()}, x))) AS BIGINT)
+               AS n_stop,
+             CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS BIGINT) AS sum_len
+      FROM t)
+    SELECT doc_id, n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+           (CASE WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens <= 0.5 THEN 0.3 ELSE 0.0 END
+            + CASE WHEN CAST(sum_len AS DOUBLE) / n_tokens >= 3.0 THEN 0.2 ELSE 0.0 END)
+             AS quality
+    FROM m
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length / stopword-ratio / avg-token-length
+    heuristics) — the pre-training filter stage of an LLM data pipeline.
+    Pure map-side arithmetic; integer-exact numerators so Spark and DuckDB
+    produce bit-identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop = list(STOPWORDS)
+    toks = _tokens_col()
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin(stop))).cast("long").alias("n_stop"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    avg_len = F.col("sum_len").cast("double") / F.col("n_tokens")
+    quality = (
+        F.when(F.col("n_tokens") >= 10, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio <= 0.5, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(avg_len >= 3.0, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        stop_ratio.alias("stopword_ratio"),
+        avg_len.alias("avg_token_len"),
+        quality.alias("quality"),
+    )
+
+
+@REG.register(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (word-pieces + standalone punctuation) — the budget/step-count stage of
+    a training-data pipeline. JVM regex, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(lower, r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit(r"\w+|[^\w\s]"), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDF surface: stemmer + fingerprint (rows-only checks)
+# ---------------------------------------------------------------------------
+
+_MOD = (1 << 61) - 1
+
+
+def _porter_lite(word: str) -> str:
+    """Simplified Porter-style suffix stripper (reference P7 uses OpenNLP
+    PorterStemmer, LDAClustering.scala:134-137; full Porter has no
+    dependency-free Python twin here, divergence documented per SURVEY §7
+    M2)."""
+    w = word
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("s") and not w.endswith("ss") and len(w) > 3:
+        w = w[:-1]
+    if w.endswith("ing") and len(w) > 5:
+        w = w[:-3]
+    elif w.endswith("ed") and len(w) > 4:
+        w = w[:-2]
+    return w
+
+
+def _stem_series(tokens: pd.Series) -> pd.Series:
+    return tokens.map(lambda arr: [_porter_lite(t) for t in arr])
+
+
+@REG.register("udf_scalar_stem")  # rows-only: no SQL stemmer oracle (SURVEY §2.9)
+def udf_scalar_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemming via an Arrow-batched pandas UDF over token arrays
+    (reference P7). One Python roundtrip per batch, not per row; at 100 TB
+    this is the pattern for any CPU-bound Python text transform."""
+    stem_udf = pandas_udf(_stem_series, "array<string>")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", stem_udf(_tokens_col()).alias("stemmed"))
+
+
+def _fingerprint_series(text: pd.Series) -> pd.Series:
+    def fp(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 131 + ord(ch)) % _MOD
+        return h
+
+    return text.map(fp)
+
+
+@REG.register("doc_fingerprint")  # rows-only: rolling hash not expressible in ANSI SQL
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rolling polynomial hash per document (content
+    fingerprinting for incremental dedup). Pandas UDF; pure map."""
+    fp_udf = pandas_udf(_fingerprint_series, "long")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fp_udf(F.col("text")).alias("fingerprint"))

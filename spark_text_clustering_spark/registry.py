@@ -1,0 +1,52 @@
+"""Single merged query/oracle registry consumed by /root/repo/__spark_entry__.py.
+
+Every operator class from SURVEY §2 (and the §2.9 gap list + north-star
+LLM-pipeline ops) registers here. Keys without an oracle are genuinely
+non-ANSI-SQL-expressible (UDF hashes, approximate/seeded ML) and get the
+driver's rows-only check — SURVEY documents which.
+"""
+
+from __future__ import annotations
+
+from ._registry import Registry
+from .functions.textnorm import STOPWORDS, stopwords_sql_list
+from .operators import dedup, grouped, multimodal, relational, similarity, text
+from .ml import queries as ml_queries
+from .plans.flagship import TOP_K, flagship_top_terms_per_lang
+from .streaming import windows as streaming_windows
+
+ROOT = Registry()
+
+_stop = stopwords_sql_list()
+_FLAGSHIP_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents),
+filtered AS (
+  SELECT lang, token FROM tok
+  WHERE len(token) >= 1 AND NOT list_contains({_stop}, token)),
+cnt AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM filtered GROUP BY lang, token)
+SELECT lang, token, cnt, CAST(rank AS INTEGER) AS rank
+FROM (SELECT lang, token, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rank
+      FROM cnt)
+WHERE rank <= {TOP_K}
+"""
+
+ROOT.register("flagship_top_terms", oracle=_FLAGSHIP_ORACLE)(flagship_top_terms_per_lang)
+
+ROOT.merge(
+    relational.REG,
+    text.REG,
+    dedup.REG,
+    similarity.REG,
+    grouped.REG,
+    multimodal.REG,
+    ml_queries.REG,
+    streaming_windows.REG,
+)
+
+QUERIES = ROOT.queries
+ORACLES = ROOT.oracles

@@ -1,0 +1,149 @@
+"""Structured Streaming over the ``events`` table (SURVEY §2.9 streaming).
+
+The reference is batch-only; the north star adds streaming. Design:
+every streaming aggregation is written as a *shared transform* applied to
+either a batch DataFrame or a streaming DataFrame — the batch run IS the
+oracle (batch-equivalence, SURVEY §5.2.4). The registered query
+``stream_tumbling_agg`` runs the transform in batch mode (DuckDB-oracled);
+the streaming tests replay the same parquet through ``readStream`` with
+``availableNow`` and assert equality.
+
+Scale: tumbling/sliding windows shuffle on (window, keys) with watermark-
+bounded state; session windows and ``dropDuplicatesWithinWatermark`` keep
+per-key state in the state store (RocksDB on a real cluster). Watermarks
+bound state size — without them, 100 TB of stream history accumulates in
+the store.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .._registry import Registry
+from ..catalog import load_table, stream_events
+from ..session import ensure_utc
+
+REG = Registry()
+
+
+def tumbling_daily_agg(events: DataFrame) -> DataFrame:
+    """Shared batch/stream transform: 1-day tumbling windows (epoch-aligned,
+    so window_start == date_trunc('day') in UTC)."""
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def sliding_hourly_by_type(events: DataFrame) -> DataFrame:
+    """Sliding windows (6h every 3h) per event_type."""
+    return (
+        events.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_windows_per_user(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a new session starts after ``gap`` of
+    inactivity (built-in ``session_window`` — the only real streaming-state
+    custom semantics in the surface)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+@REG.register(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(value) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation, batch mode (the exact transform the
+    streaming path runs — see tests/test_streaming.py for the replayed
+    ``readStream`` equivalence run)."""
+    ensure_utc(spark)
+    return tumbling_daily_agg(load_table(spark, sf_dir, "events"))
+
+
+def run_stream_available_now(
+    spark: SparkSession,
+    sf_dir: str,
+    transform,
+    watermark: str | None = "1 day",
+    output_mode: str = "complete",
+    table_name: str = "stream_out",
+) -> DataFrame:
+    """Replay the events parquet as a file stream, run ``transform``, sink
+    to an in-memory table with trigger=availableNow, and return the result.
+
+    This is the batch-equivalence harness: after ingesting all data, the
+    streaming result must equal the batch result of the same transform.
+    """
+    ensure_utc(spark)
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src_dir, "part-0.parquet"))
+        stream = stream_events(spark, src_dir)
+        if watermark is not None:
+            stream = stream.withWatermark("ts", watermark)
+        out = transform(stream)
+        query = (
+            out.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+        return spark.table(table_name)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str, table_name: str = "dedup_out") -> DataFrame:
+    """Stateful streaming dedup on event_id within the watermark
+    (``dropDuplicatesWithinWatermark`` — state-store-backed)."""
+    ensure_utc(spark)
+    src_dir = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src_dir, "a.parquet"))
+        # second copy = guaranteed duplicates arriving "later"
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src_dir, "b.parquet"))
+        stream = (
+            stream_events(spark, src_dir)
+            .withWatermark("ts", "2 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+        return spark.table(table_name)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
