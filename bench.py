@@ -48,6 +48,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for key in HEADLINE:
+        # one warmup run (codegen/JIT), one measured run
+        QUERIES[key](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         df = QUERIES[key](spark, SF_DIR)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()

@@ -222,15 +222,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     too-frequent shingles first (a WHERE on a windowed count) — noted in
     docs/SCALE.md.
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), r"\s+")
-    sh = (
-        docs.select("doc_id", "lang", F.array_distinct(_shingles(toks)).alias("shingles"))
-        .where(F.size("shingles") > 0)
+    # Tokenize ONCE per row, then build trigrams with window lead() — the
+    # array-lambda formulation (transform + element_at over the split) makes
+    # Catalyst re-inline the tokenizer per element access, which is O(T²)
+    # re-splits per document once a filter forces re-evaluation.
+    tok_rows = docs.select(
+        "doc_id", "lang", F.posexplode(toks).alias("pos", "token")
     )
-    ex = sh.select(
-        "doc_id", "lang", F.explode("shingles").alias("s"), F.size("shingles").alias("n")
-    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = tok_rows.select(
+        "doc_id",
+        "lang",
+        F.concat_ws(
+            " ", "token", F.lead("token", 1).over(w), F.lead("token", 2).over(w)
+        ).alias("s"),
+        F.lead("token", 2).over(w).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    distinct_sh = tri.select("doc_id", "lang", "s").distinct()
+    ex = distinct_sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     a = ex.alias("a")
     b = ex.alias("b")
     common = (
