@@ -37,7 +37,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.ml import Pipeline, PipelineModel
-from pyspark.ml.feature import CountVectorizer, IDF, RegexTokenizer, StopWordsRemover
+from pyspark.ml.feature import CountVectorizer, CountVectorizerModel, IDF, RegexTokenizer, StopWordsRemover
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -53,12 +53,7 @@ def clean_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("clean_text", F.trim(F.regexp_replace(cleaned, r"\s+", " ")))
 
 
-def build_vectorizer_pipeline(
-    vocab_size: int = 10_000,
-    stopwords: list[str] | None = None,
-    min_doc_freq: int = 2,
-) -> Pipeline:
-    """P5 → P6 → T1/T2+A4 → M2 as one fit/transform pipeline."""
+def _token_stages(stopwords: list[str] | None) -> list:
     tokenizer = RegexTokenizer(
         inputCol="clean_text", outputCol="raw_tokens", pattern=r"\s+", toLowercase=True
     )
@@ -68,15 +63,64 @@ def build_vectorizer_pipeline(
         stopWords=list(stopwords if stopwords is not None else STOPWORDS),
         caseSensitive=True,
     )
+    return [tokenizer, remover]
+
+
+def build_deterministic_vocab(tokens_df: DataFrame, vocab_size: int) -> list[str]:
+    """T1/T2 with the deterministic tiebreak: rank tokens by (count DESC,
+    token ASC) and take the top ``vocab_size``.
+
+    The reference's ``sortBy(_._2).take(k)`` (LDAClustering.scala:148-151)
+    — and Spark's own CountVectorizer.fit — order frequency ties
+    arbitrarily, making vocabulary ids nondeterministic across runs; the
+    explicit lexicographic tiebreak fixes that (SURVEY §2.4 T1). The
+    collect is vocab-sized model state (bounded by ``vocab_size``), not
+    corpus-sized — the same driver footprint CountVectorizer.fit itself has.
+    """
+    counts = (
+        tokens_df.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_size)
+    )
+    return [r["token"] for r in counts.collect()]
+
+
+def build_vectorizer_pipeline(
+    vocab_size: int = 10_000,
+    stopwords: list[str] | None = None,
+    min_doc_freq: int = 2,
+) -> Pipeline:
+    """P5 → P6 → T1/T2+A4 → M2 as one fit/transform pipeline (Spark-native
+    CountVectorizer variant; ``fit_vectorizer`` swaps in the deterministic
+    vocabulary)."""
     cv = CountVectorizer(inputCol="tokens", outputCol="tf", vocabSize=vocab_size)
     idf = IDF(inputCol="tf", outputCol="tfidf_raw", minDocFreq=min_doc_freq)
-    return Pipeline(stages=[tokenizer, remover, cv, idf])
+    return Pipeline(stages=[*_token_stages(stopwords), cv, idf])
 
 
 def fit_vectorizer(docs: DataFrame, **kwargs) -> PipelineModel:
-    cleaned = clean_documents(docs)
-    nonempty = cleaned.where(F.length("clean_text") > 0)  # P8 pre-filter
-    return build_vectorizer_pipeline(**kwargs).fit(nonempty)
+    """Fit with a deterministic vocabulary: tokenize → rank vocab with the
+    lexicographic tiebreak → ``CountVectorizerModel.from_vocabulary`` →
+    fit IDF on the resulting counts."""
+    vocab_size = kwargs.get("vocab_size", 10_000)
+    stopwords = kwargs.get("stopwords")
+    min_doc_freq = kwargs.get("min_doc_freq", 2)
+
+    cleaned = clean_documents(docs).where(F.length("clean_text") > 0)
+    tok_pipeline = Pipeline(stages=_token_stages(stopwords)).fit(cleaned)
+    # P8 (LDAClustering.scala:139): drop empty-token docs BEFORE the vocab
+    # build and IDF fit, so document frequencies use the surviving corpus
+    # size m (the reference's idf is computed on the filtered corpus).
+    tokenized = tok_pipeline.transform(cleaned).where(F.size("tokens") > 0)
+    vocab = build_deterministic_vocab(tokenized, vocab_size)
+    cv_model = CountVectorizerModel.from_vocabulary(
+        vocab, inputCol="tokens", outputCol="tf"
+    )
+    idf = IDF(inputCol="tf", outputCol="tfidf_raw", minDocFreq=min_doc_freq)
+    idf_model = idf.fit(cv_model.transform(tokenized))
+    return PipelineModel(stages=[*tok_pipeline.stages, cv_model, idf_model])
 
 
 def apply_idf_floor(df: DataFrame, idf_values: np.ndarray) -> DataFrame:

@@ -1,0 +1,162 @@
+"""Vectorizer goldens (FIXTURES.md §B mini_corpus) + LDA plausibility
+checks (SURVEY §5.2.2-5.2.3)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_text_clustering_spark.catalog import load_table
+from spark_text_clustering_spark.ml.vectorize import (
+    IDF_FLOOR,
+    build_deterministic_vocab,
+    clean_documents,
+    fit_vectorizer,
+    vectorize,
+    vocabulary_table,
+)
+from spark_text_clustering_spark.ml.lda import (
+    describe_topics_with_terms,
+    score_documents,
+    topic_report,
+    train_lda,
+)
+
+from .conftest import SF_SMALL
+
+MINI = [
+    (0, "The cat sat, the cat ran!"),
+    (1, "dogs dogs dogs run"),
+    (2, "the the the"),
+    (3, "Cats and dogs running fast"),
+]
+
+
+@pytest.fixture(scope="module")
+def mini(spark):
+    return spark.createDataFrame(MINI, "doc_id long, text string")
+
+
+def test_clean_golden(spark, mini):
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in clean_documents(mini).select("doc_id", "clean_text").collect()
+    }
+    assert got[0] == "the cat sat the cat ran"  # punctuation stripped, lowered
+    assert got[3] == "cats and dogs running fast"
+
+
+def test_token_stages_golden(spark, mini):
+    model = fit_vectorizer(mini, vocab_size=100, min_doc_freq=2)
+    cleaned = clean_documents(mini).where(F.length("clean_text") > 0)
+    toks = {
+        r["doc_id"]: r["tokens"]
+        for r in model.transform(cleaned).select("doc_id", "tokens").collect()
+    }
+    assert toks[0] == ["cat", "sat", "cat", "ran"]  # 'the' removed, dup kept
+    assert toks[2] == []  # all-stopword doc -> empty (dropped later by P8)
+
+
+def test_vocab_deterministic_tiebreak(spark, mini):
+    model = fit_vectorizer(mini, vocab_size=100, min_doc_freq=2)
+    vocab = model.stages[2].vocabulary
+    # hand-computed: dogs(4), cat(2), then cnt=1 terms lexicographic
+    assert vocab == ["dogs", "cat", "cats", "fast", "ran", "run", "running", "sat"]
+
+
+def test_idf_floor_golden(spark, mini):
+    df, model = vectorize(mini, vocab_size=100, min_doc_freq=2)
+    from pyspark.ml.functions import vector_to_array
+
+    rows = {
+        r["doc_id"]: r["arr"]
+        for r in df.select("doc_id", vector_to_array("tfidf").alias("arr")).collect()
+    }
+    vocab = model.stages[2].vocabulary
+    dogs_idx, run_idx = vocab.index("dogs"), vocab.index("run")
+    # m = 3 non-empty docs; df(dogs) = 2 -> idf = log(4/3); df(run) = 1 -> idf 0 -> floor
+    assert rows[1][dogs_idx] == pytest.approx(3 * math.log(4 / 3), rel=1e-9)
+    assert rows[1][run_idx] == pytest.approx(1 * IDF_FLOOR, rel=1e-9)
+    # every active tfidf weight is strictly positive (floor property)
+    for arr in rows.values():
+        assert all(v > 0 for v in arr if v != 0.0)
+
+
+def test_empty_doc_dropped(spark, mini):
+    df, _ = vectorize(mini, vocab_size=100)
+    ids = {r["doc_id"] for r in df.select("doc_id").collect()}
+    assert ids == {0, 1, 3}  # doc 2 (all stopwords) dropped (P8)
+
+
+@pytest.fixture(scope="module")
+def lda_setup(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    df, model = vectorize(docs, vocab_size=1000, min_doc_freq=2)
+    corpus = df.select("doc_id", "tfidf").cache()
+    lda = train_lda(corpus, k=3, max_iter=15, seed=42)
+    return corpus, model, lda
+
+
+def test_lda_seed_reproducible(spark, lda_setup):
+    corpus, model, lda1 = lda_setup
+    lda2 = train_lda(corpus, k=3, max_iter=15, seed=42)
+    vocab = vocabulary_table(model, spark)
+    t1 = describe_topics_with_terms(lda1, vocab, 5).orderBy("topic").collect()
+    t2 = describe_topics_with_terms(lda2, vocab, 5).orderBy("topic").collect()
+    assert [r["terms"] for r in t1] == [r["terms"] for r in t2]
+
+
+def test_lda_scoring_properties(spark, lda_setup):
+    corpus, _, lda = lda_setup
+    scored = score_documents(lda, corpus)
+    rows = scored.collect()
+    assert len(rows) == corpus.count()
+    for r in rows:
+        assert 0 <= r["main_topic"] < 3
+        assert abs(sum(r["topic_dist"]) - 1.0) < 1e-6  # proper distribution
+    report = topic_report(scored).collect()
+    assert sum(r["n_docs"] for r in report) == len(rows)
+
+
+def _nmi(a: np.ndarray, b: np.ndarray) -> float:
+    """Normalized mutual information (no sklearn in container)."""
+    eps = 1e-12
+    ua, ub = np.unique(a), np.unique(b)
+    n = len(a)
+    cm = np.zeros((len(ua), len(ub)))
+    for i, x in enumerate(ua):
+        for j, y in enumerate(ub):
+            cm[i, j] = np.sum((a == x) & (b == y))
+    pxy = cm / n
+    px = pxy.sum(1, keepdims=True)
+    py = pxy.sum(0, keepdims=True)
+    mi = np.sum(pxy * np.log((pxy + eps) / (px @ py + eps)))
+    hx = -np.sum(px * np.log(px + eps))
+    hy = -np.sum(py * np.log(py + eps))
+    return float(mi / max(np.sqrt(hx * hy), eps))
+
+
+def test_embedding_clustering_deterministic(spark):
+    """Cluster plausibility (SURVEY §5.2.3): the synthetic embeddings carry
+    no label structure (measured NMI ≈ 0.04 vs labels — random vectors), so
+    the meaningful checks are seed-determinism and sane cluster shapes."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        array_to_vector(F.transform("embedding", lambda x: x.cast("double"))).alias("features"),
+    )
+    p1 = KMeans(k=10, seed=42, maxIter=20).fit(vecs).transform(vecs)
+    p2 = KMeans(k=10, seed=42, maxIter=20).fit(vecs).transform(vecs)
+    a = p1.select("vec_id", "prediction").toPandas().sort_values("vec_id")
+    b = p2.select("vec_id", "prediction").toPandas().sort_values("vec_id")
+    # same seed -> identical assignment (modulo nothing: local mode is exact)
+    assert (a["prediction"].to_numpy() == b["prediction"].to_numpy()).all()
+    # every cluster non-trivial and NMI computable (sanity of the harness)
+    counts = a["prediction"].value_counts()
+    assert len(counts) == 10 and counts.min() >= 1
+    assert _nmi(a["prediction"].to_numpy(), a["prediction"].to_numpy()) == pytest.approx(1.0, abs=1e-6)

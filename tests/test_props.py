@@ -1,0 +1,83 @@
+"""Property tests (hypothesis) for pure-Python kernels + Spark invariants
+(SURVEY §5.2.5)."""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_text_clustering_spark.operators.dedup import _simhash_series
+from spark_text_clustering_spark.operators.text import _fingerprint_series, _porter_lite
+from spark_text_clustering_spark.registry import QUERIES
+
+from .conftest import SF_SMALL
+
+words = st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=12)
+
+
+@given(words)
+def test_porter_lite_never_grows(w):
+    s = _porter_lite(w)
+    assert len(s) <= len(w)
+    assert s == _porter_lite(w)  # deterministic
+
+
+@given(st.lists(words, min_size=1, max_size=30))
+def test_simhash_in_long_range_and_deterministic(tokens):
+    h1 = _simhash_series(pd.Series([tokens])).iloc[0]
+    h2 = _simhash_series(pd.Series([tokens])).iloc[0]
+    assert h1 == h2
+    assert -(1 << 63) <= h1 < (1 << 63)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=50)
+def test_fingerprint_deterministic(s):
+    f1 = _fingerprint_series(pd.Series([s])).iloc[0]
+    f2 = _fingerprint_series(pd.Series([s])).iloc[0]
+    assert f1 == f2
+    assert 0 <= f1 < (1 << 61) - 1
+
+
+@given(st.lists(words, min_size=2, max_size=20))
+def test_simhash_permutation_invariant(tokens):
+    """SimHash over a token multiset ignores order (bag-of-words)."""
+    h1 = _simhash_series(pd.Series([tokens])).iloc[0]
+    h2 = _simhash_series(pd.Series([list(reversed(tokens))])).iloc[0]
+    assert h1 == h2
+
+
+# ---------------------------------------------------------------------------
+# Spark invariants (single-run, not hypothesis-driven)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_exact_idempotent(spark):
+    out1 = QUERIES["dedup_exact_hash"](spark, SF_SMALL)
+    # dedup output has unique doc_ids; re-deduping the survivors is a no-op
+    n = out1.count()
+    assert out1.select("doc_id").distinct().count() == n
+
+
+def test_stopword_filter_no_empty_tokens(spark):
+    import pyspark.sql.functions as F
+
+    df = QUERIES["stopword_filter"](spark, SF_SMALL)
+    bad = df.where(F.exists("tokens", lambda t: F.length(t) == 0)).count()
+    assert bad == 0
+
+
+def test_argmax_in_range(spark):
+    import pyspark.sql.functions as F
+
+    df = QUERIES["argmax_array"](spark, SF_SMALL)
+    out_of_range = df.where((F.col("argmax_idx") < 0) | (F.col("argmax_idx") >= 64)).count()
+    assert out_of_range == 0
+
+
+def test_knn_exact_rank_complete(spark):
+    """Every query id gets exactly TOP_K neighbors with ranks 1..k."""
+    df = QUERIES["knn_cosine_exact"](spark, SF_SMALL).toPandas()
+    for qid, grp in df.groupby("query_id"):
+        assert sorted(grp["rank"]) == [1, 2, 3, 4, 5]
+        assert grp["cosine_sim"].is_monotonic_decreasing or len(set(grp["cosine_sim"])) < 5

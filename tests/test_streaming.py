@@ -1,0 +1,91 @@
+"""Batch-equivalence harness for Structured Streaming (SURVEY §5.2.4):
+replaying the events parquet through readStream must reproduce the batch
+result of the same transform once all data is ingested."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_text_clustering_spark.catalog import load_table
+from spark_text_clustering_spark.streaming.windows import (
+    run_stream_available_now,
+    session_windows_per_user,
+    sliding_hourly_by_type,
+    streaming_dedup,
+    tumbling_daily_agg,
+)
+
+from .conftest import SF_SMALL
+
+
+def _as_sets(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_tumbling_batch_equivalence(spark):
+    batch = tumbling_daily_agg(load_table(spark, SF_SMALL, "events"))
+    stream = run_stream_available_now(
+        spark, SF_SMALL, tumbling_daily_agg, watermark=None, table_name="t_tumble"
+    )
+    assert _as_sets(stream) == _as_sets(batch)
+
+
+def test_sliding_batch_equivalence(spark):
+    batch = sliding_hourly_by_type(load_table(spark, SF_SMALL, "events"))
+    stream = run_stream_available_now(
+        spark, SF_SMALL, sliding_hourly_by_type, watermark=None, table_name="t_slide"
+    )
+    assert _as_sets(stream) == _as_sets(batch)
+
+
+def test_session_window_batch_equivalence(spark):
+    batch = session_windows_per_user(load_table(spark, SF_SMALL, "events"))
+    stream = run_stream_available_now(
+        spark,
+        SF_SMALL,
+        session_windows_per_user,
+        watermark="1 day",
+        table_name="t_session",
+    )
+    assert _as_sets(stream) == _as_sets(batch)
+
+
+def test_streaming_dedup_drops_replayed_duplicates(spark):
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    deduped = streaming_dedup(spark, SF_SMALL, table_name="t_dedup")
+    # input was the events file twice; dedup on event_id must return each once
+    assert deduped.count() == n_events
+    assert deduped.select("event_id").distinct().count() == n_events
+
+
+def test_watermark_withholds_unfinalized_windows(spark):
+    """Append mode + watermark: only windows whose end precedes the final
+    watermark (max event time − delay) are emitted; the tail window stays
+    in state. This is the state-bounding behavior that matters at scale."""
+    ev = load_table(spark, SF_SMALL, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def agg(stream):
+        return (
+            stream.groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("day"), F.col("w.end").alias("day_end"), "n")
+        )
+
+    out = run_stream_available_now(
+        spark, SF_SMALL, agg, watermark="1 hour", output_mode="append", table_name="t_late"
+    ).collect()
+    assert out, "no finalized windows emitted"
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=1)
+    for r in out:
+        assert r["day_end"] <= horizon, f"unfinalized window emitted: {r}"
+    # every finalized window matches the batch count exactly
+    batch = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in out:
+        assert batch[r["day"]] == r["n"]
