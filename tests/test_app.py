@@ -1,0 +1,72 @@
+"""End-to-end reference-workflow parity: text-file corpus → train → save →
+load newest → batch score → JSON report (the full LDATraining/LDALoader
+lifecycle on a temp corpus)."""
+
+import json
+import os
+
+import pytest
+
+from spark_text_clustering_spark.app import Params, run_scoring, run_training
+from spark_text_clustering_spark.sources.text_corpus import read_stopwords, read_text_corpus
+
+BOOKS = {
+    "cats.txt": "The cat sat on the mat. Cats purr! A cat ran; cats sleep.",
+    "dogs.txt": "Dogs run fast, the dog barked. Dogs and dogs play fetch.",
+    "db.txt": "Hash join scan table index query plan. Query table scan merge.",
+    "empty_after_filter.txt": "the a an and",
+}
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("books")
+    for name, text in BOOKS.items():
+        (d / name).write_text(text)
+    return str(d)
+
+
+def test_read_text_corpus_whole_files(spark, corpus_dir):
+    df = read_text_corpus(spark, corpus_dir)
+    rows = df.collect()
+    assert len(rows) == len(BOOKS)  # one row per FILE, not per line
+    by_name = {os.path.basename(r["path"]): r["text"] for r in rows}
+    assert by_name["cats.txt"] == BOOKS["cats.txt"]
+
+
+def test_read_stopwords_comma_joined(spark, tmp_path):
+    p = tmp_path / "stopWords_EN.txt"
+    p.write_text("the,a,an,and,or")  # reference format: one comma-joined line, no trailing newline
+    assert read_stopwords(spark, str(p)) == ["the", "a", "an", "and", "or"]
+
+
+def test_train_score_roundtrip(spark, corpus_dir, tmp_path_factory):
+    model_dir = str(tmp_path_factory.mktemp("models"))
+    report_dir = os.path.join(str(tmp_path_factory.mktemp("out")), "report")
+
+    params = Params(k=2, max_iterations=10, vocab_size=1000)
+    summary = run_training(spark, corpus_dir, model_dir, params)
+    assert summary["corpus_size"] == 3  # all-stopword doc dropped (P8)
+    assert summary["vocab_size"] > 0
+    assert set(summary["topics"]) == {0, 1}
+    assert "log_likelihood_per_doc" in summary
+    assert os.path.isdir(summary["model_path"])
+
+    scored = run_scoring(spark, corpus_dir, model_dir, report_dir)
+    rows = scored.collect()
+    assert len(rows) == 3
+    assert all(0 <= r["main_topic"] < 2 for r in rows)
+
+    # structured JSON report written and re-readable
+    report = spark.read.json(report_dir)
+    data = {r["main_topic"]: r["n_docs"] for r in report.collect()}
+    assert sum(data.values()) == 3
+
+
+def test_newest_model_wins(spark, corpus_dir, tmp_path_factory):
+    """S4 semantics: two saved models -> scoring picks the newest by name."""
+    model_dir = str(tmp_path_factory.mktemp("models2"))
+    params = Params(k=2, max_iterations=5, vocab_size=1000)
+    first = run_training(spark, corpus_dir, model_dir, params)
+    second = run_training(spark, corpus_dir, model_dir, params)
+    assert sorted(os.listdir(model_dir))[-1] == os.path.basename(second["model_path"])
