@@ -1,0 +1,70 @@
+"""Physical-plan audits: the scale properties documented in docs/SCALE.md
+must be visible in .explain() output — pushdown, pruning, broadcast,
+partial aggregation, TakeOrderedAndProject. Regressions here mean a query
+silently fell off its 100 TB plan."""
+
+import pytest
+
+from spark_text_clustering_spark.registry import QUERIES
+
+from .conftest import SF_ORACLE
+
+
+def plan_of(spark, key: str) -> str:
+    df = QUERIES[key](spark, SF_ORACLE)
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_scan_prunes_and_pushes(spark):
+    plan = plan_of(spark, "scan_documents")
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,0)]" in plan
+    # text column pruned from the scan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,source:string,n_chars:bigint>" in plan
+
+
+def test_filter_predicate_pushdown(spark):
+    plan = plan_of(spark, "filter_predicate")
+    assert "GreaterThan(l_quantity,45" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = plan_of(spark, "topk_order_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_groupby_partial_aggregation(spark):
+    plan = plan_of(spark, "groupby_two_keys")
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert plan.count("Arguments: hashpartitioning") == 1  # exactly one shuffle
+
+
+def test_vocab_join_is_broadcast(spark):
+    plan = plan_of(spark, "broadcast_join_inner")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_is_broadcast(spark):
+    plan = plan_of(spark, "broadcast_join_anti")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_whole_stage_codegen_in_flagship(spark):
+    df = QUERIES["flagship_top_terms"](spark, SF_ORACLE)
+    cg = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+    assert "WholeStageCodegen" in cg  # codegen'd spans present
+    # and the flagship's top-k pushes per-partition group limits below the
+    # shuffle (partial WindowGroupLimit) — the scale-critical property
+    plan = plan_of(spark, "flagship_top_terms")
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_window_rank_group_limit_pushdown(spark):
+    plan = plan_of(spark, "window_rank")
+    # rank<=10 filter pushes a per-partition group limit below the sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_knn_broadcasts_queries_not_candidates(spark):
+    plan = plan_of(spark, "knn_cosine_exact")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
