@@ -106,15 +106,16 @@ SCHEMAS: dict[str, StructType] = {
 
 TABLES = tuple(SCHEMAS)
 
-# The driver-generated parquet stores timestamps as TIMESTAMP(NANOS), which
-# Spark's parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). The
-# supported path: read nanos as LongType (legacy nanosAsLong conf) and
-# convert to TimestampType via integer division to microseconds — exactly
-# what DuckDB does internally when it truncates ns → µs, so both engines
-# see identical values.
+# events.ts is stored as parquet TIMESTAMP(NANOS), which Spark's reader
+# rejects outright (PARQUET_TYPE_ILLEGAL). The supported path: read nanos
+# as LongType (legacy nanosAsLong conf) and convert to TimestampType via
+# integer division to microseconds — exactly what DuckDB does internally
+# when it truncates ns → µs, so both engines see identical values.
+# (orders.o_orderdate / lineitem.l_shipdate are TIMESTAMP(MILLIS), which
+# Spark reads natively — do NOT route them through the nanos workaround:
+# nanosAsLong surfaces ms values as raw longs and a ÷1000 would be off by
+# 10^3.)
 _TS_COLS: dict[str, tuple[str, ...]] = {
-    "orders": ("o_orderdate",),
-    "lineitem": ("l_shipdate",),
     "events": ("ts",),
 }
 

@@ -1,0 +1,459 @@
+"""Extended relational surface: as-of joins, sliding/session windows in
+batch form, pivot/unpivot, grouping sets, subqueries (Spark SQL API),
+string/date scalar functions, and TPC-H-shaped multi-join queries.
+
+None of this exists in the reference (SURVEY §2.5 "not present" list) —
+it's the engine completeness layer, all built-in Catalyst, all oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .._registry import Registry
+from ..catalog import load_table
+from ..session import ensure_utc
+
+REG = Registry()
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+
+@REG.register(
+    "join_asof",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.event_id AS click_id, v.event_id AS view_id, v.ts AS view_ts,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM events c JOIN events v
+        ON c.user_id = v.user_id AND v.ts <= c.ts AND v.event_id <> c.event_id
+      WHERE c.event_type = 'click' AND v.event_type = 'view')
+    SELECT click_id, view_id, view_ts FROM pairs WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each click, the most recent prior (or simultaneous)
+    view by the same user. Implemented as equi-join on the user key + per-
+    click rank — the classic Spark formulation when there's a partition key.
+
+    Scale: the shuffle rides user_id; per-user pair count is |clicks|×|views|
+    within a user. For key-less as-of joins, range-bucket event time and
+    join bucket±1 (docs/SCALE.md).
+    """
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    v = ev.where(F.col("event_type") == "view").alias("v")
+    pairs = c.join(
+        v,
+        (F.col("c.user_id") == F.col("v.user_id"))
+        & (F.col("v.ts") <= F.col("c.ts"))
+        & (F.col("v.event_id") != F.col("c.event_id")),
+    )
+    w = Window.partitionBy("c.event_id").orderBy(F.desc("v.ts"), F.desc("v.event_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("v.event_id").alias("view_id"),
+            F.col("v.ts").alias("view_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding + session windows, batch form (streaming twins in streaming/windows)
+# ---------------------------------------------------------------------------
+
+
+@REG.register(
+    "stream_sliding_agg",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type,
+             unnest([make_timestamp((epoch_us(ts) // 10800000000) * 10800000000),
+                     make_timestamp((epoch_us(ts) // 10800000000) * 10800000000 - 10800000000)])
+               AS window_start,
+             ts
+      FROM events)
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM starts
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 6 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (6h every 3h) per event type — each event lands in
+    two windows. The oracle materializes the same window-start arithmetic
+    relationally (epoch-aligned, UTC)."""
+    ensure_utc(spark)
+    from ..streaming.windows import sliding_hourly_by_type
+
+    return sliding_hourly_by_type(load_table(spark, sf_dir, "events"))
+
+
+@REG.register(
+    "stream_session_agg",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g)
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user, batch form.
+
+    The oracle is the classic gaps-and-islands SQL (lag → new-session flag →
+    running sum → group), proving Spark's ``session_window`` semantics
+    (end = last event + gap) against first principles.
+    """
+    ensure_utc(spark)
+    from ..streaming.windows import session_windows_per_user
+
+    return session_windows_per_user(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot / grouping sets
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@REG.register(
+    "pivot_agg",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into count columns (explicit value list → one pass,
+    no distinct-values pre-query; the oracle is the FILTER formulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0, subset=list(_EVENT_TYPES))
+
+
+@REG.register(
+    "unpivot_stack",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot two measures into (measure, value) rows via ``stack`` —
+    narrow map, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(2, 'quantity', l_quantity, 'extendedprice', l_extendedprice) AS (measure, value)"
+        ),
+    )
+
+
+@REG.register(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SQL API — distinct from rollup/cube)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (Spark SQL surface)
+# ---------------------------------------------------------------------------
+
+
+@REG.register(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (planned as a broadcast one-row join)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_sq
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders_sq)
+        """
+    )
+
+
+@REG.register(
+    "correlated_exists",
+    oracle="""
+    SELECT p_partkey, p_name FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+    """,
+)
+def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (decorrelated by Catalyst into a semi join)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_sq")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part_sq p
+        WHERE EXISTS (SELECT 1 FROM lineitem_sq l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function batteries
+# ---------------------------------------------------------------------------
+
+
+@REG.register(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 8) AS name_prefix,
+           CAST(length(p_type) AS INTEGER) AS type_len,
+           CAST(strpos(p_type, 'a') AS INTEGER) AS first_a,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar battery: upper/substring/length/instr/lpad/LIKE —
+    all JVM codegen, matching ANSI semantics (1-based instr, 0 = absent)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_type").alias("type_len"),
+        F.instr(F.col("p_type"), "a").alias("first_a"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.when(F.col("p_name").like("%a%"), F.lit(1)).otherwise(F.lit(0)).alias("has_a"),
+    )
+
+
+@REG.register(
+    "date_extract_parts",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS m,
+           CAST(day(ts) AS INTEGER) AS d,
+           CAST(hour(ts) AS INTEGER) AS h,
+           ts + INTERVAL 7 DAY AS ts_plus_week
+    FROM events
+    """,
+)
+def date_extract_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp part extraction + interval arithmetic (UTC-pinned)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAY")).alias("ts_plus_week"),
+    )
+
+
+@REG.register(
+    "case_when_bucketing",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 200000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-based bucketing + aggregation (constant-folded, codegen'd)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50_000, "low")
+        .when(F.col("o_totalprice") < 200_000, "mid")
+        .otherwise("high")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@REG.register(
+    "null_handling",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(CAST(o.o_orderkey AS BIGINT), -1) AS order_or_default,
+           (o.o_orderkey IS NULL) AS has_no_order,
+           nullif(c.c_mktsegment, 'BUILDING') AS segment_or_null
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics battery: outer-join nulls, coalesce, IS NULL, nullif."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce(F.col("o_orderkey"), F.lit(-1).cast("long")).alias("order_or_default"),
+        F.col("o_orderkey").isNull().alias("has_no_order"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment_or_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join queries (join ordering / broadcast showcases)
+# ---------------------------------------------------------------------------
+
+
+@REG.register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered 3-way join → agg → top-10.
+
+    Scale: filters push to all three scans before the joins; customer
+    (post-filter) broadcasts under AQE; orders⋈lineitem shuffles on
+    orderkey. Top-10 is TakeOrderedAndProject.
+    """
+    ensure_utc(spark)
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@REG.register(
+    "tpch_q5_local_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with small-dim broadcasts
+    (nation/region/supplier) over the fact chain."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from ._registry import Registry
 from .functions.textnorm import STOPWORDS, stopwords_sql_list
-from .operators import dedup, grouped, multimodal, relational, similarity, text
+from .operators import dedup, grouped, multimodal, relational, relational_ext, similarity, text
 from .ml import queries as ml_queries
 from .plans.flagship import TOP_K, flagship_top_terms_per_lang
 from .streaming import windows as streaming_windows
@@ -39,6 +39,7 @@ ROOT.register("flagship_top_terms", oracle=_FLAGSHIP_ORACLE)(flagship_top_terms_
 
 ROOT.merge(
     relational.REG,
+    relational_ext.REG,
     text.REG,
     dedup.REG,
     similarity.REG,
