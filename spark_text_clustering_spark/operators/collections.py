@@ -1,0 +1,144 @@
+"""Collection-type operator batteries: arrays, maps, structs, regex
+extraction, and an iterative transitive-dedup (connected components).
+
+Array/map outputs are explicitly sorted in BOTH engines — the harness
+compares arrays element-wise, and Spark's ``array_union`` /
+DuckDB's ``list_distinct`` order elements differently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .._registry import Registry
+from ..catalog import load_table
+
+REG = Registry()
+
+
+@REG.register(
+    "array_functions",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents)
+    SELECT doc_id,
+           list_contains(toks, 'the') AS contains_the,
+           list_sort(list_distinct(list_concat(toks, ['zzz']))) AS union_sorted,
+           CAST(len(flatten([toks, ['x','y']])) AS INTEGER) AS flat_len
+    FROM t
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery: contains / union / flatten — all JVM array codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.array_contains(toks, "the").alias("contains_the"),
+        F.sort_array(F.array_union(toks, F.array(F.lit("zzz")))).alias("union_sorted"),
+        F.size(F.flatten(F.array(toks, F.array(F.lit("x"), F.lit("y"))))).alias("flat_len"),
+    )
+
+
+@REG.register(
+    "map_functions",
+    oracle="""
+    WITH m AS (SELECT doc_id, map(['lang','source'], [lang, source]) AS meta FROM documents)
+    SELECT doc_id,
+           list_sort(map_keys(meta)) AS keys_sorted,
+           meta['lang'][1] AS lang_val
+    FROM m
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map battery: construction, key listing, element access. (DuckDB map
+    access returns a 1-element list, hence the ``[1]`` unwrap in the
+    oracle.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    meta = F.map_from_arrays(
+        F.array(F.lit("lang"), F.lit("source")), F.array(F.col("lang"), F.col("source"))
+    )
+    return docs.select(
+        "doc_id",
+        F.sort_array(F.map_keys(meta)).alias("keys_sorted"),
+        F.element_at(meta, F.lit("lang")).alias("lang_val"),
+    )
+
+
+@REG.register(
+    "regexp_extract_groups",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k_re
+    FROM events
+    """,
+)
+def regexp_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-group extraction from the raw JSON string (regex path, vs the
+    json_extract operator's JSON path)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long").alias("k_re"),
+    )
+
+
+@REG.register("dedup_transitive")  # rows-only: iterative fixpoint, not single-statement SQL
+def dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-duplicate graph: transitive
+    closure of near-dup pairs via iterative min-label propagation — the
+    final stage of real web-corpus dedup (A~B, B~C ⇒ {A,B,C} one cluster,
+    one survivor).
+
+    Implementation: label ← min(label, neighbors' labels) to fixpoint,
+    checked by a scalar converged-count per iteration (the only driver
+    value; data never leaves the cluster). At 100 TB: checkpoint every few
+    iterations to truncate lineage, and pre-shrink with the hash-dedup
+    pass so the graph holds only near-dup candidates.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+    all_docs = docs.unionByName(copy)
+    hashed = all_docs.select("doc_id", F.sha2("text", 256).alias("h"))
+
+    # edges: consecutive ids within each hash bucket (chain, forces >1 hop)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    edges = (
+        hashed.withColumn("nxt", F.lead("doc_id").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
+        .cache()
+    )
+    labels = hashed.select("doc_id", F.col("doc_id").alias("label")).cache()
+
+    for _ in range(10):
+        # propagate min label across edges in both directions
+        msgs = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "label")
+            .unionByName(
+                edges.join(labels, edges.dst == labels.doc_id).select(
+                    F.col("src").alias("doc_id"), "label"
+                )
+            )
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("doc_id", F.col("label").alias("component_id"))

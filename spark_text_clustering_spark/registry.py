@@ -10,7 +10,16 @@ from __future__ import annotations
 
 from ._registry import Registry
 from .functions.textnorm import STOPWORDS, stopwords_sql_list
-from .operators import dedup, grouped, multimodal, relational, relational_ext, similarity, text
+from .operators import (
+    collections as collections_ops,
+    dedup,
+    grouped,
+    multimodal,
+    relational,
+    relational_ext,
+    similarity,
+    text,
+)
 from .ml import queries as ml_queries
 from .plans.flagship import TOP_K, flagship_top_terms_per_lang
 from .streaming import windows as streaming_windows
@@ -40,6 +49,7 @@ ROOT.register("flagship_top_terms", oracle=_FLAGSHIP_ORACLE)(flagship_top_terms_
 ROOT.merge(
     relational.REG,
     relational_ext.REG,
+    collections_ops.REG,
     text.REG,
     dedup.REG,
     similarity.REG,

@@ -1,0 +1,87 @@
+"""Sink/source roundtrips (reference S5/S7 rebuilt) + foreachBatch
+streaming sink."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from spark_text_clustering_spark.catalog import SCHEMAS, load_table
+from spark_text_clustering_spark.sources.sinks import (
+    read_csv,
+    write_csv,
+    write_json_report,
+    write_partitioned_parquet,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_partitioned_parquet_roundtrip_prunes(spark, tmp_path):
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned_parquet(docs, out, ["lang"])
+    # partition dirs exist
+    assert any(d.startswith("lang=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # partition pruning: filtering one lang reads one partition
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        back.where(F.col("lang") == "en")._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_json_report_roundtrip(spark, tmp_path):
+    report = (
+        load_table(spark, SF_SMALL, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    out = str(tmp_path / "report")
+    write_json_report(report, out)
+    back = spark.read.json(out)
+    assert {(r["lang"], r["n_docs"]) for r in back.collect()} == {
+        (r["lang"], r["n_docs"]) for r in report.collect()
+    }
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    nation = load_table(spark, SF_SMALL, "nation")
+    out = str(tmp_path / "nation_csv")
+    write_csv(nation, out)
+    back = read_csv(spark, out, SCHEMAS["nation"])
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_foreachbatch_sink(spark, tmp_path):
+    """foreachBatch: arbitrary batch-writer reuse from a stream (the
+    escape hatch for sinks without native streaming support)."""
+    import shutil
+    import tempfile
+
+    from spark_text_clustering_spark.catalog import stream_events
+
+    src = tempfile.mkdtemp(prefix="febatch_src_")
+    sink_dir = str(tmp_path / "sink")
+    try:
+        shutil.copy(os.path.join(SF_SMALL, "events.parquet"), os.path.join(src, "p.parquet"))
+        counts = []
+
+        def handle_batch(batch_df, batch_id):
+            n = batch_df.count()
+            counts.append((batch_id, n))
+            batch_df.write.mode("append").parquet(sink_dir)
+
+        q = (
+            stream_events(spark, src)
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        n_events = load_table(spark, SF_SMALL, "events").count()
+        assert sum(n for _, n in counts) == n_events
+        assert spark.read.parquet(sink_dir).count() == n_events
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
