@@ -27,11 +27,15 @@ HEADLINE = [
     "groupby_two_keys",
     "join_inner_shuffle",
     "join_range_theta",
+    "join_asof",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
     "window_running_sum",
     "rollup_agg",
     "topk_order_limit",
     "json_extract",
     "date_trunc_agg",
+    "stream_session_agg",
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
     "knn_cosine_exact",
