@@ -457,3 +457,104 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Window battery 2: first/last value, ntile
+# ---------------------------------------------------------------------------
+
+
+@REG.register(
+    "window_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full frame for last_value
+    (default frame ends at CURRENT ROW — a classic SQL gotcha, stated)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+    )
+
+
+@REG.register(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+    FROM orders
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles over a deterministic global order. Global windows are
+    acceptable only on bounded outputs; for corpus-scale quantile bucketing
+    use approx quantile cutpoints + a map-side CASE (docs/SCALE.md)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates + arg-min/max
+# ---------------------------------------------------------------------------
+
+
+@REG.register(
+    "stats_agg",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 6) AS sd,
+           round(var_samp(value), 6) AS var,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_uid,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_uid
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate battery (stddev/variance/correlation/
+    covariance) — single-pass, mergeable moment sketches; rounded to absorb
+    summation-order ulps."""
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+        F.round(F.corr(F.col("value"), uid), 6).alias("corr_uid"),
+        F.round(F.covar_samp(F.col("value"), uid), 6).alias("covar_uid"),
+    )
+
+
+@REG.register(
+    "minmax_by_agg",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id, ts ORDER BY ts, event_id) AS latest_event,
+           arg_min(event_id, ts ORDER BY ts, event_id) AS earliest_event
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def minmax_by_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax over a different column than the one returned)
+    — the aggregation form of the reference's argmax loop (T5)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr("max_by(event_id, struct(ts, event_id))").alias("latest_event"),
+        F.expr("min_by(event_id, struct(ts, event_id))").alias("earliest_event"),
+    )

@@ -545,3 +545,32 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_udf = pandas_udf(_fingerprint_series, "long")
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fp_udf(F.col("text")).alias("fingerprint"))
+
+
+def _lemmatize_batches(batches):
+    """mapInPandas iterator: build the lemmatizer ONCE per batch stream
+    (reference P3: one Morphology per partition, LDAClustering.scala:
+    116-121), then vectorize over rows."""
+    from ..functions.lemmatize import RuleLemmatizer
+
+    lemmatizer = RuleLemmatizer()
+    for pdf in batches:
+        out = pdf[["doc_id"]].copy()
+        out["lemmas"] = pdf["tokens"].map(
+            lambda arr: [m for m in (lemmatizer.lemma(t) for t in arr) if m]
+        )
+        yield out
+
+
+@REG.register("udf_lemmatize")  # rows-only: rule-based lemmatizer has no SQL twin
+def udf_lemmatize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 lemmatization via mapInPandas with per-batch initialization —
+    the heavy-NLP-object pattern (swap RuleLemmatizer for spaCy on a real
+    cluster; the Spark plumbing is identical). Keeps the reference's
+    "lemma must be longer than 3 chars" rule; does NOT replicate its
+    within-sentence toMap dedup bug."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select("doc_id", _tokens_col().alias("tokens"))
+    return with_tokens.mapInPandas(
+        _lemmatize_batches, schema="doc_id long, lemmas array<string>"
+    )

@@ -160,3 +160,33 @@ def test_embedding_clustering_deterministic(spark):
     counts = a["prediction"].value_counts()
     assert len(counts) == 10 and counts.min() >= 1
     assert _nmi(a["prediction"].to_numpy(), a["prediction"].to_numpy()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lemmatizer_goldens(spark):
+    """P3 rule-lemmatizer: irregulars, plural rules, doubled consonants,
+    and the reference's len<=3 drop rule."""
+    from spark_text_clustering_spark.functions.lemmatize import RuleLemmatizer
+
+    lem = RuleLemmatizer()
+    assert lem.lemma("running") == ""  # -> "run", len 3 -> dropped (ref rule)
+    assert lem.lemma("sitting") == ""  # doubled consonant -> "sit" -> dropped
+    assert lem.lemma("stopping") == "stop"
+    assert lem.lemma("cities") == "city"
+    assert lem.lemma("classes") == "class"
+    assert lem.lemma("dresses") == "dress"
+    assert lem.lemma("children") == "child"
+    assert lem.lemma("walked") == "walk"
+    assert lem.lemma("tables") == "table"
+    assert lem.lemma("was") == ""  # -> "be", dropped by len rule
+    assert lem.lemma("is") == ""
+
+
+def test_lda_online_optimizer(spark, lda_setup):
+    """M4 online path: Params.algorithm='online' trains a LocalLDAModel with
+    the same API surface (reference LDAClustering.scala:37-53)."""
+    corpus, _, _ = lda_setup
+    online = train_lda(corpus, k=3, max_iter=5, optimizer="online", seed=42)
+    scored = score_documents(online, corpus)
+    rows = scored.collect()
+    assert len(rows) == corpus.count()
+    assert all(0 <= r["main_topic"] < 3 for r in rows)

@@ -1,0 +1,53 @@
+"""Salted aggregation / join must equal their unsalted twins on a
+deliberately skewed dataset (one key holding 90% of rows)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_text_clustering_spark.operators.skew import (
+    salted_aggregate,
+    salted_broadcast_join,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 9000 rows on key 'hot', ~1000 spread over 100 cold keys
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold_"), (F.col("id") % 100).cast("string")))
+        .alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        F.col("id"),
+    )
+    return df.cache()
+
+
+def test_salted_aggregate_matches_plain(spark, skewed):
+    plain = skewed.groupBy("k").agg(
+        F.sum("v").alias("v"), F.count(F.lit(1)).alias("n")
+    )
+    salted = salted_aggregate(
+        skewed, ["k"], {"v": "sum", "n": "count"}, salt_cols=["id"], n_salts=8
+    )
+    a = {(r["k"], r["v"], r["n"]) for r in plain.collect()}
+    b = {(r["k"], r["v"], r["n"]) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"cold_{i}", f"C{i}") for i in range(100)], "k string, tag string"
+    )
+    plain = skewed.join(dim, "k").groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+    salted = (
+        salted_broadcast_join(skewed, dim, "k", n_salts=8)
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_aggregate_rejects_non_mergeable(spark, skewed):
+    with pytest.raises(ValueError):
+        salted_aggregate(skewed, ["k"], {"v": "avg"}, salt_cols=["id"])

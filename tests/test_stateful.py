@@ -1,0 +1,37 @@
+"""applyInPandasWithState: the custom stateful operator must equal its
+batch twin after full replay (batch-equivalence, SURVEY §5.2.4)."""
+
+import pytest
+
+from spark_text_clustering_spark.catalog import load_table
+from spark_text_clustering_spark.streaming.stateful import (
+    running_user_counters_batch,
+    running_user_counters_stream,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_stateful_counters_match_batch(spark):
+    result = running_user_counters_stream(spark, SF_SMALL, table_name="t_stateful")
+    # update mode may emit one snapshot per trigger; keep the latest per user
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        result.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = running_user_counters_batch(load_table(spark, SF_SMALL, "events"))
+
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6), r["last_ts"])
+        for r in final.collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6), r["last_ts"])
+        for r in batch.collect()
+    }
+    assert got == want
