@@ -59,6 +59,23 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[key] = round(time.perf_counter() - t0, 3)
 
+    # LDA EM training (the reference's only published numbers are EM
+    # iteration timings — BASELINE.md: 0.79 s/iter EN, 2.10 s/iter GE at
+    # 50 iterations). Same k=5 / 50 iters / EM on the documents corpus.
+    from spark_text_clustering_spark.catalog import load_table
+    from spark_text_clustering_spark.ml.lda import train_lda
+    from spark_text_clustering_spark.ml.vectorize import vectorize
+
+    docs = load_table(spark, SF_DIR, "documents")
+    vec, _ = vectorize(docs, vocab_size=2_900_000, min_doc_freq=2)
+    corpus = vec.select("doc_id", "tfidf").cache()
+    corpus.count()  # materialize preprocessing outside the timed window
+    t0 = time.perf_counter()
+    train_lda(corpus, k=5, max_iter=50, optimizer="em", seed=42)
+    lda_total = time.perf_counter() - t0
+    timings["lda_em_train_50iter"] = round(lda_total, 3)
+    timings["lda_em_sec_per_iter"] = round(lda_total / 50, 4)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)

@@ -142,3 +142,76 @@ def dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
 
     return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
+@REG.register(
+    "generate_sequence",
+    oracle="""
+    SELECT user_id,
+           unnest(generate_series(CAST(date_trunc('day', min_ts) AS TIMESTAMP),
+                                  CAST(date_trunc('day', max_ts) AS TIMESTAMP),
+                                  INTERVAL 1 DAY)) AS active_day
+    FROM (SELECT user_id, MIN(ts) AS min_ts, MAX(ts) AS max_ts
+          FROM events GROUP BY user_id)
+    """,
+)
+def generate_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence generation: densify each user's [first, last] activity span
+    into one row per day (the calendar-scaffold pattern for gap analysis).
+    `sequence` + `explode` — generation is distributed, no driver ranges."""
+    from ..session import ensure_utc
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    return spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("active_day"),
+    )
+
+
+@REG.register(
+    "try_cast_handling",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(event_type AS BIGINT) AS bad_cast,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS good_cast
+    FROM events
+    """,
+)
+def try_cast_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast: malformed input -> NULL instead of ANSI error (the
+    ingest-hardening cast for dirty 100 TB data)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_type").try_cast("bigint").alias("bad_cast"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("good_cast"),
+    )
+
+
+@REG.register(
+    "conditional_agg",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+           CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high_value,
+           SUM(CASE WHEN event_type = 'error' THEN value ELSE 0 END) AS error_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER / CASE inside agg) — one pass over
+    the data for N conditions instead of N self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.count_if(F.col("value") > 50).alias("n_high_value"),
+        F.sum(
+            F.when(F.col("event_type") == "error", F.col("value")).otherwise(F.lit(0.0))
+        ).alias("error_value"),
+    )

@@ -81,3 +81,44 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _extract_features,
         schema="doc_id long, byte_len long, n_frames long, codec string",
     )
+
+
+_FRAME_ORACLE = f"""
+WITH meta AS (
+  SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents),
+frames AS (
+  SELECT doc_id, byte_len,
+         unnest(generate_series(0, CAST(byte_len // {_FRAME_SIZE} AS BIGINT) - 1)) AS frame_idx
+  FROM meta
+  WHERE byte_len >= {_FRAME_SIZE})
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(LEAST({_FRAME_SIZE}, byte_len - frame_idx * {_FRAME_SIZE}) AS BIGINT) AS frame_bytes
+FROM frames
+"""
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampler: emits one row per fixed-size frame of the binary
+    payload (a real decoder would emit decoded video/audio frames; the
+    iterator/explode shape is identical)."""
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_idx": [], "frame_bytes": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            for i in range(n // _FRAME_SIZE):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(i)
+                rows["frame_bytes"].append(min(_FRAME_SIZE, n - i * _FRAME_SIZE))
+        yield pd.DataFrame(rows, dtype="int64")
+
+
+@REG.register("multimodal_frame_sample", oracle=_FRAME_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: mapInPandas explodes each blob
+    into per-frame rows (decode step stubbed deterministically; the oracle
+    recomputes the frame arithmetic relationally)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return payloads.mapInPandas(
+        _sample_frames, schema="doc_id long, frame_idx long, frame_bytes long"
+    )
