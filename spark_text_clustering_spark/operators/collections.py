@@ -124,11 +124,14 @@ def dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
+        # localCheckpoint truncates the per-iteration lineage (otherwise
+        # each pass re-plans the whole history — the RDD-era EM-LDA problem
+        # the reference solved with checkpointInterval, C3)
         new_labels = (
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

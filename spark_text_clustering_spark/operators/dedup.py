@@ -73,11 +73,37 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(tokens_col, n: int = 3):
-    """Token n-gram shingles via JVM array ops (no Python)."""
+    """Token n-gram shingles via JVM array ops (no Python).
+
+    NOTE: only safe where the expression is evaluated exactly once per row
+    (a single projection). Under filters/reuse, Catalyst re-inlines the
+    tokenizer per ``element_at`` — O(T²) re-splits; use
+    ``shingle_arrays`` (explode + lead) in those plans.
+    """
     return F.transform(
         F.sequence(F.lit(0), F.size(tokens_col) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(tokens_col, i + off + 1) for off in range(n)]),
     )
+
+
+def shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles array<string>) via posexplode + window lead —
+    tokenizes once per row regardless of downstream plan shape."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    tok_rows = docs.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("token", i).over(w) for i in range(1, n)]
+    tri = tok_rows.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.col("token"), *leads).alias("s"),
+        leads[-1].alias("last_tok"),
+    ).where(F.col("last_tok").isNotNull())
+    return tri.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ordered")
+    ).select("doc_id", F.transform("ordered", lambda x: x.s).alias("shingles"))
 
 
 @REG.register("dedup_minhash")  # rows-only: MinHashLSH is approximate/seeded
@@ -92,8 +118,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
-    sh = docs.select("doc_id", _shingles(toks).alias("shingles")).where(F.size("shingles") > 0)
+    sh = shingle_arrays(docs).where(F.size("shingles") > 0)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
     feat = tf.transform(sh)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
@@ -111,7 +136,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_series(tokens: pd.Series) -> pd.Series:
     """64-bit SimHash over token multisets (Charikar 2002). Deterministic:
-    per-token hash is a fixed FNV-1a; no RNG."""
+    per-token hash is a fixed FNV-1a; no RNG. Bit accumulation is
+    numpy-vectorized (per-doc O(tokens) hash loop, O(64) bit math in C)."""
+    import numpy as np
 
     def tok_hash(t: str) -> int:
         h = 0xCBF29CE484222325
@@ -119,16 +146,15 @@ def _simhash_series(tokens: pd.Series) -> pd.Series:
             h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
         return h
 
+    shifts = np.arange(64, dtype=np.uint64)
+
     def simhash(arr) -> int:
-        acc = [0] * 64
-        for t in arr:
-            h = tok_hash(t)
-            for b in range(64):
-                acc[b] += 1 if (h >> b) & 1 else -1
-        v = 0
-        for b in range(64):
-            if acc[b] > 0:
-                v |= 1 << b
+        if len(arr) == 0:
+            return 0
+        hashes = np.fromiter((tok_hash(t) for t in arr), dtype=np.uint64, count=len(arr))
+        bits = (hashes[:, None] >> shifts) & np.uint64(1)  # (n_tokens, 64)
+        acc = bits.sum(0, dtype=np.int64) * 2 - len(arr)  # +1/-1 votes
+        v = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
         # map to signed 64-bit for Spark LongType
         return v - (1 << 64) if v >= (1 << 63) else v
 

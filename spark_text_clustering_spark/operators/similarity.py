@@ -182,14 +182,16 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", "e", array_to_vector(F.col("e")).alias("features"))
     km = KMeans(k=n_clusters, seed=42, maxIter=20, featuresCol="features")
     model = km.fit(vecs)
-    assigned = model.transform(vecs).select("vec_id", "e", F.col("prediction").alias("cluster"))
+    assigned = model.transform(vecs).select(
+        "vec_id", "e", _l2norm(F.col("e")).alias("nrm"), F.col("prediction").alias("cluster")
+    )
 
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cluster int, centroid array<double>",
     )
     q = assigned.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
     # nearest nprobe centroids per query (centroid table is tiny)
     qc = (
@@ -197,6 +199,7 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "qe",
+            "qn",
             "cluster",
             _dot(F.col("qe"), F.col("centroid")).alias("score"),
         )
@@ -205,10 +208,10 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("score"), "cluster")),
         )
         .where(F.col("r") <= nprobe)
-        .select("query_id", "qe", "cluster")
+        .select("query_id", "qe", "qn", "cluster")
     )
     cand = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "cluster"
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn"), "cluster"
     )
     scored = (
         qc.join(cand, "cluster")
@@ -216,9 +219,7 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("qe"), F.col("ce")) / (_l2norm(F.col("qe")) * _l2norm(F.col("ce")))).alias(
-                "cos"
-            ),
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
