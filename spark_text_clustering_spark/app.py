@@ -53,6 +53,7 @@ class Params:
     checkpoint_interval: int = 10
     stopwords: list[str] = field(default_factory=lambda: list(STOPWORDS))
     seed: int = 42
+    lemmatize: bool = False  # P3 stage (rule lemmatizer stands in for CoreNLP)
 
 
 def _corpus_from_path(spark: SparkSession, corpus_path: str) -> DataFrame:
@@ -83,7 +84,11 @@ def run_training(
 
     docs = _corpus_from_path(spark, corpus_path)
     vectorized, pipeline_model = vectorize(
-        docs, vocab_size=params.vocab_size, stopwords=params.stopwords, min_doc_freq=2
+        docs,
+        vocab_size=params.vocab_size,
+        stopwords=params.stopwords,
+        min_doc_freq=2,
+        lemmatize=params.lemmatize,
     )
     corpus = vectorized.select("doc_id", "tfidf").cache()
     corpus_size = corpus.count()  # forces the preprocessing chain (ref :24)
@@ -95,6 +100,8 @@ def run_training(
         optimizer=params.algorithm,
         seed=params.seed,
         checkpoint_interval=params.checkpoint_interval,
+        doc_concentration=params.doc_concentration,
+        topic_concentration=params.topic_concentration,
     )
     model_path = save_model(lda_model, model_dir, lang=lang)
     pipeline_model.write().overwrite().save(os.path.join(model_path, "vectorizer"))

@@ -46,8 +46,17 @@ def train_lda(
     optimizer: str = "em",
     seed: int = 42,
     checkpoint_interval: int = 10,
+    doc_concentration: float = -1.0,
+    topic_concentration: float = -1.0,
 ):
-    """M4: LDA fit on (floored) TF-IDF features."""
+    """M4: LDA fit on (floored) TF-IDF features.
+
+    ``-1`` sentinels resolve to the EM defaults α=(50/k)+1, β=1.1 — the
+    reference's Params.scala behavior (confirmed in its saved model
+    metadata: docConcentration=[11,...], topicConcentration=1.1).
+    """
+    alpha = (50.0 / k) + 1.0 if doc_concentration == -1.0 else doc_concentration
+    beta = DEFAULT_BETA if topic_concentration == -1.0 else topic_concentration
     lda = LDA(
         k=k,
         maxIter=max_iter,
@@ -56,8 +65,8 @@ def train_lda(
         checkpointInterval=checkpoint_interval,
         featuresCol=features_col,
         topicDistributionCol="topicDistribution",
-        docConcentration=[DEFAULT_ALPHA] * 1,
-        topicConcentration=DEFAULT_BETA,
+        docConcentration=[alpha],
+        topicConcentration=beta,
     )
     return lda.fit(corpus)
 

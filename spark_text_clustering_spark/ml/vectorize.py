@@ -53,6 +53,29 @@ def clean_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("clean_text", F.trim(F.regexp_replace(cleaned, r"\s+", " ")))
 
 
+def lemmatize_documents(docs: DataFrame, text_col: str = "clean_text") -> DataFrame:
+    """P3: rule-lemmatize the cleaned text (reference applies CoreNLP
+    lemmatization before tokenization in the training main path,
+    LDAClustering.scala:116-121). mapInPandas with one RuleLemmatizer per
+    batch (the per-partition heavy-object pattern); rejoins lemmas into a
+    space-separated string so the downstream tokenizer stages are unchanged.
+    """
+    def batches(it):
+        from ..functions.lemmatize import RuleLemmatizer
+
+        lem = RuleLemmatizer()
+        for pdf in it:
+            out = pdf.copy()
+            out[text_col] = pdf[text_col].map(
+                lambda s: " ".join(
+                    m for m in (lem.lemma(t) for t in s.split(" ")) if m
+                )
+            )
+            yield out
+
+    return docs.mapInPandas(batches, schema=docs.schema)
+
+
 def _token_stages(stopwords: list[str] | None) -> list:
     tokenizer = RegexTokenizer(
         inputCol="clean_text", outputCol="raw_tokens", pattern=r"\s+", toLowercase=True
@@ -100,6 +123,13 @@ def build_vectorizer_pipeline(
     return Pipeline(stages=[*_token_stages(stopwords), cv, idf])
 
 
+def _preprocess(docs: DataFrame, lemmatize: bool) -> DataFrame:
+    cleaned = clean_documents(docs).where(F.length("clean_text") > 0)
+    if lemmatize:
+        cleaned = lemmatize_documents(cleaned).where(F.length("clean_text") > 0)
+    return cleaned
+
+
 def fit_vectorizer(docs: DataFrame, **kwargs) -> PipelineModel:
     """Fit with a deterministic vocabulary: tokenize → rank vocab with the
     lexicographic tiebreak → ``CountVectorizerModel.from_vocabulary`` →
@@ -107,8 +137,9 @@ def fit_vectorizer(docs: DataFrame, **kwargs) -> PipelineModel:
     vocab_size = kwargs.get("vocab_size", 10_000)
     stopwords = kwargs.get("stopwords")
     min_doc_freq = kwargs.get("min_doc_freq", 2)
+    lemmatize = kwargs.get("lemmatize", False)
 
-    cleaned = clean_documents(docs).where(F.length("clean_text") > 0)
+    cleaned = _preprocess(docs, lemmatize)
     tok_pipeline = Pipeline(stages=_token_stages(stopwords)).fit(cleaned)
     # P8 (LDAClustering.scala:139): drop empty-token docs BEFORE the vocab
     # build and IDF fit, so document frequencies use the surviving corpus
@@ -150,7 +181,7 @@ def vectorize(docs: DataFrame, **kwargs) -> tuple[DataFrame, PipelineModel]:
     """Full reference-parity vectorization: returns (df with tf/tfidf
     columns, fitted pipeline model)."""
     model = fit_vectorizer(docs, **kwargs)
-    cleaned = clean_documents(docs).where(F.length("clean_text") > 0)
+    cleaned = _preprocess(docs, kwargs.get("lemmatize", False))
     out = model.transform(cleaned)
     out = out.where(F.size("tokens") > 0)  # P8: drop docs with no surviving tokens
     idf_model = model.stages[-1]

@@ -70,3 +70,21 @@ def test_newest_model_wins(spark, corpus_dir, tmp_path_factory):
     first = run_training(spark, corpus_dir, model_dir, params)
     second = run_training(spark, corpus_dir, model_dir, params)
     assert sorted(os.listdir(model_dir))[-1] == os.path.basename(second["model_path"])
+
+
+def test_train_with_lemmatize_stage(spark, corpus_dir, tmp_path_factory):
+    """P3 in the main path (reference lemmatizes before tokenizing): the
+    lemmatized run folds inflected forms, shrinking the vocabulary."""
+    model_dir = str(tmp_path_factory.mktemp("models_lemma"))
+    base = run_training(
+        spark, corpus_dir, model_dir, Params(k=2, max_iterations=5, vocab_size=1000)
+    )
+    lemma = run_training(
+        spark,
+        corpus_dir,
+        model_dir,
+        Params(k=2, max_iterations=5, vocab_size=1000, lemmatize=True),
+    )
+    # "cats"/"cat", "dogs"/"dog" fold together; short lemmas (<=3 chars) drop
+    assert lemma["vocab_size"] < base["vocab_size"]
+    assert lemma["corpus_size"] >= 2
