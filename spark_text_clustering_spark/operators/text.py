@@ -574,3 +574,100 @@ def udf_lemmatize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_tokens.mapInPandas(
         _lemmatize_batches, schema="doc_id long, lemmas array<string>"
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline cleaning ops: HTML strip, PII masking, repetition detection
+# ---------------------------------------------------------------------------
+
+
+@REG.register(
+    "html_strip",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace('<p class="x">' || text || '</p><br/>', '<[^>]+>', '', 'g')
+             AS stripped
+    FROM documents
+    """,
+)
+def html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/HTML tag removal (web-corpus cleaning). The query wraps
+    the text in markup and strips it back — a self-verifying regex
+    roundtrip (stripped == original text), identical in Java regex and
+    RE2."""
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit('<p class="x">'), F.col("text"), F.lit("</p><br/>"))
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(wrapped, r"<[^>]+>", "").alias("stripped"),
+    )
+
+
+@REG.register(
+    "pii_mask",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '\\d', '#', 'g') AS masked_props,
+           regexp_replace('contact: user' || CAST(user_id AS VARCHAR) || '@example.com',
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS masked_email
+    FROM events
+    """,
+)
+def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (digits + synthetic email addresses) — the redaction
+    stage of a training-data pipeline. Pure JVM regex, no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    email = F.concat(F.lit("contact: user"), F.col("user_id").cast("string"), F.lit("@example.com"))
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", r"\d", "#").alias("masked_props"),
+        F.regexp_replace(email, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>").alias(
+            "masked_email"
+        ),
+    )
+
+
+@REG.register(
+    "repetition_max_run",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS token,
+             generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) AS pos
+      FROM documents),
+    flagged AS (
+      SELECT doc_id, pos, token,
+             CASE WHEN lag(token) OVER w IS DISTINCT FROM token THEN 1 ELSE 0 END AS boundary
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    runs AS (
+      SELECT doc_id, token,
+             SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged)
+    SELECT doc_id, CAST(MAX(run_len) AS BIGINT) AS max_run
+    FROM (SELECT doc_id, run_id, COUNT(*) AS run_len
+          FROM runs GROUP BY doc_id, run_id)
+    GROUP BY doc_id
+    """,
+)
+def repetition_max_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection: longest run of consecutive identical tokens
+    per document (a strong low-quality/generated-text signal). Classic
+    gaps-and-islands: boundary flags → running sum as run id → run sizes
+    → per-doc max. One shuffle on doc_id."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    tok = docs.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = tok.withColumn(
+        "boundary",
+        F.when(~F.lag("token").over(w).eqNullSafe(F.col("token")), 1).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    run_sizes = runs.groupBy("doc_id", "run_id").agg(F.count(F.lit(1)).alias("run_len"))
+    return run_sizes.groupBy("doc_id").agg(F.max("run_len").alias("max_run"))
