@@ -32,8 +32,8 @@ _FRAME_SIZE = 256  # bytes per fake "frame"
 
 _MM_ORACLE = f"""
 SELECT doc_id,
-       octet_length(encode(text)) AS byte_len,
-       octet_length(encode(text)) // {_FRAME_SIZE} AS n_frames,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(octet_length(encode(text)) // {_FRAME_SIZE} AS BIGINT) AS n_frames,
        CAST('fake/v1' AS VARCHAR) AS codec
 FROM documents
 """

@@ -423,10 +423,10 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_tokens,
            CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
            CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
-           (CASE WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END
-            + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens <= 0.5 THEN 0.3 ELSE 0.0 END
-            + CASE WHEN CAST(sum_len AS DOUBLE) / n_tokens >= 3.0 THEN 0.2 ELSE 0.0 END)
-             AS quality
+           CAST(CASE WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END
+                + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens <= 0.5 THEN 0.3 ELSE 0.0 END
+                + CASE WHEN CAST(sum_len AS DOUBLE) / n_tokens >= 3.0 THEN 0.2 ELSE 0.0 END
+                AS DOUBLE) AS quality
     FROM m
     """,
 )
