@@ -81,3 +81,64 @@ def test_knn_exact_rank_complete(spark):
     for qid, grp in df.groupby("query_id"):
         assert sorted(grp["rank"]) == [1, 2, 3, 4, 5]
         assert grp["cosine_sim"].is_monotonic_decreasing or len(set(grp["cosine_sim"])) < 5
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """HLL++ estimate within 5% of the exact distinct count per group."""
+    import pyspark.sql.functions as F
+
+    from spark_text_clustering_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_count_distinct"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_percentile_approx_close_to_exact(spark):
+    """The genuinely-approximate percentile path (KLL/GK sketch) lands
+    within one value-step of the exact percentile on l_quantity."""
+    import pyspark.sql.functions as F
+
+    from spark_text_clustering_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_approx(l_quantity, 0.5, 10000)").alias("approx"),
+        F.expr("percentile(l_quantity, 0.5D)").alias("exact"),
+    )
+    for r in both.collect():
+        assert abs(r["approx"] - r["exact"]) <= 1.0, tuple(r)
+
+
+def test_corpus_to_parquet_deterministic_ids(spark, tmp_path):
+    """R1 rebuild: path-ordered doc ids are contiguous and reproducible
+    (the reference's zipWithIndex is partition-order dependent)."""
+    from spark_text_clustering_spark.sources.text_corpus import (
+        corpus_to_parquet,
+        read_text_corpus,
+    )
+
+    d = tmp_path / "books"
+    d.mkdir()
+    for name in ["b.txt", "a.txt", "c.txt"]:
+        (d / name).write_text(f"content of {name}")
+    corpus = read_text_corpus(spark, str(d))
+    out = str(tmp_path / "corpus_pq")
+    corpus_to_parquet(corpus, out)
+    back = spark.read.parquet(out).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in back] == [0, 1, 2]
+    # ids follow lexicographic path order -> a.txt first
+    import os as _os
+
+    assert [_os.path.basename(r["path"]) for r in back] == ["a.txt", "b.txt", "c.txt"]
