@@ -1,0 +1,104 @@
+"""Scale-stress smoke: run the text-pipeline-heavy queries on a corpus
+inflated 10x in-memory (50k docs). Catches designs that only work at
+testdata size (quadratic pair spaces, driver-sized state, per-row
+recompute) without needing bigger on-disk fixtures."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_text_clustering_spark.catalog import load_table
+from spark_text_clustering_spark.plans.flagship import flagship_top_terms_per_lang
+
+from .conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def inflated_docs(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = None
+    for i in range(10):
+        part = docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        out = part if out is None else out.unionByName(part)
+    out = out.repartition(32).cache()
+    out.count()
+    yield out
+    out.unpersist()
+
+
+def test_flagship_at_10x(spark, inflated_docs):
+    inflated_docs.createOrReplaceTempView("docs10x")
+    tokens = (
+        inflated_docs.select("lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t0 = time.perf_counter()
+    n = tokens.count()
+    dt = time.perf_counter() - t0
+    assert n > 0
+    assert dt < 30, f"10x token count took {dt:.1f}s — partial agg regressed?"
+
+
+def test_exact_dedup_at_10x(spark, inflated_docs):
+    """Hash-dedup over 50k docs (10 exact copies of each text + the
+    doubled-ids design means every text appears 10x)."""
+    t0 = time.perf_counter()
+    deduped = (
+        inflated_docs.withColumn("h", F.sha2("text", 256))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+    rows = deduped.count()
+    dt = time.perf_counter() - t0
+    base = load_table(spark, SF_ORACLE, "documents").select("text").distinct().count()
+    assert rows == base  # every distinct text collapses to one survivor
+    assert dt < 30
+
+
+def test_simhash_bands_at_10x(spark, inflated_docs):
+    """SimHash candidate generation must stay band-join-shaped (no n^2):
+    50k docs with 10 guaranteed copies each -> pairs exist, bounded time."""
+    from pyspark.sql.functions import pandas_udf
+
+    from spark_text_clustering_spark.operators.dedup import _simhash_series
+
+    simhash_udf = pandas_udf(_simhash_series, "long")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    sig = inflated_docs.select("doc_id", simhash_udf(toks).alias("simhash"))
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    t0 = time.perf_counter()
+    # candidate count per band bucket stays bounded — identical docs share
+    # ALL bands, so count pairs in one band only for the assertion
+    one_band = bands.where(F.col("band") == 0)
+    a, b = one_band.alias("a"), one_band.alias("b")
+    n_pairs = (
+        a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    assert n_pairs >= 45 * 500  # each of 500 texts has C(10,2)=45 copy-pairs
+    assert dt < 60

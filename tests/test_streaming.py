@@ -89,3 +89,43 @@ def test_watermark_withholds_unfinalized_windows(spark):
     }
     for r in out:
         assert batch[r["day"]] == r["n"]
+
+
+def test_rate_source_with_engine_transform(spark):
+    """Source variety: the built-in rate source drives the same windowed
+    transform (no files at all) — useful as a load generator on a cluster."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 5).alias("user_id"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 second").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 30
+        rows = 0
+        while _t.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.table("t_rate").count()
+            if rows > 0:
+                break
+            _t.sleep(0.5)
+        assert rows > 0
+    finally:
+        q.stop()
