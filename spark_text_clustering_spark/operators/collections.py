@@ -218,3 +218,26 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "error", F.col("value")).otherwise(F.lit(0.0))
         ).alias("error_value"),
     )
+
+
+@REG.register(
+    "explode_outer_preserve",
+    oracle="""
+    SELECT d.doc_id, u.rare_token
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x IN ('zorb', 'the')) AS l
+          FROM documents) d
+    LEFT JOIN LATERAL (SELECT unnest(d.l) AS rare_token) u ON TRUE
+    """,
+)
+def explode_outer_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows whose array is empty survive with NULL (plain
+    explode would drop them — the provenance-preserving variant for
+    enrichment pipelines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    rare = F.filter(toks, lambda x: x.isin(["zorb", "the"]))
+    return docs.select(
+        "doc_id", F.explode_outer(rare).alias("rare_token")
+    )
