@@ -558,3 +558,78 @@ def minmax_by_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(event_id, struct(ts, event_id))").alias("latest_event"),
         F.expr("min_by(event_id, struct(ts, event_id))").alias("earliest_event"),
     )
+
+
+@REG.register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate pushes
+    to parquet, zero joins, one partial-agg shuffle of a single row."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@REG.register(
+    "upsert_merge",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 0)
+    SELECT b.o_orderkey,
+           coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           (u.o_orderkey IS NOT NULL) AS was_updated
+    FROM orders b LEFT JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert emulation without a table format: base LEFT JOIN
+    updates + coalesce per column. At 100 TB this is the pattern behind
+    snapshot+delta compaction jobs (or use a lakehouse format's MERGE INTO;
+    the join shape is identical). The update set is derived (every 10th
+    order re-priced) so the operator is self-contained and oracled."""
+    base = load_table(spark, sf_dir, "orders")
+    updates = (
+        base.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 2).cast("double").alias("u_price"),
+            F.lit("U").alias("u_status"),
+        )
+    )
+    j = base.join(updates, "o_orderkey", "left")
+    return j.select(
+        "o_orderkey",
+        F.coalesce("u_price", "o_totalprice").alias("o_totalprice"),
+        F.coalesce("u_status", "o_orderstatus").alias("o_orderstatus"),
+        F.col("u_price").isNotNull().alias("was_updated"),
+    )

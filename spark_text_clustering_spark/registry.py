@@ -17,6 +17,7 @@ from .operators import (
     multimodal,
     relational,
     relational_ext,
+    search,
     similarity,
     text,
 )
@@ -50,6 +51,7 @@ ROOT.merge(
     relational.REG,
     relational_ext.REG,
     collections_ops.REG,
+    search.REG,
     text.REG,
     dedup.REG,
     similarity.REG,

@@ -30,3 +30,30 @@ def write_csv(df: DataFrame, path: str) -> None:
 
 def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-files compaction: read a fragmented parquet dir, rewrite with
+    file sizes near ``target_file_mb`` (estimated from the input byte
+    size). The maintenance job every long-lived 100 TB table needs —
+    millions of tiny files destroy scan planning and NameNode/listing
+    time; compaction restores ~128 MB scan units.
+
+    Returns the number of output files written.
+    """
+    import glob
+    import os
+
+    df = spark.read.parquet(src_path)
+    input_bytes = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
+    ) or 1
+    n_files = max(1, round(input_bytes / (target_file_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return len(glob.glob(os.path.join(dst_path, "*.parquet")))

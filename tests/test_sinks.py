@@ -85,3 +85,17 @@ def test_foreachbatch_sink(spark, tmp_path):
         assert spark.read.parquet(sink_dir).count() == n_events
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_compact_small_files(spark, tmp_path):
+    from spark_text_clustering_spark.sources.sinks import compact_small_files
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    frag = str(tmp_path / "fragmented")
+    li.repartition(64).write.mode("overwrite").parquet(frag)  # 64 tiny files
+    compacted = str(tmp_path / "compacted")
+    n_out = compact_small_files(spark, frag, compacted, target_file_mb=128)
+    assert n_out == 1  # ~200KB input -> single ~target file
+    back = spark.read.parquet(compacted)
+    assert back.count() == li.count()
+    assert sorted(back.columns) == sorted(li.columns)
