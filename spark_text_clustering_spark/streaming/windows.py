@@ -147,3 +147,54 @@ def streaming_dedup(spark: SparkSession, sf_dir: str, table_name: str = "dedup_o
         return spark.table(table_name)
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def clicks_to_purchases_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Shared transform for the stream-stream interval join: purchases
+    within 1h after a click by the same user (the streaming twin of the
+    batch `join_range_theta` operator).
+
+    In streaming mode both sides carry watermarks and the time-interval
+    condition bounds the buffered state (docs/SCALE.md: without the
+    interval bound, a stream-stream join must buffer one side forever).
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "c_ts", "p_ts")
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str, table_name: str = "ssjoin_out") -> DataFrame:
+    """Two watermarked streams over the same replayed events file (filtered
+    to clicks / purchases), interval-joined, appended to memory."""
+    ensure_utc(spark)
+    src_dir = tempfile.mkdtemp(prefix="ssjoin_src_")
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src_dir, "p.parquet"))
+        base = stream_events(spark, src_dir)
+        clicks = base.where(F.col("event_type") == "click").withWatermark("ts", "2 hours")
+        purchases = base.where(F.col("event_type") == "purchase").withWatermark("ts", "2 hours")
+        out = clicks_to_purchases_join(clicks, purchases)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.table(table_name)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)

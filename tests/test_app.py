@@ -88,3 +88,27 @@ def test_train_with_lemmatize_stage(spark, corpus_dir, tmp_path_factory):
     # "cats"/"cat", "dogs"/"dog" fold together; short lemmas (<=3 chars) drop
     assert lemma["vocab_size"] < base["vocab_size"]
     assert lemma["corpus_size"] >= 2
+
+
+def test_custom_python_datasource(spark, corpus_dir):
+    """Spark 4 Python DataSource API: the textcorpus connector reads one
+    row per file with one input partition per file."""
+    from spark_text_clustering_spark.sources.python_datasource import register
+
+    register(spark)
+    df = spark.read.format("textcorpus").option("path", corpus_dir).load()
+    rows = df.collect()
+    assert len(rows) == len(BOOKS)
+    by_name = {os.path.basename(r["path"]): r["text"] for r in rows}
+    assert by_name == BOOKS
+    # partition-per-file scheduling
+    assert df.rdd.getNumPartitions() == len(BOOKS)
+    # batching knob
+    df2 = (
+        spark.read.format("textcorpus")
+        .option("path", corpus_dir)
+        .option("files_per_partition", "2")
+        .load()
+    )
+    assert df2.count() == len(BOOKS)
+    assert df2.rdd.getNumPartitions() == (len(BOOKS) + 1) // 2

@@ -190,3 +190,16 @@ def test_lda_online_optimizer(spark, lda_setup):
     rows = scored.collect()
     assert len(rows) == corpus.count()
     assert all(0 <= r["main_topic"] < 3 for r in rows)
+
+
+def test_sql_registered_udfs(spark):
+    """stem()/lemma() usable from pure SQL after registration."""
+    from spark_text_clustering_spark.functions.textnorm import register_sql_udfs
+
+    register_sql_udfs(spark)
+    row = spark.sql(
+        "SELECT stem('dresses') AS s, lemma('cities') AS l, stem(NULL) AS n"
+    ).collect()[0]
+    assert row["s"] == "dress"
+    assert row["l"] == "city"
+    assert row["n"] is None

@@ -129,3 +129,22 @@ def test_rate_source_with_engine_transform(spark):
         assert rows > 0
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Stream-stream interval join == batch join of the same transform
+    (appended rows are exactly the batch pairs; watermarks only bound
+    state, they drop nothing in an availableNow full replay)."""
+    from spark_text_clustering_spark.streaming.windows import (
+        clicks_to_purchases_join,
+        run_stream_stream_join,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    batch = clicks_to_purchases_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    stream = run_stream_stream_join(spark, SF_SMALL, table_name="t_ssjoin")
+    assert _as_sets(stream) == _as_sets(batch)
+    assert stream.count() > 0  # non-vacuous
