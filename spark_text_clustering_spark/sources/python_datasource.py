@@ -19,7 +19,12 @@ from __future__ import annotations
 import glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _FilePartition(InputPartition):
@@ -47,8 +52,46 @@ class TextCorpusReader(DataSourceReader):
                 yield (p, f.read())
 
 
+class TextCorpusStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: each microbatch picks up files that appeared
+    since the last committed offset (offset = sorted-file-list position).
+
+    This is the connector-API form of the file-stream source the engine's
+    replay harness uses — new books land in the directory, the stream
+    ingests them exactly once (offsets are committed by the engine's
+    checkpoint, so restarts resume, not re-read).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("textcorpus source requires option 'path'")
+
+    def _files(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.path, "**", "*.txt"), recursive=True))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        i = start["index"]
+        rows = []
+        for p in files[i:]:
+            with open(p, encoding="utf-8") as f:
+                rows.append((p, f.read()))
+        return iter(rows), {"index": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        for p in files[start["index"] : end["index"]]:
+            with open(p, encoding="utf-8") as f:
+                yield (p, f.read())
+
+
 class TextCorpusDataSource(DataSource):
-    """``spark.read.format("textcorpus").option("path", dir).load()``"""
+    """``spark.read.format("textcorpus").option("path", dir).load()`` and
+    ``spark.readStream.format("textcorpus")...`` for the streaming form."""
 
     @classmethod
     def name(cls) -> str:
@@ -59,6 +102,9 @@ class TextCorpusDataSource(DataSource):
 
     def reader(self, schema) -> TextCorpusReader:
         return TextCorpusReader(self.options)
+
+    def simpleStreamReader(self, schema) -> TextCorpusStreamReader:
+        return TextCorpusStreamReader(self.options)
 
 
 def register(spark) -> None:

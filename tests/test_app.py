@@ -112,3 +112,39 @@ def test_custom_python_datasource(spark, corpus_dir):
     )
     assert df2.count() == len(BOOKS)
     assert df2.rdd.getNumPartitions() == (len(BOOKS) + 1) // 2
+
+
+def test_custom_datasource_streaming(spark, tmp_path):
+    """Streaming form of the textcorpus connector: files added between
+    microbatches are ingested exactly once."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.sources.python_datasource import register
+
+    register(spark)
+    d = tmp_path / "stream_books"
+    d.mkdir()
+    (d / "one.txt").write_text("first document text")
+
+    stream = spark.readStream.format("textcorpus").option("path", str(d)).load()
+    counted = stream.select(
+        F.col("path"), F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("t_pyds")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("t_pyds").count() == 1
+        (d / "two.txt").write_text("second doc arrives later with more words")
+        q.processAllAvailable()
+        rows = {r["path"].split("/")[-1]: r["n_tokens"] for r in spark.table("t_pyds").collect()}
+        assert rows == {"one.txt": 3, "two.txt": 7}  # each file exactly once
+    finally:
+        q.stop()
