@@ -61,3 +61,16 @@ def register_sql_udfs(spark) -> None:
 
     spark.udf.register("stem", stem)
     spark.udf.register("lemma", lemma)
+
+
+# German stopword list (public knowledge, standard function words) — the
+# rebuild's counterpart of the reference's stopWords_GE.txt side input
+# (its EN/GE lists are comma-joined files; we ship both as constants and
+# accept arbitrary lists via Params.stopwords / read_stopwords).
+STOPWORDS_DE: tuple[str, ...] = (
+    "der", "die", "das", "und", "oder", "von", "zu", "in", "ist", "es",
+    "auf", "mit", "als", "an", "bei", "sein", "ein", "eine", "nicht", "sind",
+    "war", "aus", "aber", "auch", "haben",
+)
+
+STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {"EN": STOPWORDS, "GE": STOPWORDS_DE}

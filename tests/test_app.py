@@ -148,3 +148,27 @@ def test_custom_datasource_streaming(spark, tmp_path):
         assert rows == {"one.txt": 3, "two.txt": 7}  # each file exactly once
     finally:
         q.stop()
+
+
+def test_training_with_german_stopwords(spark, tmp_path_factory):
+    """Language-parameterized stopwords (reference runs one job per
+    language directory with stopWords_<lang>.txt)."""
+    from spark_text_clustering_spark.functions.textnorm import STOPWORDS_BY_LANG
+
+    d = tmp_path_factory.mktemp("de_books")
+    (d / "buch1.txt").write_text("der hund läuft und der hund bellt im garten")
+    (d / "buch2.txt").write_text("die katze schläft auf dem sofa und die katze frisst")
+    model_dir = str(tmp_path_factory.mktemp("models_de"))
+    summary = run_training(
+        spark,
+        str(d),
+        model_dir,
+        Params(k=2, max_iterations=5, vocab_size=100,
+               stopwords=list(STOPWORDS_BY_LANG["GE"])),
+        lang="GE",
+    )
+    assert summary["corpus_size"] == 2
+    assert os.path.basename(summary["model_path"]).startswith("LdaModel_GE_")
+    # German stopwords removed from the vocabulary
+    all_terms = [t for terms in summary["topics"].values() for t in terms]
+    assert "der" not in all_terms and "und" not in all_terms
