@@ -61,5 +61,33 @@ ROOT.merge(
     streaming_windows.REG,
 )
 
+
+
+def _flagship_sql(spark, sf_dir):
+    """Pure-SQL form of the flagship (the spark.sql surface end-to-end):
+    same plan as the DataFrame form — Catalyst compiles both identically."""
+    from .catalog import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_sql")
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return spark.sql(f"""
+        WITH tok AS (
+          SELECT lang, explode(split(lower(text), '\\\\s+')) AS token
+          FROM documents_sql),
+        cnt AS (
+          SELECT lang, token, COUNT(*) AS cnt FROM tok
+          WHERE length(token) >= 1 AND token NOT IN ({stop})
+          GROUP BY lang, token)
+        SELECT lang, token, cnt, rank FROM (
+          SELECT lang, token, cnt,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY cnt DESC, token) AS rank
+          FROM cnt)
+        WHERE rank <= 10
+    """)
+
+
+ROOT.register("flagship_top_terms_sql", oracle=_FLAGSHIP_ORACLE)(_flagship_sql)
+
 QUERIES = ROOT.queries
 ORACLES = ROOT.oracles

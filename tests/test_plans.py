@@ -68,3 +68,24 @@ def test_window_rank_group_limit_pushdown(spark):
 def test_knn_broadcasts_queries_not_candidates(spark):
     plan = plan_of(spark, "knn_cosine_exact")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_observe_metrics(spark):
+    """df.observe(): accumulator-style metrics piggyback on an action with
+    no extra pass — the runtime-diagnostics counterpart of the reference's
+    corpus summary prints (LDAClustering.scala:29-33)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.catalog import load_table
+
+    obs = Observation("corpus_stats")
+    docs = load_table(spark, SF_ORACLE, "documents").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    docs.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_docs"] == 500
+    assert got["total_chars"] > 0
