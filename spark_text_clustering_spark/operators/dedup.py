@@ -221,11 +221,18 @@ sh AS (
                                       i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS shingles
   FROM toks WHERE len(l) >= 3),
 ex AS (SELECT doc_id, lang, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+-- candidate cap: shingles present in > 100 docs of a language are
+-- boilerplate — they explode the pair space quadratically; drop them from
+-- the JOIN (denominators keep the full shingle sets)
+exj AS (
+  SELECT * FROM (
+    SELECT ex.*, COUNT(*) OVER (PARTITION BY s, lang) AS df FROM ex)
+  WHERE df <= 100),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(COUNT(*) AS BIGINT) AS n_common,
          any_value(a.n) AS n_a, any_value(b.n) AS n_b
-  FROM ex a JOIN ex b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+  FROM exj a JOIN exj b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT id_a, id_b,
        round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
@@ -270,8 +277,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("t2").isNotNull())
     distinct_sh = tri.select("doc_id", "lang", "s").distinct()
     ex = distinct_sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    # candidate cap (docs/SCALE.md): boilerplate shingles (document
+    # frequency > 100 within a language) are excluded from the candidate
+    # join — they contribute pair-space quadratically and no dedup signal.
+    # Denominators (n) keep the full shingle-set sizes.
+    ex_j = ex.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("s", "lang"))
+    ).where(F.col("df") <= 100)
+    a = ex_j.alias("a")
+    b = ex_j.alias("b")
     common = (
         a.join(
             b,

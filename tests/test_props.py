@@ -142,3 +142,12 @@ def test_corpus_to_parquet_deterministic_ids(spark, tmp_path):
     import os as _os
 
     assert [_os.path.basename(r["path"]) for r in back] == ["a.txt", "b.txt", "c.txt"]
+
+
+def test_gemm_knn_equals_exact_knn(spark):
+    """The BLAS path and the JVM zip_with path must produce identical
+    top-k results (same rounding, same tiebreaks)."""
+    a = QUERIES["knn_cosine_exact"](spark, SF_SMALL).toPandas()
+    b = QUERIES["knn_cosine_gemm"](spark, SF_SMALL).toPandas()
+    key = lambda df: sorted(map(tuple, df[sorted(df.columns)].itertuples(index=False)))
+    assert key(a) == key(b)
