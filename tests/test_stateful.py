@@ -35,3 +35,34 @@ def test_stateful_counters_match_batch(spark):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_transform_with_state_matches_batch(spark):
+    """transformWithStateInPandas (typed-state API) produces the same final
+    per-user snapshot as the batch aggregation."""
+    from spark_text_clustering_spark.streaming.stateful import (
+        running_user_counters_batch,
+        running_user_counters_tws,
+    )
+
+    try:
+        result = running_user_counters_tws(spark, SF_SMALL, table_name="t_tws")
+    except Exception as e:  # pragma: no cover — API availability guard
+        pytest.skip(f"transformWithStateInPandas unavailable: {e}")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        result.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+    batch = running_user_counters_batch(load_table(spark, SF_SMALL, "events"))
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6), r["last_ts"])
+        for r in final.collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6), r["last_ts"])
+        for r in batch.collect()
+    }
+    assert got == want
