@@ -59,6 +59,42 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[key] = round(time.perf_counter() - t0, 3)
 
+    # Bucketed vs shuffle join (docs/SCALE.md): write both fact tables
+    # bucketed by the join key once (untimed setup), then time the same
+    # join with and without the bucketed layout.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.catalog import load_table
+
+    wh = tempfile.mkdtemp(prefix="bench_buckets_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bench_b LOCATION '{wh}'")
+    load_table(spark, SF_DIR, "orders").write.mode("overwrite").bucketBy(
+        16, "o_orderkey"
+    ).sortBy("o_orderkey").saveAsTable("bench_b.orders_b")
+    load_table(spark, SF_DIR, "lineitem").write.mode("overwrite").bucketBy(
+        16, "l_orderkey"
+    ).sortBy("l_orderkey").saveAsTable("bench_b.lineitem_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for label, o_df, l_df in [
+            ("join_orderkey_shuffle", load_table(spark, SF_DIR, "orders"), load_table(spark, SF_DIR, "lineitem")),
+            ("join_orderkey_bucketed", spark.table("bench_b.orders_b"), spark.table("bench_b.lineitem_b")),
+        ]:
+            j = o_df.join(l_df, o_df.o_orderkey == l_df.l_orderkey).select(
+                "o_orderkey", "l_quantity", "o_totalprice"
+            )
+            j.write.format("noop").mode("overwrite").save()  # warmup
+            t0 = time.perf_counter()
+            j.write.format("noop").mode("overwrite").save()
+            timings[label] = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bench_b.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bench_b.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS bench_b")
+
     # LDA EM training (the reference's only published numbers are EM
     # iteration timings — BASELINE.md: 0.79 s/iter EN, 2.10 s/iter GE at
     # 50 iterations). Same k=5 / 50 iters / EM on the documents corpus.
