@@ -633,3 +633,102 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("u_status", "o_orderstatus").alias("o_orderstatus"),
         F.col("u_price").isNotNull().alias("was_updated"),
     )
+
+
+@REG.register(
+    "window_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over a deterministic total order (rounded:
+    both engines compute (rank-1)/(n-1) in double)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@REG.register(
+    "histogram_bins",
+    oracle="""
+    SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(MIN(value), 6) AS bin_min,
+           round(MAX(value), 6) AS bin_max
+    FROM events
+    GROUP BY 1
+    """,
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor bucketing — the single-pass
+    profiling shape (vs ntile's global sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.floor(F.col("value") / 10).alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("bin_min"),
+        F.round(F.max("value"), 6).alias("bin_max"),
+    )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@REG.register(
+    "profile_numeric",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col,
+               round(MIN({c}), 6) AS min_v,
+               round(MAX({c}), 6) AS max_v,
+               round(AVG({c}), 6) AS mean_v,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (ANALYZE-style): per-column min/max/mean/nulls/
+    distinct in ONE scan via a struct-per-column aggregate, then unpivoted.
+    The oracle's UNION ALL form scans once per column — at 100 TB the
+    single-scan shape is the difference between 1 and N passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.struct(
+                F.round(F.min(c), 6).alias("min_v"),
+                F.round(F.max(c), 6).alias("max_v"),
+                F.round(F.avg(c), 6).alias("mean_v"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+            ).alias(c)
+        )
+    one_row = li.agg(*aggs)
+    stacked = one_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("col"), F.col(c).alias("m"))
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("e")
+    )
+    return stacked.select(
+        F.col("e.col").alias("col"),
+        F.col("e.m.min_v").alias("min_v"),
+        F.col("e.m.max_v").alias("max_v"),
+        F.col("e.m.mean_v").alias("mean_v"),
+        F.col("e.m.n_null").alias("n_null"),
+        F.col("e.m.n_distinct").alias("n_distinct"),
+    )
