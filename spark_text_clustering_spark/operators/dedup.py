@@ -304,3 +304,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return common.where(jac >= 0.5).select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_path: str,
+) -> DataFrame:
+    """Incremental exact dedup against a persistent fingerprint store —
+    the production shape: each ingest batch dedups against ALL history
+    without rereading historical text.
+
+    new batch → sha256 → (1) self-dedup (min doc_id per hash) →
+    (2) anti-join against the store's hashes → survivors appended to the
+    store. Returns the surviving rows. The store holds (h, doc_id) only —
+    40ish bytes/doc regardless of document size, so a 100 TB corpus's
+    store is ~100 GB and the anti-join shuffles hashes, never text.
+    """
+    import os
+
+    hashed = new_docs.withColumn("h", F.sha2("text", 256))
+    batch_dedup = (
+        hashed.groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    if os.path.exists(store_path):
+        store = spark.read.parquet(store_path)
+        survivors = batch_dedup.join(store.select("h"), "h", "left_anti")
+    else:
+        survivors = batch_dedup
+    # append survivors' fingerprints (two-phase: write to staging then move
+    # would be the production pattern; append suffices for the local store)
+    survivors.select("h", "doc_id").write.mode("append").parquet(store_path)
+    return survivors.select("doc_id", "h")
