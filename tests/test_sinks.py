@@ -99,3 +99,44 @@ def test_compact_small_files(spark, tmp_path):
     back = spark.read.parquet(compacted)
     assert back.count() == li.count()
     assert sorted(back.columns) == sorted(li.columns)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """mergeSchema: generations of a table with added columns read as one
+    unified schema (missing columns -> NULL) — ingest-evolution handling."""
+    base = str(tmp_path / "evolving")
+    docs = load_table(spark, SF_SMALL, "documents")
+    docs.select("doc_id", "lang").write.parquet(base + "/gen=1")
+    docs.select("doc_id", "lang", "n_chars").write.parquet(base + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"doc_id", "lang", "n_chars", "gen"}
+    import pyspark.sql.functions as F
+
+    nulls = merged.where(F.col("gen") == 1).where(F.col("n_chars").isNotNull()).count()
+    assert nulls == 0  # old generation surfaces NULL for the new column
+    assert merged.count() == 2 * docs.count()
+
+
+def test_corrupt_json_permissive_vs_failfast(spark, tmp_path):
+    """JSON ingest hardening: PERMISSIVE captures bad lines in
+    _corrupt_record; FAILFAST raises — both behaviors verified."""
+    import pyspark.sql.functions as F
+
+    p = tmp_path / "lines.json"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\nNOT JSON AT ALL\n')
+    schema = "a long, b string, _corrupt_record string"
+    ok = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = ok.collect()
+    assert len(rows) == 3
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and "NOT JSON" in corrupt[0]["_corrupt_record"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.schema("a long, b string").option("mode", "FAILFAST").json(str(p)).collect()
