@@ -172,3 +172,25 @@ def test_training_with_german_stopwords(spark, tmp_path_factory):
     # German stopwords removed from the vocabulary
     all_terms = [t for terms in summary["topics"].values() for t in terms]
     assert "der" not in all_terms and "und" not in all_terms
+
+
+def test_cli_train(corpus_dir, tmp_path_factory):
+    """The spark-submit-style CLI surface: python -m ...app train."""
+    import json
+    import subprocess
+    import sys
+
+    model_dir = str(tmp_path_factory.mktemp("cli_models"))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "spark_text_clustering_spark.app", "train",
+            "--corpus", corpus_dir, "--model-dir", model_dir,
+            "--k", "2", "--max-iter", "5",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo", env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["corpus_size"] == 3
+    assert os.path.isdir(summary["model_path"])
