@@ -1,0 +1,279 @@
+"""LLM-training-data preparation operators beyond dedup/quality (north
+star, SURVEY §2.9): document chunking, n-gram statistics, benchmark-
+contamination detection, and deterministic sampling.
+
+Nothing here exists in the reference (its pipeline ends at TF-IDF /
+LDA, LDAClustering.scala:105-198); these are the operations a 100 TB
+pretraining-data pipeline runs between raw scrape and tokenizer:
+chunk → count n-grams → screen against eval benchmarks → sample.
+
+Everything stays JVM-side (built-in array/lambda expressions — no Python
+UDFs) so the hot path is whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .._registry import Registry
+from ..catalog import load_table
+
+REG = Registry()
+
+CHUNK_STRIDE = 400
+CHUNK_LEN = 512  # stride < len → 112-char overlap between adjacent chunks
+
+
+@REG.register(
+    "chunk_documents",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+                    CAST(floor((length(text) - 1) / {CHUNK_STRIDE}) AS BIGINT)))
+               AS chunk_id,
+             text
+      FROM documents)
+    SELECT doc_id, chunk_id,
+           substring(text, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INTEGER),
+                     {CHUNK_LEN}) AS chunk,
+           CAST(length(substring(text, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INTEGER),
+                     {CHUNK_LEN})) AS BIGINT) AS chunk_chars
+    FROM c
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride overlapping chunking (stride 400, window 512 chars) —
+    the standard context-window prep for embedding/training pipelines.
+    sequence() + posexplode keeps it all in codegen; each input row fans
+    out locally with no shuffle at all, so at 100 TB the operator is
+    embarrassingly parallel and output partitioning follows the input."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.length("text") - 1) / CHUNK_STRIDE).cast("int"),
+                )
+            ).alias("chunk_id"),
+            "text",
+        )
+        .withColumn(
+            "chunk",
+            F.expr(f"substring(text, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_LEN})"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "chunk",
+            F.length("chunk").cast("long").alias("chunk_chars"),
+        )
+    )
+
+
+_BIGRAM_TOPK = 50
+
+
+@REG.register(
+    "ngram_bigram_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(lower(text), '\\s+') AS l FROM documents),
+    bi AS (
+      SELECT unnest(list_filter(list_transform(list_zip(l, l[2:]),
+                    x -> CASE WHEN x[2] IS NULL THEN NULL
+                              ELSE x[1] || ' ' || x[2] END),
+                    x -> x IS NOT NULL)) AS bigram
+      FROM toks)
+    SELECT bigram, cnt, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt,
+             row_number() OVER (ORDER BY COUNT(*) DESC, bigram) AS rank
+      FROM bi GROUP BY bigram)
+    WHERE rank <= {_BIGRAM_TOPK}
+    """,
+)
+def ngram_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequency table (top-{k} with lexicographic
+    tiebreak). Bigrams are built inside one array expression — zip the
+    token array with its own tail — so the only shuffle is the final
+    count aggregation, which map-side combines. At 100 TB the bigram key
+    space is Zipfian: AQE skew handling covers the head keys, and the
+    top-k is TakeOrderedAndProject (no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), r"\s+").alias("l"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "filter(transform(l, (x, i) -> "
+                "IF(i < size(l) - 1, concat(x, ' ', l[i + 1]), NULL)), "
+                "x -> x IS NOT NULL)"
+            )
+        ).alias("bigram")
+    )
+    counted = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), "bigram")
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _BIGRAM_TOPK)
+    )
+
+
+_SHINGLE_N = 5
+_BENCH_SOURCE = "src0"
+
+
+@REG.register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(text), '\\s+') AS l FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             unnest(list_filter(list_transform(
+                    list_zip(l, l[2:], l[3:], l[4:], l[5:]),
+                    x -> CASE WHEN x[5] IS NULL THEN NULL
+                         ELSE x[1] || ' ' || x[2] || ' ' || x[3]
+                              || ' ' || x[4] || ' ' || x[5] END),
+                    x -> x IS NOT NULL)) AS shingle
+      FROM toks),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = '{_BENCH_SOURCE}'),
+    cand AS (SELECT DISTINCT doc_id, shingle FROM sh
+             WHERE source <> '{_BENCH_SOURCE}')
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS shared_shingles
+    FROM cand c JOIN bench b USING (shingle)
+    GROUP BY c.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: count distinct {n}-gram shingles
+    each training doc shares with a benchmark set (here: source='{bench}'
+    stands in for an eval suite). This is the decontamination pass every
+    pretraining pipeline runs before training.
+
+    Scale: the benchmark shingle set is small relative to the corpus →
+    broadcast the bench side; the candidate side never shuffles on the
+    (huge) shingle key. Hash shingles (xxhash64) instead of strings in
+    production to shrink the broadcast — kept as strings here for the
+    SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    # N-gram shingles as one array expression: arrays_zip the token array
+    # with its own 1..N-1 shifted tails, keep only full-width windows.
+    shifted = ", ".join(f"slice(l, {i + 1}, size(l))" for i in range(1, _SHINGLE_N))
+    fields = ", ".join("x." + (f"`{i}`" if i else "l") for i in range(_SHINGLE_N))
+    last = f"x.`{_SHINGLE_N - 1}`"
+    shingle_expr = (
+        f"filter(transform(arrays_zip(l, {shifted}), "
+        f"x -> IF({last} IS NULL, NULL, concat_ws(' ', {fields}))), "
+        "x -> x IS NOT NULL)"
+    )
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), r"\s+").alias("l")
+    )
+    sh = toks.select("doc_id", "source", F.explode(F.expr(shingle_expr)).alias("shingle"))
+    bench = (
+        sh.where(F.col("source") == _BENCH_SOURCE).select("shingle").distinct()
+    )
+    cand = (
+        sh.where(F.col("source") != _BENCH_SOURCE)
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    return (
+        cand.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_shingles"))
+    )
+
+
+@REG.register(
+    "sample_mod_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 20 = 3
+    """,
+)
+def sample_mod_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% key-mod sample — the reproducible-sampling
+    primitive for pipeline debugging (same rows every run, every engine,
+    any partitioning). The predicate pushes to the parquet scan; at
+    100 TB prefer a hash-mod (xxhash64(key) % 20) so clustered key
+    ranges don't bias the sample — key-mod kept here because both
+    engines agree on it exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") % 20 == 3).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+_STRATUM_N = 5
+
+
+@REG.register(
+    "sample_stratified_topn",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {_STRATUM_N}
+    """,
+)
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: first {n} docs per language by
+    doc_id. The per-stratum row_number stops scanning... (it doesn't —
+    window functions materialize the partition; at 100 TB swap to a
+    rank-limited aggregate: groupBy(lang).agg(slice(sort_array(
+    collect_list(doc_id)), 1, n)) keeps state bounded at n per key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _STRATUM_N)
+        .drop("rn")
+    )
+
+
+@REG.register("sample_tablesample_seeded")
+def sample_tablesample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli TABLESAMPLE (rows-only: the row subset is Spark's
+    XORShift-per-partition — deterministic for a fixed seed+partitioning
+    but not ANSI-SQL-reproducible). Scale: sampling happens at the scan,
+    before any shuffle; cheap at any size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@REG.register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per priority class — the grouped-top-k
+    pattern (rank window + filter). At 100 TB: AQE handles stragglers,
+    but for tiny k prefer the aggregate form (collect top-k per group in
+    a bounded heap via max_by/slice) to avoid materializing full
+    partitions in the window sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )

@@ -20,6 +20,8 @@ from .operators import (
     search,
     similarity,
     text,
+    textprep,
+    tpch_more,
 )
 from .ml import queries as ml_queries
 from .plans.flagship import TOP_K, flagship_top_terms_per_lang
@@ -57,6 +59,8 @@ ROOT.merge(
     similarity.REG,
     grouped.REG,
     multimodal.REG,
+    textprep.REG,
+    tpch_more.REG,
     ml_queries.REG,
     streaming_windows.REG,
 )
