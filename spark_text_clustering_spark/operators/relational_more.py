@@ -1,0 +1,286 @@
+"""Relational surface, part 3: null-aware anti join, exact quantiles,
+regression/bitwise aggregate batteries, ordered string aggregation,
+interval RANGE window frames, time-series gap-fill with forward fill,
+and multi-granularity time rollups.
+
+None of this exists in the reference (SURVEY §2.5 "not present" list);
+it rounds out the engine so a reference user gets the full SQL surface
+plus the time-series ops a 100 TB event pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .._registry import Registry
+from ..catalog import load_table
+from ..session import ensure_utc
+
+REG = Registry()
+
+
+@REG.register(
+    "anti_join_null_aware",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey NOT IN (SELECT NULLIF(c_custkey, -1) FROM customer
+                            WHERE c_acctbal < 1000)
+    """,
+)
+def anti_join_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a nullable subquery — SQL's three-valued NOT IN forces
+    a null-aware anti join (NAAJ), a different physical operator than the
+    left_anti equi-join (`join_anti` key): one NULL in the build side
+    empties the result, so the build side must be broadcast whole. The
+    NULLIF keeps the column nullable (plan-level NAAJ) while producing no
+    runtime NULLs, so the output stays non-trivial."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    o.createOrReplaceTempView("naaj_orders")
+    c.createOrReplaceTempView("naaj_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM naaj_orders
+        WHERE o_custkey NOT IN (SELECT NULLIF(c_custkey, -1) FROM naaj_customer
+                                WHERE c_acctbal < 1000)
+        """
+    )
+
+
+@REG.register(
+    "median_quantile_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 4) AS med_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def median_quantile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / continuous quantiles per group (vs the sketch-based
+    `percentile_approx` key). Exact percentile sorts within each group —
+    at 100 TB reserve it for bounded-cardinality groups and use the
+    t-digest approx elsewhere; rounded to 4dp to absorb interpolation
+    ulps across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("med_price"),
+    )
+
+
+@REG.register(
+    "regr_linear_agg",
+    oracle="""
+    SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    """,
+)
+def regr_linear_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression aggregates (slope/intercept/r²) — single-pass
+    mergeable moment sketches, so they scale like any hash aggregate;
+    rounded to absorb summation-order ulps between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n"),
+    )
+
+
+@REG.register(
+    "bitwise_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS band,
+           CAST(bit_or(o_orderkey) AS BIGINT) AS bor,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS bxor
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates — commutative+associative, so they
+    map-side combine perfectly (the building block for bitmap-style
+    presence masks over partitioned keys)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and("o_orderkey").cast("long").alias("band"),
+        F.bit_or("o_orderkey").cast("long").alias("bor"),
+        F.bit_xor("o_orderkey").cast("long").alias("bxor"),
+    )
+
+
+@REG.register(
+    "listagg_ordered",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP). Expressed as
+    array_sort ∘ collect_list ∘ array_join — the Spark-native form with
+    deterministic output regardless of row arrival order. At scale the
+    concatenated string is unbounded per key: cap with slice() before the
+    join when keys are hot."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations")
+    )
+
+
+@REG.register(
+    "window_range_interval",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_30d_spend
+    FROM orders
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed by time value, not row position: trailing-30-day
+    spend per customer. Unlike the ROWS frames (`window_running_sum`),
+    RANGE bounds are data-driven — the frame widens and narrows with
+    order density. Decimal sums keep both engines bit-identical."""
+    ensure_utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("wri_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS trailing_30d_spend
+        FROM wri_orders
+        """
+    )
+
+
+@REG.register(
+    "gap_fill_forward",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events WHERE user_id < 20 GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events WHERE user_id < 20 GROUP BY 1, 2)
+    SELECT g.user_id, g.hour,
+           last_value(h.v IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: build each user's dense hourly grid
+    (sequence + explode — no driver loop), left-join the sparse hourly
+    sums, forward-fill with last(ignorenulls) over an ordered frame.
+    The timeseries-DB `locf(time_bucket_gapfill(...))` operator in pure
+    DataFrame form. Scale: grid size = span×keys, generated distributed;
+    the join and window both ride the user_id partitioning — one
+    shuffle total."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"))
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .withColumn("v_ff", F.last("v", ignorenulls=True).over(w))
+        .select("user_id", "hour", "v_ff")
+    )
+
+
+@REG.register(
+    "rollup_time_multigrain",
+    oracle="""
+    SELECT 'day' AS grain, date_trunc('day', ts) AS bucket, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'week', date_trunc('week', ts), event_type,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'month', date_trunc('month', ts), event_type,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+    FROM events GROUP BY 2, 3
+    """,
+)
+def rollup_time_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the same measure at
+    day/week/month grains in one result. Built hierarchically — the day
+    aggregate is computed once and the coarser grains re-aggregate FROM
+    the day level, so the raw table is scanned exactly once (at 100 TB
+    the day→week/month re-agg touches ~1/1000th of the data; this is the
+    materialized-rollup maintenance pattern)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.groupBy(
+        F.date_trunc("day", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_dec_total"),
+    )
+    day.cache()
+
+    def _grain(df: DataFrame, name: str, trunc: str | None) -> DataFrame:
+        if trunc is None:
+            g = df
+        else:
+            g = df.groupBy(
+                F.date_trunc(trunc, "bucket").alias("bucket"), "event_type"
+            ).agg(F.sum("n").alias("n"), F.sum("_dec_total").alias("_dec_total"))
+        return g.select(
+            F.lit(name).alias("grain"),
+            "bucket",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("_dec_total").cast("double").alias("total"),
+        )
+
+    return (
+        _grain(day, "day", None)
+        .unionByName(_grain(day, "week", "week"))
+        .unionByName(_grain(day, "month", "month"))
+    )

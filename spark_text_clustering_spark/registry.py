@@ -17,6 +17,7 @@ from .operators import (
     multimodal,
     relational,
     relational_ext,
+    relational_more,
     search,
     similarity,
     text,
@@ -52,6 +53,7 @@ ROOT.register("flagship_top_terms", oracle=_FLAGSHIP_ORACLE)(flagship_top_terms_
 ROOT.merge(
     relational.REG,
     relational_ext.REG,
+    relational_more.REG,
     collections_ops.REG,
     search.REG,
     text.REG,
