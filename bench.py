@@ -28,8 +28,11 @@ HEADLINE = [
     "join_inner_shuffle",
     "join_range_theta",
     "join_asof",
+    "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
+    "tpch_q10_returned_items",
+    "tpch_q19_disjunctive",
     "window_running_sum",
     "rollup_agg",
     "topk_order_limit",
@@ -39,6 +42,10 @@ HEADLINE = [
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
     "knn_cosine_exact",
+    "chunk_documents",
+    "ngram_bigram_counts",
+    "contamination_ngram_overlap",
+    "gap_fill_forward",
     "grouped_map_zscore",
     "stream_tumbling_agg",
 ]
