@@ -89,3 +89,34 @@ def test_observe_metrics(spark):
     got = obs.get
     assert got["n_docs"] == 500
     assert got["total_chars"] > 0
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    plan = plan_of(spark, "tpch_q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # date filter reaches parquet
+    assert "partial_sum" in plan  # map-side combine before the one shuffle
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    # The classic Q19 optimizer property: column-local parts of the
+    # cross-table OR are extracted and pushed below the join to each scan.
+    plan = plan_of(spark, "tpch_q19_disjunctive")
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan  # lineitem side
+    assert "EqualTo(p_brand,Brand#12)" in plan  # part side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    # Chunk fan-out must stay narrow: no exchange anywhere in the plan.
+    plan = plan_of(spark, "chunk_documents")
+    assert "Exchange" not in plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    plan = plan_of(spark, "anti_join_null_aware")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q4_exists_plans_semi_join(spark):
+    plan = plan_of(spark, "tpch_q4_priority_check")
+    assert "LeftSemi" in plan
