@@ -198,3 +198,40 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str, table_name: str = "
         return spark.table(table_name)
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def enrich_with_customer_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment transform (shared batch/stream): join each
+    event to the static customer dimension on user_id and aggregate per
+    (segment, event_type). The static side re-resolves per micro-batch and
+    broadcasts — the standard dimension-enrichment topology; state is just
+    the aggregation, bounded by segment×type cardinality."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+    )
+
+
+@REG.register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mode of the stream-static enrichment (the streaming twin is
+    asserted equivalent in tests/test_streaming.py)."""
+    ensure_utc(spark)
+    return enrich_with_customer_segment(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )

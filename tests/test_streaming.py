@@ -148,3 +148,24 @@ def test_stream_stream_interval_join_matches_batch(spark):
     stream = run_stream_stream_join(spark, SF_SMALL, table_name="t_ssjoin")
     assert _as_sets(stream) == _as_sets(batch)
     assert stream.count() > 0  # non-vacuous
+
+
+def test_stream_static_join_batch_equivalence(spark):
+    """Stream-static enrichment: joining the event stream to a static
+    dimension per micro-batch must converge to the batch join result."""
+    from spark_text_clustering_spark.streaming.windows import (
+        enrich_with_customer_segment,
+    )
+
+    customer = load_table(spark, SF_SMALL, "customer")
+    batch = enrich_with_customer_segment(
+        load_table(spark, SF_SMALL, "events"), customer
+    )
+    stream = run_stream_available_now(
+        spark,
+        SF_SMALL,
+        lambda ev: enrich_with_customer_segment(ev, customer),
+        watermark=None,
+        table_name="t_static_join",
+    )
+    assert _as_sets(stream) == _as_sets(batch)
