@@ -284,3 +284,72 @@ def rollup_time_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_grain(day, "week", "week"))
         .unionByName(_grain(day, "month", "month"))
     )
+
+
+@REG.register(
+    "set_union_by_name_missing",
+    oracle="""
+    SELECT id, kind, price, amount FROM (
+      SELECT o_orderkey AS id, 'order' AS kind, o_totalprice AS price
+      FROM orders WHERE o_orderkey < 100
+      UNION ALL BY NAME
+      SELECT event_id AS id, 'event' AS kind, value AS amount
+      FROM events WHERE event_id < 100)
+    """,
+)
+def set_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two relations with partially disjoint
+    columns unioned by NAME (not position), absent columns NULL-filled —
+    `unionByName(allowMissingColumns=True)`, the append pattern when a
+    100 TB table's schema grows over time. Both branches' filters still
+    push to their own scans."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 100)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.lit("order").alias("kind"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < 100)
+        .select(
+            F.col("event_id").alias("id"),
+            F.lit("event").alias("kind"),
+            F.col("value").alias("amount"),
+        )
+    )
+    return o.unionByName(e, allowMissingColumns=True)
+
+
+@REG.register("hll_sketch_build_merge")
+def hll_sketch_build_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketches (DataSketches): build one
+    sketch per language partition (`hll_sketch_agg`), then union them
+    (`hll_union_agg`) into the corpus-wide estimate — the two-level
+    pattern that lets 100 TB distinct counts pre-aggregate per
+    partition/day and merge later without rescanning. Rows-only: sketch
+    estimates are engine-specific (error bound asserted in
+    tests/test_props.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    )
+    per_lang = tokens.groupBy("lang").agg(
+        F.hll_sketch_agg("token").alias("sketch"),
+        F.count_distinct("token").cast("long").alias("exact_distinct"),
+    )
+    return per_lang.select(
+        "lang",
+        F.hll_sketch_estimate("sketch").cast("long").alias("est_distinct"),
+        "exact_distinct",
+    ).unionByName(
+        per_lang.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("long")
+            .alias("est_distinct"),
+            F.lit(None).cast("long").alias("exact_distinct"),
+        ).select(F.lit("__all__").alias("lang"), "est_distinct", "exact_distinct")
+    )

@@ -151,3 +151,31 @@ def test_gemm_knn_equals_exact_knn(spark):
     b = QUERIES["knn_cosine_gemm"](spark, SF_SMALL).toPandas()
     key = lambda df: sorted(map(tuple, df[sorted(df.columns)].itertuples(index=False)))
     assert key(a) == key(b)
+
+
+def test_hll_sketch_merge_error_bound(spark):
+    """Per-partition HLL sketches and their union must estimate within 5%
+    of the exact distinct counts (merge must not degrade accuracy)."""
+    from spark_text_clustering_spark.operators.relational_more import (
+        hll_sketch_build_merge,
+    )
+    from .conftest import SF_ORACLE
+
+    rows = {r["lang"]: r for r in hll_sketch_build_merge(spark, SF_ORACLE).collect()}
+    exact_union = None
+    for lang, r in rows.items():
+        if lang == "__all__":
+            continue
+        assert abs(r["est_distinct"] - r["exact_distinct"]) <= 0.05 * r["exact_distinct"]
+    # the union estimate vs exact corpus-wide distinct
+    from spark_text_clustering_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    exact_union = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    est_union = rows["__all__"]["est_distinct"]
+    assert abs(est_union - exact_union) <= 0.05 * exact_union
