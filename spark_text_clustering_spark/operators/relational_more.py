@@ -353,3 +353,77 @@ def hll_sketch_build_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("exact_distinct"),
         ).select(F.lit("__all__").alias("lang"), "est_distinct", "exact_distinct")
     )
+
+
+@REG.register(
+    "percentile_disc_group",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5) AS p50,
+           quantile_disc(l_quantity, 0.9) AS p90,
+           quantile_disc(l_quantity, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_disc_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (PERCENTILE_DISC WITHIN GROUP) — returns an
+    actual data value, never an interpolation, so cross-engine results
+    are exact with no rounding guard (contrast `median_quantile_agg`).
+    The p50/p90/p99 latency-style battery every observability pipeline
+    runs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("pdisc_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY l_quantity) AS p99
+        FROM pdisc_lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@REG.register(
+    "mode_deterministic",
+    oracle="""
+    SELECT event_type, value AS mode_value, CAST(n AS BIGINT) AS n FROM (
+      SELECT event_type, value, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY COUNT(*) DESC, value) AS rn
+      FROM events GROUP BY event_type, value)
+    WHERE rn = 1
+    """,
+)
+def mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value, ties broken by value) —
+    built-in mode() is tie-nondeterministic in both engines, so the
+    engine exposes the count + windowed-rank form instead: two map-side-
+    combined aggregations, no tie ambiguity, same plan family as top-k
+    per group."""
+    ev = load_table(spark, sf_dir, "events")
+    counted = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), "value")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("value").alias("mode_value"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+@REG.register("freq_items_sketch")
+def freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (`DataFrame.stat.freqItems`, the
+    Karp-Papadimitriou-Shenker single-pass sketch): all values with
+    frequency > 10% of rows, per column. Rows-only: the sketch may
+    over-report (false positives allowed by design, verified against
+    exact counts in tests/test_props.py). Scale: fixed-size state per
+    partition, merged associatively — no shuffle of raw data."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.stat.freqItems(["event_type", "user_id"], 0.1)

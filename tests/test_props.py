@@ -179,3 +179,25 @@ def test_hll_sketch_merge_error_bound(spark):
     )
     est_union = rows["__all__"]["est_distinct"]
     assert abs(est_union - exact_union) <= 0.05 * exact_union
+
+
+def test_freq_items_superset_of_exact_heavy_hitters(spark):
+    """freqItems must contain every value whose exact frequency exceeds
+    the support threshold (sketch guarantees no false negatives)."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.catalog import load_table
+    from spark_text_clustering_spark.operators.relational_more import (
+        freq_items_sketch,
+    )
+    from .conftest import SF_ORACLE
+
+    row = freq_items_sketch(spark, SF_ORACLE).collect()[0]
+    ev = load_table(spark, SF_ORACLE, "events")
+    n = ev.count()
+    exact = {
+        r["event_type"]
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] > 0.1 * n
+    }
+    assert exact <= set(row["event_type_freqItems"])
