@@ -361,3 +361,111 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double, lambda x: F.round(x * 127.0 / max_abs, 0).cast("long")
         ).alias("q8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF as a STORED partitioned index (the 100 TB deployment shape)
+# ---------------------------------------------------------------------------
+
+_IVF_INDEX_MEMO: dict[str, tuple[str, str]] = {}
+_IVF_CLUSTERS, _IVF_NPROBE = 16, 4
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """One-time IVF index build: assign every vector to its KMeans cluster
+    and WRITE the assignment as a parquet table partitioned by cluster id,
+    plus a tiny centroids table. At 100 TB this is the batch index job;
+    queries then read only their probed partitions (directory-level
+    pruning — no index structure needed beyond the filesystem layout).
+    Memoized per sf_dir for the driver's repeated query calls."""
+    if sf_dir in _IVF_INDEX_MEMO:
+        return _IVF_INDEX_MEMO[sf_dir]
+    import tempfile
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    vecs = emb.select("vec_id", "e", array_to_vector(F.col("e")).alias("features"))
+    model = KMeans(
+        k=_IVF_CLUSTERS, seed=42, maxIter=20, featuresCol="features"
+    ).fit(vecs)
+    base = tempfile.mkdtemp(prefix="ivf_index_")
+    index_path = f"{base}/vectors"
+    centroids_path = f"{base}/centroids"
+    (
+        model.transform(vecs)
+        .select(
+            "vec_id",
+            "e",
+            _l2norm(F.col("e")).alias("nrm"),
+            F.col("prediction").alias("cluster"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(index_path)
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
+    ).write.mode("overwrite").parquet(centroids_path)
+    _IVF_INDEX_MEMO[sf_dir] = (index_path, centroids_path)
+    return index_path, centroids_path
+
+
+@REG.register("knn_cosine_ivf_stored")  # rows-only: approximate (seeded, deterministic)
+def knn_cosine_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against the STORED partitioned index: the probed cluster
+    ids become a partition filter on the index table, so the scan touches
+    only nprobe/n_clusters of the data at the directory level (asserted
+    in tests/test_search.py). Same quantizer/seed as `knn_cosine_ivf`,
+    whose per-query-fit results it must reproduce exactly.
+
+    The probe-cluster list is collected to the driver — it is model-sized
+    (≤ queries × nprobe ints), the same class of state as the centroids."""
+    index_path, centroids_path = build_ivf_index(spark, sf_dir)
+    index = spark.read.parquet(index_path)
+    centroids = spark.read.parquet(centroids_path)
+
+    q = index.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    qc = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "qe", "qn", "cluster",
+            _dot(F.col("qe"), F.col("centroid")).alias("score"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("score"), "cluster")
+            ),
+        )
+        .where(F.col("r") <= _IVF_NPROBE)
+        .select("query_id", "qe", "qn", "cluster")
+    )
+    probed = sorted({r["cluster"] for r in qc.select("cluster").distinct().collect()})
+    cand = index.where(F.col("cluster").isin(probed)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+        "cluster",
+    )
+    scored = (
+        qc.join(cand, "cluster")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine_sim"), "rank")
+    )

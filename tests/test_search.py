@@ -32,3 +32,33 @@ def test_search_topk_contract_and_determinism(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_ivf_stored_index_matches_per_query_fit(spark):
+    """The stored partitioned IVF index (same quantizer seed) must return
+    exactly the per-query-fit IVF results."""
+    from spark_text_clustering_spark.operators.similarity import (
+        knn_cosine_ivf,
+        knn_cosine_ivf_stored,
+    )
+    from .conftest import SF_ORACLE
+
+    live = {tuple(r) for r in knn_cosine_ivf(spark, SF_ORACLE).collect()}
+    stored = {tuple(r) for r in knn_cosine_ivf_stored(spark, SF_ORACLE).collect()}
+    assert stored == live
+
+
+def test_ivf_stored_index_scan_partition_prunes(spark):
+    """Probing the stored index must show cluster partition filters in the
+    scan — the directory-pruning property that makes IVF cheap at scale."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.operators.similarity import build_ivf_index
+    from .conftest import SF_ORACLE
+
+    index_path, _ = build_ivf_index(spark, SF_ORACLE)
+    probe = spark.read.parquet(index_path).where(F.col("cluster").isin([1, 3]))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cluster" in plan
