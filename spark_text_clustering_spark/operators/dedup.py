@@ -337,3 +337,43 @@ def incremental_dedup(
     # would be the production pattern; append suffices for the local store)
     survivors.select("h", "doc_id").write.mode("append").parquet(store_path)
     return survivors.select("doc_id", "h")
+
+
+@REG.register(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM part a JOIN part b
+      ON string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by edit distance with a blocking key: the
+    equi-join on the first token carries the shuffle, the O(|a|·|b|)
+    levenshtein verify runs only inside blocks (never a cross join).
+    This is record-linkage-style dedup for short strings (titles, names)
+    where shingle/MinHash granularity is too coarse. At 100 TB: pick a
+    blocking key with bounded frequency (first-token + length bucket) so
+    no block degenerates to quadratic."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.split("p_name", " ").getItem(0).alias("block"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.split("p_name", " ").getItem(0).alias("block"),
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+    )

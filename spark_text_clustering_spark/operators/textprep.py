@@ -277,3 +277,39 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@REG.register(
+    "url_parse_domains",
+    oracle="""
+    WITH urls AS (
+      SELECT 'https://' || source || '.example.com/doc/' || doc_id
+               || '?lang=' || lang AS url
+      FROM documents)
+    SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM urls GROUP BY 1
+    """,
+)
+def url_parse_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing via the built-in `parse_url` (HOST part) + per-domain
+    counts — the domain-level aggregation every web-crawl pipeline runs
+    for source mixing/blocklists. URLs are constructed deterministically
+    from testdata columns (the corpus text has none); the oracle parses
+    with a regex since DuckDB lacks parse_url. JVM-side end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id"),
+            F.lit("?lang="),
+            F.col("lang"),
+        ).alias("url")
+    )
+    return (
+        urls.select(F.parse_url("url", F.lit("HOST")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
