@@ -427,3 +427,58 @@ def freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, merged associatively — no shuffle of raw data."""
     ev = load_table(spark, sf_dir, "events")
     return ev.stat.freqItems(["event_type", "user_id"], 0.1)
+
+
+@REG.register(
+    "sessionize_gap",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT) AS span_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a new session starts when a user's gap to
+    the previous event exceeds 30 minutes (lag + flag + running sum —
+    the classic three-step), then per-session rollup (events, span,
+    spend). The batch twin of `stream_session_agg`'s session_window,
+    usable retroactively over the full history. Integer microsecond
+    math end to end — no float drift vs the oracle. Scale: the lag
+    window, the running sum, and the (user_id, session_no) aggregate
+    all ride ONE hash partitioning on user_id; Catalyst plans a single
+    Exchange, and per-user state is two longs. Skewed power users
+    sessionize independently of everyone else."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn("session_no", F.sum("new_sess").over(run))
+    return sess.groupBy("user_id", F.col("session_no").cast("long").alias("session_no")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("long").alias("span_us"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

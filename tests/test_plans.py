@@ -120,3 +120,51 @@ def test_not_in_plans_null_aware_anti_join(spark):
 def test_q4_exists_plans_semi_join(spark):
     plan = plan_of(spark, "tpch_q4_priority_check")
     assert "LeftSemi" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """With a selective filter on the build side of a shuffle join,
+    Catalyst injects a runtime Bloom filter (bloom_filter_agg on the
+    build keys, might_contain on the probe scan) so probe rows that
+    cannot join die before the exchange. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the ~matching slice; thresholds are lowered here only because the
+    sf0.01 scan is below the production defaults."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        o = load_table(spark, SF_ORACLE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # the membership probe must sit on the fact side, before its exchange
+        assert "l_orderkey" in next(
+            l for l in plan.splitlines() if "might_contain" in l
+        )
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
