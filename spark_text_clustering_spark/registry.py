@@ -23,6 +23,7 @@ from .operators import (
     text,
     textprep,
     tpch_more,
+    tpch_rest,
 )
 from .ml import queries as ml_queries
 from .plans.flagship import TOP_K, flagship_top_terms_per_lang
@@ -63,6 +64,7 @@ ROOT.merge(
     multimodal.REG,
     textprep.REG,
     tpch_more.REG,
+    tpch_rest.REG,
     ml_queries.REG,
     streaming_windows.REG,
 )
