@@ -83,7 +83,29 @@ def regexp_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REG.register("dedup_transitive")  # rows-only: iterative fixpoint, not single-statement SQL
+@REG.register(
+    "dedup_transitive",
+    oracle="""
+    WITH RECURSIVE
+    all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+    lead_edges AS (
+      SELECT doc_id AS src,
+             LEAD(doc_id) OVER (PARTITION BY text ORDER BY doc_id) AS dst
+      FROM all_docs),
+    e AS (SELECT src, dst FROM lead_edges WHERE dst IS NOT NULL),
+    undirected AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id AS r FROM all_docs
+      UNION
+      SELECT u.src AS doc_id, reach.r
+      FROM undirected u JOIN reach ON u.dst = reach.doc_id)
+    SELECT doc_id, CAST(MIN(r) AS BIGINT) AS component_id
+    FROM reach GROUP BY doc_id
+    """,
+)
 def dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact-duplicate graph: transitive
     closure of near-dup pairs via iterative min-label propagation — the
@@ -95,6 +117,12 @@ def dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     value; data never leaves the cluster). At 100 TB: checkpoint every few
     iterations to truncate lineage, and pre-shrink with the hash-dedup
     pass so the graph holds only near-dup candidates.
+
+    Oracled via a DuckDB recursive CTE: sha256 buckets are exactly the
+    text-equality groups, so the oracle builds the same chain edges with
+    LEAD over text partitions and takes min-reachable-id per node —
+    single-statement transitive closure the iterative Spark plan must
+    reproduce bit-for-bit.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     copy = docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")

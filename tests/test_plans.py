@@ -168,3 +168,42 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+
+def test_q8_dimensions_broadcast_facts_shuffle(spark):
+    """Q8's 7-relation tree: every dimension (part/supplier/nation/region)
+    must broadcast; only the two fact joins (orderkey, custkey) may
+    shuffle. A dimension falling off the broadcast path multiplies
+    exchange volume ~1000x at 100 TB."""
+    plan = plan_of(spark, "tpch_q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
+
+
+def test_q17_avg_subquery_decorrelated(spark):
+    """Q17's correlated AVG must run as one per-part aggregate joined back
+    (decorrelated), not as a per-row subquery: exactly one partial_avg
+    aggregate pair in the plan."""
+    plan = plan_of(spark, "tpch_q17_small_quantity")
+    assert "partial_avg" in plan
+    assert "Subquery" not in plan  # fully decorrelated, no rewrite residue
+
+
+def test_q2_min_cost_correlation_is_aggregate_join(spark):
+    """Q2's correlated MIN becomes aggregate + equality self-join; the
+    supplier/nation/region dims broadcast."""
+    plan = plan_of(spark, "tpch_q2_min_cost_supplier")
+    assert "partial_min" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q13_priority_filter_stays_in_join_condition(spark):
+    """Q13: the o_orderpriority filter must live in the LEFT JOIN condition
+    (not a post-filter), preserving customers with zero orders."""
+    plan = plan_of(spark, "tpch_q13_customer_distribution")
+    assert "LeftOuter" in plan
+    # the priority predicate is pushed to the orders scan side of the
+    # outer join (safe: it only restricts the preserved side's matches)
+    assert "1-URGENT" in plan
