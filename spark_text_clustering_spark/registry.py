@@ -11,6 +11,7 @@ from __future__ import annotations
 from ._registry import Registry
 from .functions.textnorm import STOPWORDS, stopwords_sql_list
 from .operators import (
+    analytics,
     collections as collections_ops,
     dedup,
     grouped,
@@ -52,6 +53,7 @@ WHERE rank <= {TOP_K}
 ROOT.register("flagship_top_terms", oracle=_FLAGSHIP_ORACLE)(flagship_top_terms_per_lang)
 
 ROOT.merge(
+    analytics.REG,
     relational.REG,
     relational_ext.REG,
     relational_more.REG,
