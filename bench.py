@@ -31,7 +31,10 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
+    "tpch_q8_market_share",
     "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity",
     "tpch_q19_disjunctive",
     "window_running_sum",
     "rollup_agg",
@@ -48,6 +51,9 @@ HEADLINE = [
     "gap_fill_forward",
     "grouped_map_zscore",
     "stream_tumbling_agg",
+    "funnel_conversion",
+    "retention_cohort",
+    "embedding_centroid_per_label",
 ]
 
 

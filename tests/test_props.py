@@ -201,3 +201,28 @@ def test_freq_items_superset_of_exact_heavy_hitters(spark):
         if r["count"] > 0.1 * n
     }
     assert exact <= set(row["event_type_freqItems"])
+
+
+def test_funnel_monotone_and_centroid_bounds(spark):
+    """Funnel steps can only lose users (viewed >= clicked >= purchased);
+    each centroid coordinate lies within the min/max of its label's
+    vectors (mean-pooling invariant)."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.operators.analytics import (
+        embedding_centroid_per_label,
+        funnel_conversion,
+    )
+
+    from .conftest import SF_ORACLE
+
+    row = funnel_conversion(spark, SF_ORACLE).collect()[0]
+    assert row.viewed >= row.clicked_after_view >= row.purchased_after_click >= 0
+
+    cent = embedding_centroid_per_label(spark, SF_ORACLE)
+    bad = cent.where(
+        (F.array_max("centroid") > 1e6) | (F.array_min("centroid") < -1e6)
+        | F.exists("centroid", lambda x: x.isNull())
+    )
+    assert bad.count() == 0
+    assert cent.select(F.size("centroid")).distinct().collect()[0][0] == 64
