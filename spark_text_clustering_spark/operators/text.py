@@ -671,3 +671,50 @@ def repetition_max_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_sizes = runs.groupBy("doc_id", "run_id").agg(F.count(F.lit(1)).alias("run_len"))
     return run_sizes.groupBy("doc_id").agg(F.max("run_len").alias("max_run"))
+
+
+@REG.register(
+    "udtf_sentence_split",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             generate_subscripts(regexp_split_to_array(text, '\\.\\s+'), 1) AS sent_idx,
+             trim(unnest(regexp_split_to_array(text, '\\.\\s+'))) AS sentence
+      FROM documents)
+    SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, sentence
+    FROM s WHERE length(sentence) > 0
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+ table function) splitting documents into
+    sentences — one input row fans out to N output rows via LATERAL. This
+    is the one UDF API class the rest of the engine doesn't exercise
+    (scalar UDF, pandas UDF, applyInPandas, mapInPandas are covered
+    elsewhere); registered in the session catalog and invoked from SQL.
+    Python-side row fan-out is the slow path by design — the production
+    twin of this op is the pure-JVM posexplode(split(...)) used by
+    chunk_documents; this key exists to keep the UDTF surface tested.
+    The index is computed before empty-filtering, matching the oracle's
+    generate_subscripts over the raw split array."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: int, sentence: string")
+    class SentenceSplit:
+        def eval(self, text):
+            if text is None:
+                return
+            for i, raw in enumerate(re.split(r"\.\s+", text), start=1):
+                s = raw.strip(" ")
+                if s:
+                    yield i, s
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM docs_for_udtf d, LATERAL sentence_split(d.text) s
+        """
+    )
