@@ -206,3 +206,109 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "week_offset").agg(
         F.count(F.lit(1)).cast("long").alias("active_users")
     )
+
+
+@REG.register(
+    "time_bucket_15min",
+    oracle="""
+    SELECT event_type,
+           CAST(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900)
+                AS TIMESTAMP) AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           AVG(value) AS avg_value
+    FROM events
+    GROUP BY event_type, bucket_start
+    """,
+)
+def time_bucket_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-interval time bucketing (15-minute bins, epoch-aligned) —
+    the batch form of a hypertable rollup / date_bin. The bucket is pure
+    integer math on the epoch (floor(epoch/900)*900), so it stays inside
+    whole-stage codegen and the aggregate is one partial+final hash agg
+    on (type, bucket) — at 100 TB the shuffle carries one row per group,
+    and the same expression reuses as the streaming window key."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp("ts") / 900) * 900).cast("long")
+    ).alias("bucket_start")
+    return ev.groupBy("event_type", bucket).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.avg("value").alias("avg_value"),
+    )
+
+
+@REG.register(
+    "pipeline_prepare_corpus",
+    oracle="""
+    WITH filtered AS (
+      SELECT doc_id, text FROM documents
+      WHERE lang IN ('en', 'de', 'fr', 'es') AND n_chars >= 100
+        AND len(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> len(x) > 0)) >= 20),
+    dedup AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY sha256(text)
+                                  ORDER BY doc_id) AS rn
+        FROM filtered) WHERE rn = 1),
+    chunks AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, CAST(ceil(len(text) / 200.0) AS INTEGER)))
+               AS chunk_idx
+      FROM dedup)
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(substr(text, (chunk_idx - 1) * 200 + 1, 200)) AS INTEGER)
+             AS chunk_len,
+           CAST(len(list_filter(
+                  regexp_split_to_array(
+                    substr(text, (chunk_idx - 1) * 200 + 1, 200), '\\s+'),
+                  x -> len(x) > 0)) AS INTEGER) AS n_tokens
+    FROM chunks
+    """,
+)
+def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data preparation as ONE declarative plan:
+    language filter → length floor → token-count quality gate → exact
+    dedup (first-id survivor per content hash) → 200-char chunking →
+    per-chunk token counts. This is the composite the individual keys
+    (lang_id, quality_score, dedup_exact_hash, chunk_documents,
+    token_count) exist for — one Catalyst plan, no materialization
+    between stages. Scale shape: the only shuffle is the dedup window on
+    sha256(text) (64-hex key, uniform, unskewable); chunking fans out
+    rows with zero exchange; every string op is codegen'd. At 100 TB the
+    dedup window would swap to groupBy(hash).agg(min(doc_id)) + semi
+    join to avoid tall-partition sorts, which is plan-equivalent."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = lambda c: F.size(  # noqa: E731
+        F.filter(F.split(c, r"\s+"), lambda x: F.length(x) > 0)
+    )
+    filtered = docs.where(
+        F.col("lang").isin("en", "de", "fr", "es")
+        & (F.col("n_chars") >= 100)
+        & (n_tok(F.col("text")) >= 20)
+    ).select("doc_id", "text")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    dedup = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    chunks = dedup.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.ceil(F.length("text") / 200.0).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    chunk = F.substring(
+        F.col("text"), (F.col("chunk_idx") - 1) * 200 + 1, 200
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+        n_tok(chunk).cast("int").alias("n_tokens"),
+    )

@@ -207,3 +207,26 @@ def test_q13_priority_filter_stays_in_join_condition(spark):
     # the priority predicate is pushed to the orders scan side of the
     # outer join (safe: it only restricts the preserved side's matches)
     assert "1-URGENT" in plan
+
+
+def test_join_strategy_hints_honored(spark):
+    """Strategy hints must override the planner's default choice: merge
+    forces SortMergeJoin and shuffle_hash forces ShuffledHashJoin even on
+    broadcastable inputs. At 100 TB hints are the escape hatch when stats
+    mislead AQE (e.g. a 'small' side that explodes after a filter)."""
+    from spark_text_clustering_spark.catalog import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    s = load_table(spark, SF_ORACLE, "supplier")
+
+    merged = li.join(s.hint("merge"), li.l_suppkey == s.s_suppkey)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        merged._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+
+    hashed = li.join(s.hint("shuffle_hash"), li.l_suppkey == s.s_suppkey)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        hashed._jdf.queryExecution(), "formatted"
+    )
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
