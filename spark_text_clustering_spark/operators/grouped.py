@@ -56,3 +56,42 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         _zscore_pdf, schema="event_id long, user_id long, zscore double"
     )
+
+
+@REG.register(
+    "grouped_agg_pandas_weighted_avg",
+    oracle="""
+    SELECT user_id,
+           SUM(value * CAST(event_id % 10 + 1 AS DOUBLE))
+             / SUM(CAST(event_id % 10 + 1 AS DOUBLE)) AS weighted_avg
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def grouped_agg_pandas_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the true vectorized-UDAF mode (one Arrow
+    batch of the group's columns in, one scalar out), completing the UDF
+    matrix next to applyInPandas (grouped map) and mapInPandas (stream).
+    Weighted average with a deterministic synthetic weight so the DuckDB
+    oracle can recompute it exactly. Unlike applyInPandas, GROUPED_AGG
+    supports partial aggregation pushdown in Spark's planner only for
+    built-ins — so at 100 TB prefer the pure-SQL form (sum(v*w)/sum(w),
+    map-side combinable) and reserve this path for aggregations SQL
+    can't express (e.g. a t-digest merge); this key keeps the API
+    surface tested and documents exactly that tradeoff."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("value"),
+        (F.col("event_id") % 10 + 1).cast("double").alias("w"),
+    )
+    return ev.groupBy("user_id").agg(
+        weighted_avg("value", "w").alias("weighted_avg")
+    )

@@ -621,3 +621,39 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
+
+
+@REG.register(
+    "variant_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into a
+    VariantType column, then variant_get typed extraction — the
+    shredded-storage answer to schema-on-read JSON. Versus per-access
+    get_json_object re-parsing (the json_extract key), a VARIANT column
+    parses once and serves many extractions; at 100 TB the parse cost is
+    paid at ingest and the binary encoding scans ~3-10x faster than raw
+    JSON strings. Filter + aggregate run on the extracted long."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("pv")
+    ).select(
+        "event_type", F.variant_get("pv", "$.k", "long").alias("k")
+    )
+    return (
+        v.where(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
