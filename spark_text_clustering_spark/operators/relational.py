@@ -657,3 +657,79 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
+
+
+@REG.register(
+    "sql_udf_scalar_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sql_udf_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDF (Spark 4 CREATE FUNCTION ... RETURN expr):
+    the function body is pure SQL, so Catalyst INLINES it into the plan —
+    unlike Python UDFs there is no serialization boundary, and the
+    aggregate below it still gets map-side combine and codegen. The
+    decimal return type keeps the money sum exact (same discipline as the
+    TPC-H battery)."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(24,4)
+        RETURN CAST(CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,2)))
+                    AS DECIMAL(24,4))
+        """
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_for_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(disc_price(l_extendedprice, l_discount)) AS DOUBLE)
+                 AS revenue
+        FROM li_for_sqludf
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@REG.register(
+    "sql_table_function_buckets",
+    oracle="""
+    WITH buckets AS (
+      SELECT unnest(generate_series(1, 10)) AS bucket)
+    SELECT b.bucket, CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines
+    FROM buckets b
+    LEFT JOIN lineitem l
+      ON CAST(ceil(l.l_quantity / 5.0) AS INTEGER) = b.bucket
+    GROUP BY b.bucket
+    """,
+)
+def sql_table_function_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined TABLE function (CREATE FUNCTION ... RETURNS TABLE) used
+    as a relation in FROM — a catalog-registered generator the optimizer
+    sees as a plain subquery (here: a 10-row bucket dimension that
+    broadcast-joins against quantity buckets, preserving empty buckets
+    via LEFT JOIN). The SQL-body TVF inlines; contrast with the Python
+    UDTF key (udtf_sentence_split), which crosses the Arrow boundary."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION qty_buckets(n INT)
+        RETURNS TABLE(bucket INT)
+        RETURN SELECT explode(sequence(1, n))
+        """
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_for_sqltvf")
+    return spark.sql(
+        """
+        SELECT b.bucket, COUNT(l.l_orderkey) AS n_lines
+        FROM qty_buckets(10) b
+        LEFT JOIN li_for_sqltvf l
+          ON CAST(ceil(l.l_quantity / 5.0) AS INT) = b.bucket
+        GROUP BY b.bucket
+        """
+    ).select("bucket", F.col("n_lines").cast("long").alias("n_lines"))

@@ -492,7 +492,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Python UDF surface: stemmer + fingerprint (rows-only checks)
 # ---------------------------------------------------------------------------
 
-_MOD = (1 << 61) - 1
+# fingerprint modulus: small enough that acc*131 + codepoint stays far
+# inside int64 (needed so the SQL-twin oracle can run the same recurrence
+# without overflow), large enough for ~1e-9 collision odds per pair
+_MOD = 1_000_000_007
 
 
 def _porter_lite(word: str) -> str:
@@ -538,10 +541,24 @@ def _fingerprint_series(text: pd.Series) -> pd.Series:
     return text.map(fp)
 
 
-@REG.register("doc_fingerprint")  # rows-only: rolling hash not expressible in ANSI SQL
+@REG.register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_split_to_array(text, ''),
+                              c -> unicode(c))),
+             (acc, c) -> (acc * 131 + c) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic rolling polynomial hash per document (content
-    fingerprinting for incremental dedup). Pandas UDF; pure map."""
+    fingerprinting for incremental dedup). Pandas UDF; pure map. Oracled:
+    DuckDB folds the identical recurrence (acc*131 + codepoint mod p)
+    over the codepoint list with list_reduce, so the Arrow-batched
+    Python path is checked bit-for-bit against a pure-SQL twin."""
     fp_udf = pandas_udf(_fingerprint_series, "long")
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fp_udf(F.col("text")).alias("fingerprint"))
