@@ -54,6 +54,8 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohort",
     "embedding_centroid_per_label",
+    "pipeline_prepare_corpus",
+    "variant_json_extract",
 ]
 
 

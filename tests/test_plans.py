@@ -230,3 +230,12 @@ def test_join_strategy_hints_honored(spark):
         hashed._jdf.queryExecution(), "formatted"
     )
     assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+
+
+def test_prepare_corpus_single_shuffle(spark):
+    """The composite corpus-prep plan must have exactly ONE exchange (the
+    dedup window on sha256(text)); filters, chunk fan-out, and token
+    counts are all narrow. A second exchange would mean a stage boundary
+    snuck between pipeline steps."""
+    plan = plan_of(spark, "pipeline_prepare_corpus")
+    assert plan.count("Arguments: hashpartitioning") == 1
