@@ -312,3 +312,72 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).cast("int").alias("chunk_len"),
         n_tok(chunk).cast("int").alias("n_tokens"),
     )
+
+
+@REG.register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, value AS state_value, ts AS valid_from,
+             COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      TIMESTAMP '9999-01-01') AS valid_to
+      FROM events WHERE event_type = 'view'),
+    probes AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.value AS purchase_value,
+           v.state_value, v.valid_from
+    FROM probes p
+    JOIN versions v
+      ON p.user_id = v.user_id
+     AND p.ts >= v.valid_from AND p.ts < v.valid_to
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time join: build a slowly-changing dimension from the
+    view-event stream (each row valid [ts, next ts)), then join each
+    purchase to the version in effect at purchase time. The validity
+    intervals come from LEAD over (user_id, ts) — one window pass — and
+    the lookup is an equi-join on user_id with a range residual, so the
+    only exchange is the user_id hash partitioning both sides share. At
+    100 TB this beats the generic interval join because the equi-key
+    carries the partitioning; the range predicate is evaluated
+    post-match per user (bounded by that user's version count). The
+    event_id tiebreak in the window ORDER BY makes same-timestamp
+    versions deterministic."""
+    from pyspark.sql import Window
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id", F.col("value").alias("state_value"), "ts", "event_id")
+        .withColumn(
+            "valid_to",
+            F.coalesce(
+                F.lead("ts").over(w),
+                F.lit("9999-01-01").cast("timestamp"),
+            ),
+        )
+        .withColumnRenamed("ts", "valid_from")
+        .drop("event_id")
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return (
+        probes.join(
+            versions,
+            (probes.user_id == versions.user_id)
+            & (probes.ts >= versions.valid_from)
+            & (probes.ts < versions.valid_to),
+        )
+        .select(
+            "event_id",
+            probes.user_id,
+            "purchase_value",
+            "state_value",
+            "valid_from",
+        )
+    )
