@@ -169,3 +169,57 @@ def test_stream_static_join_batch_equivalence(spark):
         table_name="t_static_join",
     )
     assert _as_sets(stream) == _as_sets(batch)
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart recovery: a checkpointed aggregation stopped mid-
+    stream must, after restart, produce exactly the batch answer over ALL
+    data — offsets replay from the checkpoint log, aggregation state from
+    the state store, and no batch is double-counted. This is the fault-
+    tolerance contract a 1000-executor deployment leans on (driver loss =
+    restart from checkpoint, not reprocess-from-scratch)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    rows1 = [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(100)]
+    rows2 = [(i, "b" if i % 3 == 0 else "c", float(i)) for i in range(100, 250)]
+    schema = "id long, k string, v double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_until_drained():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        )
+        q = (
+            stream.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, _id: df.write.mode("overwrite").parquet(out)
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    run_until_drained()  # phase 1: only rows1 ingested
+    first = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert first  # sanity: phase-1 snapshot exists
+
+    # new data lands while the query is DOWN; restart resumes from ckpt
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    run_until_drained()
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    assert {tuple(r) for r in spark.read.parquet(out).collect()} == {
+        tuple(r) for r in batch.collect()
+    }
