@@ -733,3 +733,39 @@ def sql_table_function_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY b.bucket
         """
     ).select("bucket", F.col("n_lines").cast("long").alias("n_lines"))
+
+
+@REG.register(
+    "xml_parse_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def xml_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 from_xml): serialize each event to an
+    XML fragment, then parse it back with a typed schema and aggregate
+    from the PARSED struct only — a round-trip that proves the XML path
+    end-to-end (concat serialization, from_xml schema projection, struct
+    field access) while the oracle recomputes from the original columns.
+    Parsing is JVM-side (no Python); at 100 TB XML decode cost is
+    per-row but pipelined inside the scan stage with zero extra
+    exchanges beyond the final agg."""
+    ev = load_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<event><type>"),
+        F.col("event_type"),
+        F.lit("</type><k>"),
+        F.get_json_object("props", "$.k"),
+        F.lit("</k></event>"),
+    )
+    parsed = ev.select(
+        F.from_xml(xml, "type string, k long").alias("x")
+    )
+    return (
+        parsed.groupBy(F.col("x.type").alias("event_type"))
+        .agg(F.sum("x.k").cast("long").alias("sum_k"))
+    )
