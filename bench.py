@@ -110,6 +110,33 @@ def main() -> None:
         spark.sql("DROP TABLE IF EXISTS bench_b.lineitem_b")
         spark.sql("DROP DATABASE IF EXISTS bench_b")
 
+    # Skewed aggregation: plain vs two-stage salted (operators/skew.py).
+    # Synthetic hot key: ~60% of lineitem rows collapse onto one key, the
+    # worst case AQE does NOT fix for aggregations (its skew handling
+    # only splits sort-merge-join partitions).
+    from spark_text_clustering_spark.operators.skew import salted_aggregate
+
+    skewed = load_table(spark, SF_DIR, "lineitem").select(
+        F.when(F.col("l_orderkey") % 5 < 3, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_quantity",
+        "l_linenumber",
+    )
+    plain = skewed.groupBy("k").agg(F.sum("l_quantity").alias("q"))
+    salted = salted_aggregate(
+        skewed.withColumnRenamed("l_quantity", "q"),
+        key_cols=["k"],
+        agg_exprs={"q": "sum"},
+        salt_cols=["l_linenumber"],
+        n_salts=32,
+    )
+    for label, df in [("agg_skew_plain", plain), ("agg_skew_salted", salted)]:
+        df.write.format("noop").mode("overwrite").save()  # warmup
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[label] = round(time.perf_counter() - t0, 3)
+
     # LDA EM training (the reference's only published numbers are EM
     # iteration timings — BASELINE.md: 0.79 s/iter EN, 2.10 s/iter GE at
     # 50 iterations). Same k=5 / 50 iters / EM on the documents corpus.
