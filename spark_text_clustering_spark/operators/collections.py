@@ -269,3 +269,45 @@ def explode_outer_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode_outer(rare).alias("rare_token")
     )
+
+
+_CLOSURE_SQL = """
+    WITH RECURSIVE
+    all_docs AS (
+      SELECT doc_id, text FROM {documents}
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM {documents}),
+    lead_edges AS (
+      SELECT doc_id AS dst,
+             LAG(doc_id) OVER (PARTITION BY text ORDER BY doc_id) AS src
+      FROM all_docs),
+    e AS (SELECT src, dst FROM lead_edges WHERE src IS NOT NULL),
+    walk(doc_id, anc) AS (
+      SELECT doc_id, doc_id AS anc FROM all_docs
+      UNION ALL
+      SELECT w.doc_id, e.src AS anc
+      FROM walk w JOIN e ON e.dst = w.anc)
+    SELECT doc_id, CAST(MIN(anc) AS BIGINT) AS component_id
+    FROM walk GROUP BY doc_id
+"""
+
+
+@REG.register(
+    "recursive_cte_closure",
+    oracle=_CLOSURE_SQL.format(documents="documents"),
+)
+def recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure via a RECURSIVE CTE executed BY SPARK (4.0+
+    native recursion) — the declarative twin of dedup_transitive's
+    iterative min-label loop, over the same synthetic duplicate-chain
+    graph. The walk follows each node's unique predecessor edge (LAG
+    within the text-equality bucket), which is acyclic by construction
+    (src < dst), so UNION ALL recursion terminates without needing
+    UNION-dedup; the component id is the min ancestor reached. Spark and
+    DuckDB run literally the same SQL text. At 100 TB the per-level
+    semantics are the same iterated join the loop version plans — the
+    CTE form just moves loop control into the engine (bounded by
+    spark.sql.cteRecursionLevelLimit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_for_closure")
+    return spark.sql(_CLOSURE_SQL.format(documents="docs_for_closure"))
