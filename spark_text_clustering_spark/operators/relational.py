@@ -769,3 +769,35 @@ def xml_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.groupBy(F.col("x.type").alias("event_type"))
         .agg(F.sum("x.k").cast("long").alias("sum_k"))
     )
+
+
+@REG.register(
+    "lateral_topn_per_key",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+    """,
+)
+def lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table with ORDER BY + LIMIT — top-3
+    customers per nation expressed as a per-row subquery instead of the
+    window-rank form (topk_per_group). Catalyst decorrelates the lateral
+    into a join + per-key group limit, so the plan converges with the
+    window version — the declarative surface differs, the physical plan
+    should not. The Spark side also exercises parameterized spark.sql
+    (named :k binding, no string splicing)."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_lat n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer_lat c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT :k) t
+        """,
+        args={"k": 3},
+    )
