@@ -143,7 +143,13 @@ def test_custom_datasource_streaming(spark, tmp_path):
         q.processAllAvailable()
         assert spark.table("t_pyds").count() == 1
         (d / "two.txt").write_text("second doc arrives later with more words")
-        q.processAllAvailable()
+        # processAllAvailable drains data visible at its offset poll; under
+        # load the new file can land just after a poll — retry with a
+        # deadline rather than trusting a single drain.
+        deadline = time.time() + 30
+        while spark.table("t_pyds").count() < 2 and time.time() < deadline:
+            q.processAllAvailable()
+            time.sleep(0.2)
         rows = {r["path"].split("/")[-1]: r["n_tokens"] for r in spark.table("t_pyds").collect()}
         assert rows == {"one.txt": 3, "two.txt": 7}  # each file exactly once
     finally:
