@@ -58,11 +58,13 @@ def tfidf_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.register("lda_topics")  # rows-only: seeded EM, distribution-level assertions in tests
 def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4+M6: train seeded EM-LDA on TF-IDF, describeTopics joined to
-    terms. k rows, deterministic under the fixed seed."""
+    terms. k rows, deterministic under the fixed seed. Term list serialized
+    space-joined so the output schema stays atomic for external hashers."""
     _df, model = _vectorized(spark, sf_dir)
     lda_model = _trained_lda(spark, sf_dir)
     vocab = vocabulary_table(model, spark)
-    return describe_topics_with_terms(lda_model, vocab, max_terms=10)
+    out = describe_topics_with_terms(lda_model, vocab, max_terms=10)
+    return out.withColumn("terms", F.concat_ws(" ", "terms"))
 
 
 @REG.register("lda_doc_report")  # rows-only: books-per-topic report shape
@@ -72,4 +74,6 @@ def lda_doc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, _ = _vectorized(spark, sf_dir)
     lda_model = _trained_lda(spark, sf_dir)
     scored = score_documents(lda_model, df.select("doc_id", "tfidf"))
-    return topic_report(scored)
+    out = topic_report(scored)
+    # comma-joined atomic doc list for external hashers
+    return out.withColumn("docs", F.concat_ws(",", "docs"))

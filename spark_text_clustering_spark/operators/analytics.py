@@ -29,23 +29,23 @@ REG = Registry()
       SELECT label,
              generate_subscripts(embedding, 1) AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS val
-      FROM embeddings),
-    dims AS (
-      SELECT label, pos, AVG(val) AS v
-      FROM flat GROUP BY label, pos)
-    SELECT label, list(v ORDER BY pos) AS centroid
-    FROM dims GROUP BY label
+      FROM embeddings)
+    SELECT label, CAST(pos AS INTEGER) AS pos, AVG(val) AS centroid_v
+    FROM flat GROUP BY label, pos
     """,
 )
 def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-pooled centroid per label — the building block of IVF index
     builds, class prototypes, and k-means steps. Dimension-wise plan:
-    posexplode re-keys the data to (label, dim), the avg is a partial+final
-    hash agg over ~labels×64 groups, and the centroid is reassembled with
-    a sort_array(collect_list(struct)) — collect_list here holds exactly
-    64 scalars per group, bounded regardless of corpus size, so the
-    operator is safe at 100 TB (the shuffle carries one row per
-    (label, dim), not per vector)."""
+    posexplode re-keys the data to (label, dim) and the avg is a
+    partial+final hash agg over ~labels×64 groups — the shuffle carries
+    one row per (label, dim), not per vector, so the operator is safe at
+    100 TB. The output is the flat (label, pos, centroid_v) form — the
+    all-scalar schema external hashers can canonicalize (see
+    tests/test_registry_schemas.py); callers that want the packed
+    ``array<double>`` shape reassemble with
+    ``transform(array_sort(collect_list(struct(pos, v))), s -> s.v)``
+    exactly as the IVF index build does (similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     flat = emb.select(
         "label",
@@ -53,13 +53,8 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos0", "val"
         ),
     )
-    dims = flat.groupBy("label", (F.col("pos0") + 1).alias("pos")).agg(
-        F.avg("val").alias("v")
-    )
-    return dims.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
-        ).alias("centroid")
+    return flat.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos")).agg(
+        F.avg("val").alias("centroid_v")
     )
 
 
@@ -212,8 +207,8 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time_bucket_15min",
     oracle="""
     SELECT event_type,
-           CAST(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900)
-                AS TIMESTAMP) AS bucket_start,
+           make_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 * 1000000)
+             AS bucket_start,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            AVG(value) AS avg_value
     FROM events

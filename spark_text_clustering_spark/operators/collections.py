@@ -23,19 +23,24 @@ REG = Registry()
     WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents)
     SELECT doc_id,
            list_contains(toks, 'the') AS contains_the,
-           list_sort(list_distinct(list_concat(toks, ['zzz']))) AS union_sorted,
+           array_to_string(list_sort(list_distinct(list_concat(toks, ['zzz']))), ' ')
+             AS union_sorted,
            CAST(len(flatten([toks, ['x','y']])) AS INTEGER) AS flat_len
     FROM t
     """,
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array battery: contains / union / flatten — all JVM array codegen."""
+    """Array battery: contains / union / flatten — all JVM array codegen.
+    Space-joined atomic output for external hashers (see
+    tests/test_registry_schemas.py)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), r"\s+")
     return docs.select(
         "doc_id",
         F.array_contains(toks, "the").alias("contains_the"),
-        F.sort_array(F.array_union(toks, F.array(F.lit("zzz")))).alias("union_sorted"),
+        F.concat_ws(
+            " ", F.sort_array(F.array_union(toks, F.array(F.lit("zzz"))))
+        ).alias("union_sorted"),
         F.size(F.flatten(F.array(toks, F.array(F.lit("x"), F.lit("y"))))).alias("flat_len"),
     )
 
@@ -45,7 +50,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (SELECT doc_id, map(['lang','source'], [lang, source]) AS meta FROM documents)
     SELECT doc_id,
-           list_sort(map_keys(meta)) AS keys_sorted,
+           array_to_string(list_sort(map_keys(meta)), ',') AS keys_sorted,
            meta['lang'][1] AS lang_val
     FROM m
     """,
@@ -53,14 +58,14 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map battery: construction, key listing, element access. (DuckDB map
     access returns a 1-element list, hence the ``[1]`` unwrap in the
-    oracle.)"""
+    oracle.) Comma-joined atomic key list for external hashers."""
     docs = load_table(spark, sf_dir, "documents")
     meta = F.map_from_arrays(
         F.array(F.lit("lang"), F.lit("source")), F.array(F.col("lang"), F.col("source"))
     )
     return docs.select(
         "doc_id",
-        F.sort_array(F.map_keys(meta)).alias("keys_sorted"),
+        F.concat_ws(",", F.sort_array(F.map_keys(meta))).alias("keys_sorted"),
         F.element_at(meta, F.lit("lang")).alias("lang_val"),
     )
 
@@ -307,7 +312,12 @@ def recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB run literally the same SQL text. At 100 TB the per-level
     semantics are the same iterated join the loop version plans — the
     CTE form just moves loop control into the engine (bounded by
-    spark.sql.cteRecursionLevelLimit)."""
+    spark.sql.cteRecursionLevelLimit — pinned explicitly below so the
+    at-scale failure mode is a deliberate, documented limit: a duplicate
+    chain longer than the limit fails fast rather than silently
+    truncating; corpora with >1000-deep exact-duplicate chains should
+    use dedup_transitive's iterative loop instead)."""
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("docs_for_closure")
     return spark.sql(_CLOSURE_SQL.format(documents="docs_for_closure"))

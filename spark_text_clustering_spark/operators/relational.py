@@ -108,19 +108,28 @@ def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string_split_join",
     oracle="""
     SELECT p_partkey,
-           string_split(p_type, ' ') AS type_words,
+           CAST(len(string_split(p_type, ' ')) AS INTEGER) AS n_words,
+           string_split(p_type, ' ')[1] AS first_word,
            array_to_string(string_split(p_type, ' '), '_') AS type_joined
     FROM part
     """,
 )
 def string_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split/join scalar round-trip (reference P9: vocab ``mkString(",")`` /
-    ``split(",")``, LDAClustering.scala:72, LDALoader.scala:43)."""
+    ``split(",")``, LDAClustering.scala:72, LDALoader.scala:43).
+
+    Output is all-scalar by design: the intermediate array is exercised via
+    size / element access / concat_ws rather than returned raw — external
+    comparison harnesses (pandas-based canonicalizers) can't hash list
+    cells, so every registered query keeps an atomic output schema (see
+    tests/test_registry_schemas.py).
+    """
     part = load_table(spark, sf_dir, "part")
     words = F.split(F.col("p_type"), " ")
     return part.select(
         "p_partkey",
-        words.alias("type_words"),
+        F.size(words).alias("n_words"),
+        words.getItem(0).alias("first_word"),
         F.concat_ws("_", words).alias("type_joined"),
     )
 
@@ -193,7 +202,7 @@ def groupby_two_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           array_agg(source ORDER BY source) AS sources
+           string_agg(source, ',' ORDER BY source) AS sources
     FROM documents
     GROUP BY lang
     """,
@@ -201,13 +210,15 @@ def groupby_two_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def groupby_count_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped count + collect_list (reference A5: books-per-topic driver
     arrays, LDALoader.scala:76-77,142-149 — rebuilt as a real aggregation).
-    ``sort_array`` makes the collected list order-deterministic.
+    ``sort_array`` makes the collected list order-deterministic, and
+    ``array_join`` serializes it to an atomic string column so external
+    hashers can canonicalize the output (see tests/test_registry_schemas.py).
     Scale: collect_list per group is bounded by group size — fine for
     report-shaped outputs, not for unbounded groups."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sort_array(F.collect_list("source")).alias("sources"),
+        F.array_join(F.sort_array(F.collect_list("source")), ",").alias("sources"),
     )
 
 
@@ -539,18 +550,40 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@REG.register("approx_count_distinct")  # no oracle: approximate by design (rows-only check)
+@REG.register(
+    "approx_count_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate per event type.
 
-    No DuckDB oracle (estimates differ engine-to-engine); the unit test
-    asserts relative error < 5% against the exact count. At 100 TB this is
-    THE way to count distincts — exact distinct is a full shuffle of the
-    key universe, HLL sketches merge in constant space.
+    HLL estimates differ engine-to-engine, so the hashable contract is:
+    emit the EXACT distinct count plus a Spark-computed ``within_5pct``
+    flag comparing the HLL estimate against it; the oracle recomputes the
+    exact count and asserts TRUE. The HLL path is fully exercised while
+    the output stays deterministic. At 100 TB HLL is THE way to count
+    distincts — exact distinct is a full shuffle of the key universe,
+    HLL sketches merge in constant space (the exact column here exists
+    for verification, not for the production plan).
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
     )
 
 
@@ -755,11 +788,13 @@ def xml_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row but pipelined inside the scan stage with zero extra
     exchanges beyond the final agg."""
     ev = load_table(spark, sf_dir, "events")
+    # coalesce: a missing '$.k' must yield an empty <k/> element, not
+    # null-propagate through concat and erase the row's event_type
     xml = F.concat(
         F.lit("<event><type>"),
         F.col("event_type"),
         F.lit("</type><k>"),
-        F.get_json_object("props", "$.k"),
+        F.coalesce(F.get_json_object("props", "$.k"), F.lit("")),
         F.lit("</k></event>"),
     )
     parsed = ev.select(

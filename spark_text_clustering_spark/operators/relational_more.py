@@ -324,15 +324,30 @@ def set_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.unionByName(e, allowMissingColumns=True)
 
 
-@REG.register("hll_sketch_build_merge")
+@REG.register(
+    "hll_sketch_build_merge",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents)
+    SELECT lang, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM tok GROUP BY lang
+    UNION ALL
+    SELECT '__all__' AS lang, CAST(COUNT(DISTINCT token) AS BIGINT), TRUE
+    FROM tok
+    """,
+)
 def hll_sketch_build_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct-count sketches (DataSketches): build one
     sketch per language partition (`hll_sketch_agg`), then union them
     (`hll_union_agg`) into the corpus-wide estimate — the two-level
     pattern that lets 100 TB distinct counts pre-aggregate per
-    partition/day and merge later without rescanning. Rows-only: sketch
-    estimates are engine-specific (error bound asserted in
-    tests/test_props.py)."""
+    partition/day and merge later without rescanning. Sketch estimates
+    are engine-specific, so the hashable contract mirrors
+    approx_count_distinct: exact counts + a Spark-computed ``within_5pct``
+    flag on the sketch estimate (merged-union estimate for the
+    ``__all__`` row); the oracle recomputes exact and asserts TRUE."""
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select(
         "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
@@ -341,18 +356,28 @@ def hll_sketch_build_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("token").alias("sketch"),
         F.count_distinct("token").cast("long").alias("exact_distinct"),
     )
-    return per_lang.select(
-        "lang",
-        F.hll_sketch_estimate("sketch").cast("long").alias("est_distinct"),
-        "exact_distinct",
-    ).unionByName(
-        per_lang.agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
-            .cast("long")
-            .alias("est_distinct"),
-            F.lit(None).cast("long").alias("exact_distinct"),
-        ).select(F.lit("__all__").alias("lang"), "est_distinct", "exact_distinct")
+    global_exact = tokens.agg(
+        F.count_distinct("token").cast("long").alias("exact_distinct")
     )
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= 0.05 * exact
+    ).alias("within_5pct")
+    per_lang_out = per_lang.select(
+        "lang",
+        "exact_distinct",
+        within(
+            F.hll_sketch_estimate("sketch").cast("long"), F.col("exact_distinct")
+        ),
+    )
+    merged_est = per_lang.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias("est")
+    )
+    all_row = merged_est.crossJoin(F.broadcast(global_exact)).select(
+        F.lit("__all__").alias("lang"),
+        "exact_distinct",
+        within(F.col("est"), F.col("exact_distinct")),
+    )
+    return per_lang_out.unionByName(all_row)
 
 
 @REG.register(
@@ -424,9 +449,22 @@ def freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency > 10% of rows, per column. Rows-only: the sketch may
     over-report (false positives allowed by design, verified against
     exact counts in tests/test_props.py). Scale: fixed-size state per
-    partition, merged associatively — no shuffle of raw data."""
+    partition, merged associatively — no shuffle of raw data.
+    Sorted+joined atomic output for external hashers (freqItems result
+    order is partition-dependent, so the sort also makes it stable)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.stat.freqItems(["event_type", "user_id"], 0.1)
+    raw = ev.stat.freqItems(["event_type", "user_id"], 0.1)
+    return raw.select(
+        F.concat_ws(",", F.sort_array("event_type_freqItems")).alias(
+            "event_type_freqItems"
+        ),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array("user_id_freqItems"), lambda x: x.cast("string")
+            ),
+        ).alias("user_id_freqItems"),
+    )
 
 
 @REG.register(

@@ -339,10 +339,12 @@ def knn_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings)
     SELECT e.vec_id,
            round(CAST(s.max_abs AS DOUBLE), 6) AS scale,
-           list_transform(e.embedding,
-                          x -> CAST(round(CAST(x AS DOUBLE) * 127.0
-                                          / CAST(s.max_abs AS DOUBLE), 0) AS BIGINT))
-             AS q8
+           array_to_string(
+             list_transform(e.embedding,
+                            x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127.0
+                                           / CAST(s.max_abs AS DOUBLE), 0) AS BIGINT)
+                                      AS VARCHAR)),
+             ',') AS q8
     FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
     """,
 )
@@ -350,15 +352,22 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization per vector (scale = max|x|, q =
     round(127·x/scale)) — 4× storage cut for a 100 TB vector store with
     ~0.3% cosine error at d=64. Pure JVM array math; the oracle recomputes
-    identically (both round half-away on doubles)."""
+    identically (both round half-away on doubles). The quantized vector is
+    serialized comma-joined so the output schema stays atomic for external
+    hashers (see tests/test_registry_schemas.py); a production sink would
+    keep the packed array/binary form."""
     emb = load_table(spark, sf_dir, "embeddings")
     as_double = F.transform("embedding", lambda x: x.cast("double"))
     max_abs = F.array_max(F.transform(as_double, lambda x: F.abs(x)))
     return emb.select(
         "vec_id",
         F.round(max_abs, 6).alias("scale"),
-        F.transform(
-            as_double, lambda x: F.round(x * 127.0 / max_abs, 0).cast("long")
+        F.concat_ws(
+            ",",
+            F.transform(
+                as_double,
+                lambda x: F.round(x * 127.0 / max_abs, 0).cast("long").cast("string"),
+            ),
         ).alias("q8"),
     )
 

@@ -91,23 +91,35 @@ def regexp_replace_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.register(
     "tokenize_split",
     oracle="""
-    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tokens
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS INTEGER) AS n_tokens,
+           array_to_string(regexp_split_to_array(lower(text), '\\s+'), ' ') AS tokens
     FROM documents
     """,
 )
 def tokenize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace tokenizer (reference P5, LDAClustering.scala:133-135)."""
+    """Whitespace tokenizer (reference P5, LDAClustering.scala:133-135).
+
+    Output serialized to an atomic schema (count + space-joined tokens) so
+    external pandas-based hashers can canonicalize it; the array itself is
+    an intermediate (see tests/test_registry_schemas.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", _tokens_col().alias("tokens"))
+    toks = _tokens_col()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.concat_ws(" ", toks).alias("tokens"),
+    )
 
 
 @REG.register(
     "stopword_filter",
     oracle=f"""
     SELECT doc_id,
-           list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                       x -> len(x) >= 1 AND NOT list_contains({stopwords_sql_list()}, x))
-             AS tokens
+           array_to_string(
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> len(x) >= 1 AND NOT list_contains({stopwords_sql_list()}, x)),
+             ' ') AS tokens
     FROM documents
     """,
 )
@@ -115,14 +127,17 @@ def stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword + length filter (reference P6, LDAClustering.scala:125-136;
     exact match, case-folded). Array lambda stays JVM-side — note this is
     NOT ``array_except``, which would also dedupe (reference keeps
-    duplicates)."""
+    duplicates). Space-joined atomic output for external hashers."""
     docs = load_table(spark, sf_dir, "documents")
     stop = list(STOPWORDS)
     return docs.select(
         "doc_id",
-        F.filter(
-            _tokens_col(),
-            lambda x: (F.length(x) >= 1) & (~x.isin(stop)),
+        F.concat_ws(
+            " ",
+            F.filter(
+                _tokens_col(),
+                lambda x: (F.length(x) >= 1) & (~x.isin(stop)),
+            ),
         ).alias("tokens"),
     )
 
@@ -185,32 +200,40 @@ def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort_array_desc",
     oracle="""
     SELECT doc_id,
-           list_sort(regexp_split_to_array(lower(text), '\\s+'), 'DESC') AS tokens_desc
+           array_to_string(list_sort(regexp_split_to_array(lower(text), '\\s+'), 'DESC'),
+                           ' ') AS tokens_desc
     FROM documents
     """,
 )
 def sort_array_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc descending token sort (reference T3: driver-local
-    ``sortWith``, LDALoader.scala:86-94 — here a distributed array op)."""
+    ``sortWith``, LDALoader.scala:86-94 — here a distributed array op).
+    Space-joined atomic output for external hashers."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.sort_array(_tokens_col(), asc=False).alias("tokens_desc"))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.sort_array(_tokens_col(), asc=False)).alias("tokens_desc"),
+    )
 
 
 @REG.register(
     "limit_slice",
     oracle="""
     SELECT doc_id,
-           list_slice(list_sort(regexp_split_to_array(lower(text), '\\s+')), 1, 5)
-             AS first_tokens
+           array_to_string(
+             list_slice(list_sort(regexp_split_to_array(lower(text), '\\s+')), 1, 5),
+             ' ') AS first_tokens
     FROM documents
     """,
 )
 def limit_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array slice top-N prefix (reference T4: ``slice(0, 100)``,
-    LDALoader.scala:155-184)."""
+    LDALoader.scala:155-184). Space-joined atomic output for external
+    hashers."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.slice(F.sort_array(_tokens_col()), 1, 5).alias("first_tokens")
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.sort_array(_tokens_col()), 1, 5)).alias("first_tokens"),
     )
 
 
@@ -525,10 +548,13 @@ def _stem_series(tokens: pd.Series) -> pd.Series:
 def udf_scalar_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stemming via an Arrow-batched pandas UDF over token arrays
     (reference P7). One Python roundtrip per batch, not per row; at 100 TB
-    this is the pattern for any CPU-bound Python text transform."""
+    this is the pattern for any CPU-bound Python text transform.
+    Space-joined atomic output for external hashers."""
     stem_udf = pandas_udf(_stem_series, "array<string>")
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", stem_udf(_tokens_col()).alias("stemmed"))
+    return docs.select(
+        "doc_id", F.concat_ws(" ", stem_udf(_tokens_col())).alias("stemmed")
+    )
 
 
 def _fingerprint_series(text: pd.Series) -> pd.Series:
@@ -574,7 +600,9 @@ def _lemmatize_batches(batches):
     for pdf in batches:
         out = pdf[["doc_id"]].copy()
         out["lemmas"] = pdf["tokens"].map(
-            lambda arr: [m for m in (lemmatizer.lemma(t) for t in arr) if m]
+            lambda arr: " ".join(
+                m for m in (lemmatizer.lemma(t) for t in arr) if m
+            )
         )
         yield out
 
@@ -585,11 +613,12 @@ def udf_lemmatize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy-NLP-object pattern (swap RuleLemmatizer for spaCy on a real
     cluster; the Spark plumbing is identical). Keeps the reference's
     "lemma must be longer than 3 chars" rule; does NOT replicate its
-    within-sentence toMap dedup bug."""
+    within-sentence toMap dedup bug. Space-joined atomic output for
+    external hashers."""
     docs = load_table(spark, sf_dir, "documents")
     with_tokens = docs.select("doc_id", _tokens_col().alias("tokens"))
     return with_tokens.mapInPandas(
-        _lemmatize_batches, schema="doc_id long, lemmas array<string>"
+        _lemmatize_batches, schema="doc_id long, lemmas string"
     )
 
 
