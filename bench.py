@@ -50,6 +50,7 @@ HEADLINE = [
     "contamination_ngram_overlap",
     "gap_fill_forward",
     "grouped_map_zscore",
+    "window_zscore_sql",
     "stream_tumbling_agg",
     "funnel_conversion",
     "retention_cohort",

@@ -106,25 +106,63 @@ SCHEMAS: dict[str, StructType] = {
 
 TABLES = tuple(SCHEMAS)
 
-# events.ts is stored as parquet TIMESTAMP(NANOS), which Spark's reader
-# rejects outright (PARQUET_TYPE_ILLEGAL). The supported path: read nanos
-# as LongType (legacy nanosAsLong conf) and convert to TimestampType via
-# integer division to microseconds — exactly what DuckDB does internally
-# when it truncates ns → µs, so both engines see identical values.
-# (orders.o_orderdate / lineitem.l_shipdate are TIMESTAMP(MILLIS), which
-# Spark reads natively — do NOT route them through the nanos workaround:
-# nanosAsLong surfaces ms values as raw longs and a ÷1000 would be off by
-# 10^3.)
+# Timestamp columns per table. The physical parquet time unit of these
+# columns has changed between driver rounds (ns in round 1/2 testdata,
+# µs since round 3), so the loader SNIFFS the unit from one file's footer
+# (driver-side, one pyarrow call, cached per path) instead of hard-coding
+# a workaround:
+#   * µs / ms  → native Spark read with the declared TimestampType schema
+#     (vectorized reader handles both units directly).
+#   * ns       → Spark's reader rejects TIMESTAMP(NANOS) outright
+#     (PARQUET_TYPE_ILLEGAL), so read the raw nanos as LongType under the
+#     legacy ``nanosAsLong`` conf and integer-divide to microseconds —
+#     the same ns→µs truncation DuckDB applies, so both engines see
+#     identical values.
 _TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
 }
 
+# path -> set of column names physically stored as TIMESTAMP(NANOS)
+_NANO_COLS_CACHE: dict[str, frozenset] = {}
 
-def _read_schema(name: str) -> StructType:
-    ts_cols = set(_TS_COLS.get(name, ()))
+
+def _nano_cols(path: str, cols: tuple) -> frozenset:
+    """Which of ``cols`` are stored as nanosecond timestamps at ``path``.
+
+    Reads exactly one parquet footer via pyarrow (driver-side, O(KB));
+    result cached per path for the process lifetime.
+    """
+    cached = _NANO_COLS_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import glob
+
+    candidates = [path] if os.path.isfile(path) else sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+    ) or [path]
+    try:
+        import pyarrow.parquet as pq
+
+        sch = pq.ParquetFile(candidates[0]).schema_arrow
+        nanos = frozenset(
+            c
+            for c in cols
+            if c in sch.names and getattr(sch.field(c).type, "unit", None) == "ns"
+        )
+    except Exception:
+        # Footer unreadable (e.g. empty streaming dir) — assume the
+        # native-readable µs/ms layout, the current driver contract.
+        nanos = frozenset()
+    _NANO_COLS_CACHE[path] = nanos
+    return nanos
+
+
+def _read_schema(name: str, nano_cols: frozenset) -> StructType:
     return StructType(
         [
-            StructField(f.name, LongType() if f.name in ts_cols else f.dataType, True)
+            StructField(f.name, LongType() if f.name in nano_cols else f.dataType, True)
             for f in SCHEMAS[name].fields
         ]
     )
@@ -141,23 +179,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     ts_cols = _TS_COLS.get(name, ())
-    if not ts_cols:
+    nano = _nano_cols(path, ts_cols) if ts_cols else frozenset()
+    if not nano:
         return spark.read.schema(SCHEMAS[name]).parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.schema(_read_schema(name)).parquet(path)
+    df = spark.read.schema(_read_schema(name, nano)).parquet(path)
     from pyspark.sql import functions as F
 
-    for c in ts_cols:
+    for c in nano:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df.select(*[f.name for f in SCHEMAS[name].fields])
 
 
 def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
-    """``readStream`` variant of ``load_table`` for the events table (same
-    nanos→micros timestamp conversion, file-source directory scan)."""
+    """``readStream`` variant of ``load_table`` for the events table
+    (same footer-sniffed timestamp handling, file-source directory scan).
+
+    The unit is sniffed once at stream definition time from whatever file
+    is present in ``src_dir``; an empty dir defaults to the native µs path.
+    """
+    nano = _nano_cols(src_dir, _TS_COLS["events"])
+    if not nano:
+        return spark.readStream.schema(SCHEMAS["events"]).parquet(src_dir)
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.readStream.schema(_read_schema("events")).parquet(src_dir)
+    df = spark.readStream.schema(_read_schema("events", nano)).parquet(src_dir)
     df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df.select(*[f.name for f in SCHEMAS["events"].fields])

@@ -58,6 +58,25 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.register("window_zscore_sql", oracle=_ZSCORE_ORACLE)
+def window_zscore_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-plan twin of ``grouped_map_zscore``: identical semantics
+    as pure window functions — stays JVM-side in whole-stage codegen, no
+    Arrow boundary, no per-group Python. This is the plan you'd run at
+    100 TB; the applyInPandas form above exists to exercise the custom-UDAF
+    surface. Both share one DuckDB oracle, and bench.py times them
+    side-by-side so the headline shows the production number."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id")
+    std = F.stddev_samp("value").over(w)
+    z = F.when(std.isNull() | (std == F.lit(0.0)), F.lit(0.0)).otherwise(
+        (F.col("value") - F.avg("value").over(w)) / std
+    )
+    return ev.select("event_id", "user_id", F.round(z, 6).alias("zscore"))
+
+
 @REG.register(
     "grouped_agg_pandas_weighted_avg",
     oracle="""

@@ -1,11 +1,19 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Real image/audio decode libraries are not available in this container, so
-the *decode* step is a deterministic fake (clearly marked below), while the
-Spark-side plumbing — binary column construction, schema, ``mapInPandas``
-batch iteration, partition sizing — is real and tested. Swap
-``_extract_features`` internals for PIL/torchaudio/ffmpeg calls on a real
-cluster and nothing else changes.
+Two tiers of decode live here:
+
+* **Real decode** (``multimodal_image_decode`` / ``multimodal_audio_meta``):
+  genuine spec-conformant PNG and WAV bytes are encoded AND decoded
+  executor-side with the pure-stdlib codecs in ``functions/imagecodec.py``
+  (zlib-inflated IDAT scanlines with PNG filter reconstruction; RIFF/fmt
+  parsing via the stdlib ``wave`` module). No PIL/ffmpeg needed.
+* **Stub decode** (``multimodal_features`` / ``multimodal_frame_sample``):
+  formats whose codecs genuinely aren't in this container (JPEG, video)
+  keep the deterministic fake, clearly marked, while the Spark-side
+  plumbing — binary column construction, schema, ``mapInPandas`` batch
+  iteration, partition sizing — is real and tested. Swap
+  ``_extract_features`` internals for PIL/torchaudio/ffmpeg calls on a real
+  cluster and nothing else changes.
 
 Scale design: payloads live in parquet BINARY columns (or are pointers to
 object storage for >~100 MB blobs). ``mapInPandas`` streams Arrow batches,
@@ -60,9 +68,20 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
-def decode_real(payload: bytes, codec: str) -> bytes:  # pragma: no cover
-    """Placeholder for real multimodal decode — requires PIL/ffmpeg/etc."""
-    raise NotImplementedError("real multimodal decode requires image/audio libs")
+def decode_real(payload: bytes, codec: str):
+    """Real multimodal decode for the formats the stdlib can handle.
+
+    PNG → list of pixel rows (full zlib + filter reconstruction), WAV →
+    (channels, sampwidth, rate, nframes). JPEG/GIF/video still need
+    external codec libs not present in this container and raise."""
+    from ..functions import imagecodec as ic
+
+    fmt = codec or ic.sniff_format(payload)
+    if fmt == "png":
+        return ic.decode_png_gray_pixels(payload)
+    if fmt == "wav":
+        return ic.decode_wav_meta(payload)
+    raise NotImplementedError(f"decode for {fmt!r} requires external codec libs")
 
 
 @REG.register("multimodal_features", oracle=_MM_ORACLE)
@@ -121,4 +140,124 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return payloads.mapInPandas(
         _sample_frames, schema="doc_id long, frame_idx long, frame_bytes long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode: spec-conformant PNG / WAV bytes round-tripped executor-side
+# ---------------------------------------------------------------------------
+
+# Deterministic image geometry derived from doc_id so the oracle can
+# recompute the decoded facts arithmetically: width = doc_id%16+1,
+# height = doc_id%9+1, every pixel of row y has value (doc_id+y)%256.
+_IMG_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         doc_id % 16 + 1 AS width,
+         doc_id % 9 + 1  AS height
+  FROM documents),
+rws AS (
+  SELECT doc_id, width, height,
+         unnest(generate_series(0, height - 1)) AS y
+  FROM dims)
+SELECT doc_id,
+       CAST(width  AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(8 AS INT)      AS bit_depth,
+       CAST(width * height AS BIGINT)             AS n_pixels,
+       CAST(SUM(((doc_id + y) % 256) * width) AS BIGINT) AS sum_pixels
+FROM rws
+GROUP BY doc_id, width, height
+"""
+
+
+def _png_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode a real PNG per doc, then fully decode it (inflate + unfilter)
+    and emit facts computed ONLY from the decoded pixels."""
+    from ..functions import imagecodec as ic
+
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "width": [],
+            "height": [],
+            "bit_depth": [],
+            "n_pixels": [],
+            "sum_pixels": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = d % 16 + 1, d % 9 + 1
+            png = ic.encode_png_gray(w, h, [(d + y) % 256 for y in range(h)])
+            dw, dh, depth, _ctype = ic.decode_png_meta(png)
+            pixels = ic.decode_png_gray_pixels(png)
+            out["doc_id"].append(d)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["bit_depth"].append(depth)
+            out["n_pixels"].append(sum(len(r) for r in pixels))
+            out["sum_pixels"].append(sum(sum(r) for r in pixels))
+        yield pd.DataFrame(out)
+
+
+@REG.register("multimodal_image_decode", oracle=_IMG_ORACLE)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over ``mapInPandas``: writes genuine PNG bytes and
+    decodes them back (zlib IDAT inflate + PNG filter reconstruction, pure
+    stdlib — ``functions/imagecodec.py``), emitting only decoded facts.
+    Integer outputs (pixel sum/count) keep the oracle hash exact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _png_roundtrip,
+        schema="doc_id long, width int, height int, bit_depth int,"
+        " n_pixels long, sum_pixels long",
+    )
+
+
+_WAV_ORACLE = """
+SELECT doc_id,
+       CAST(1 AS INT)      AS n_channels,
+       CAST(2 AS INT)      AS sample_width,
+       CAST(16000 AS INT)  AS sample_rate,
+       CAST((doc_id % 50 + 1) * 160 AS BIGINT) AS n_frames,
+       CAST((doc_id % 50 + 1) * 10  AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+def _wav_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions import imagecodec as ic
+
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "n_channels": [],
+            "sample_width": [],
+            "sample_rate": [],
+            "n_frames": [],
+            "duration_ms": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            wav = ic.encode_wav_mono16((d % 50 + 1) * 160, 16000)
+            ch, width, rate, frames = ic.decode_wav_meta(wav)
+            out["doc_id"].append(d)
+            out["n_channels"].append(ch)
+            out["sample_width"].append(width)
+            out["sample_rate"].append(rate)
+            out["n_frames"].append(frames)
+            out["duration_ms"].append(frames * 1000 // rate)
+        yield pd.DataFrame(out)
+
+
+@REG.register("multimodal_audio_meta", oracle=_WAV_ORACLE)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio metadata decode: writes genuine RIFF/WAVE PCM bytes and
+    parses them back with the stdlib ``wave`` reader inside ``mapInPandas``;
+    the oracle recomputes the expected header facts arithmetically."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _wav_roundtrip,
+        schema="doc_id long, n_channels int, sample_width int,"
+        " sample_rate int, n_frames long, duration_ms long",
     )

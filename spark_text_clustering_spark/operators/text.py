@@ -522,22 +522,15 @@ _MOD = 1_000_000_007
 
 
 def _porter_lite(word: str) -> str:
-    """Simplified Porter-style suffix stripper (reference P7 uses OpenNLP
-    PorterStemmer, LDAClustering.scala:134-137; full Porter has no
-    dependency-free Python twin here, divergence documented per SURVEY §7
-    M2)."""
-    w = word
-    if w.endswith("sses"):
-        w = w[:-2]
-    elif w.endswith("ies"):
-        w = w[:-2]
-    elif w.endswith("s") and not w.endswith("ss") and len(w) > 3:
-        w = w[:-1]
-    if w.endswith("ing") and len(w) > 5:
-        w = w[:-3]
-    elif w.endswith("ed") and len(w) > 4:
-        w = w[:-2]
-    return w
+    """Full Porter stem (reference P7 uses OpenNLP PorterStemmer,
+    LDAClustering.scala:134-137). Round 3 upgraded the round-2 "lite"
+    suffix stripper to the complete 1980 algorithm
+    (``functions/porter.py``) — parity against the reference's committed
+    EN vocabulary is pinned in ``tests/test_lemma_golden.py``. The old
+    name is kept: it is the engine-wide stemming entry point."""
+    from ..functions.porter import porter_stem
+
+    return porter_stem(word)
 
 
 def _stem_series(tokens: pd.Series) -> pd.Series:

@@ -1,0 +1,103 @@
+"""Lemmatizer/stemmer fidelity golden vs the reference's committed EN
+vocabulary (VERDICT r2 item 8; reference P3+P7 —
+LDAClustering.scala:116-137, 293-309).
+
+The reference ships the *output* of its CoreNLP-lemma → OpenNLP-Porter
+normalization chain as comma-separated vocabulary files
+(``resources/models/vocabularies/LdaModel_EN_*``). Two goldens pin our
+chain (RuleLemmatizer → functions/porter.porter_stem) against it:
+
+1. A curated surface-form map: each entry's normalized output must equal
+   the exact committed vocabulary term (these include the step-1c/step-5
+   Porter cases — ``veri``, ``befor``, ``awai``, ``onc`` — that round 2's
+   lite stemmer missed).
+2. A corpus-level fixpoint property: Porter outputs are (almost all)
+   Porter fixpoints, so ≥94% of the committed vocabulary must stem to
+   itself under our implementation. The residual ~5% are stems whose
+   letter patterns re-trigger a rule plus capitalized proper nouns —
+   the documented divergence list, now quantified.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from spark_text_clustering_spark.functions.lemmatize import RuleLemmatizer
+from spark_text_clustering_spark.functions.porter import porter_stem
+
+_VOCAB = (
+    "/root/reference/TextClustering/src/main/resources/models/vocabularies/"
+    "LdaModel_EN_1602586875372"
+)
+
+# surface form -> exact term committed in the reference's EN vocabulary
+GOLDEN_PAIRS = {
+    "come": "come", "know": "know", "make": "make", "upon": "upon",
+    "very": "veri", "take": "take", "time": "time", "think": "think",
+    "well": "well", "look": "look", "down": "down", "hand": "hand",
+    "before": "befor", "little": "littl", "over": "over", "give": "give",
+    "find": "find", "good": "good", "tell": "tell", "such": "such",
+    "much": "much", "here": "here", "never": "never", "hear": "hear",
+    "back": "back", "first": "first", "long": "long", "leave": "leav",
+    "thing": "thing", "even": "even", "again": "again", "great": "great",
+    "feel": "feel", "seem": "seem", "face": "face", "night": "night",
+    "away": "awai", "through": "through", "place": "place", "head": "head",
+    "stand": "stand", "himself": "himself", "last": "last", "turn": "turn",
+    "still": "still", "shall": "shall", "room": "room", "nothing": "noth",
+    "without": "without", "life": "life", "house": "hous", "though": "though",
+    "once": "onc", "speak": "speak", "word": "word", "those": "those",
+    "keep": "keep", "appear": "appear", "work": "work", "door": "door",
+    "open": "open", "side": "side", "call": "call", "mind": "mind",
+    "under": "under", "friend": "friend", "young": "young", "pass": "pass",
+    "three": "three", "many": "mani", "answer": "answer", "right": "right",
+    "same": "same", "bring": "bring", "mean": "mean", "want": "want",
+    "soon": "soon", "moment": "moment", "return": "return", "light": "light",
+    "begin": "begin", "fall": "fall", "quite": "quit", "another": "anoth",
+    "hour": "hour", "follow": "follow", "water": "water", "hold": "hold",
+    "point": "point", "half": "half", "woman": "woman", "part": "part",
+    "round": "round", "love": "love", "matter": "matter", "myself": "myself",
+    "foot": "foot", "enough": "enough", "morning": "morn", "name": "name",
+    "live": "live", "sure": "sure", "heart": "heart",
+    "something": "someth", "year": "year",
+}
+
+
+def _normalize(surface: str) -> str:
+    lem = RuleLemmatizer()
+    lemma = lem.lemma(surface) or surface
+    return porter_stem(lemma)
+
+
+def test_golden_pairs_match_reference_vocab():
+    bad = {
+        s: (got, want)
+        for s, want in GOLDEN_PAIRS.items()
+        if (got := _normalize(s)) != want
+    }
+    assert not bad, f"{len(bad)} divergences: {bad}"
+
+
+@pytest.mark.skipif(not os.path.exists(_VOCAB), reason="reference vocab absent")
+def test_reference_vocab_mostly_porter_fixpoints():
+    terms = open(_VOCAB).read().strip().split(",")
+    assert len(terms) > 30_000
+    fixed = sum(1 for t in terms if porter_stem(t.lower()) == t.lower())
+    rate = fixed / len(terms)
+    assert rate >= 0.94, f"fixpoint rate {rate:.3f}"
+
+
+def test_porter_classic_vectors():
+    vecs = {
+        "caresses": "caress", "ponies": "poni", "cats": "cat",
+        "agreed": "agre", "plastered": "plaster", "motoring": "motor",
+        "conflated": "conflat", "hopping": "hop", "happy": "happi",
+        "sky": "sky", "relational": "relat", "vietnamization": "vietnam",
+        "decisiveness": "decis", "triplicate": "triplic",
+        "electriciti": "electr", "adjustment": "adjust",
+        "adoption": "adopt", "activate": "activ", "controll": "control",
+        "roll": "roll", "cease": "ceas", "probate": "probat", "rate": "rate",
+    }
+    bad = {w: (porter_stem(w), want) for w, want in vecs.items() if porter_stem(w) != want}
+    assert not bad, bad

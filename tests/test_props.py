@@ -62,8 +62,12 @@ def test_dedup_exact_idempotent(spark):
 def test_stopword_filter_no_empty_tokens(spark):
     import pyspark.sql.functions as F
 
+    # stopword_filter serializes tokens as a space-joined string (atomic
+    # schema contract) — split it back to assert no empty tokens survive.
     df = QUERIES["stopword_filter"](spark, SF_SMALL)
-    bad = df.where(F.exists("tokens", lambda t: F.length(t) == 0)).count()
+    bad = df.where(
+        F.exists(F.split("tokens", " "), lambda t: F.length(t) == 0)
+    ).count()
     assert bad == 0
 
 
