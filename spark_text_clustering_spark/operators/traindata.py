@@ -1,0 +1,182 @@
+"""Training-data batch-prep operators: deterministic shuffle-sharding,
+fixed-token-budget sequence packing, and source-mixture sampling.
+
+These are the last-mile ops an LLM pretraining pipeline runs after
+filter/dedup (see ``operators/textprep.py`` / ``operators/dedup.py``):
+shuffle the corpus reproducibly, pack documents into fixed-length training
+sequences, and resample sources to a target mixture. The reference
+pipeline stops at LDA topics (LDAClustering.scala:139-151) — this module
+is rebuild-contract scope (SURVEY §2.9 north-star ops).
+
+All three are seeded-deterministic via md5 so the DuckDB oracle can
+recompute them bit-for-bit: randomness = md5 hex nibbles parsed with
+``instr``/``strpos`` arithmetic (both engines agree on md5 of the same
+string and on 1-based position-in-string).
+
+Scale design (100 TB):
+* Sharding is a stateless per-row hash — narrow map, no shuffle; writing
+  `.partitionBy("shard")` gives shuffle-free shard files.
+* Packing windows are per-shard (`PARTITION BY shard ORDER BY sort_key`):
+  one shuffle on the shard key, external-sort within partitions; shard
+  count scales the parallelism (here 16 for the oracle's sake; a real run
+  uses O(cluster cores)).
+* Mixture sampling is a stateless per-row predicate — no shuffle, pushes
+  down past the scan's column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .._registry import Registry
+from ..catalog import load_table
+
+REG = Registry()
+
+SEED = "42"
+N_SHARDS = 16
+SEQ_LEN = 512
+
+_HEX = "0123456789abcdef"
+
+
+def _sort_key() -> F.Column:
+    """Deterministic per-doc shuffle key: md5(doc_id ':' seed)."""
+    return F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(SEED)))
+
+
+def _nibble(col: str, pos: int) -> F.Column:
+    """Value 0-15 of the pos-th (1-based) hex char of ``col``."""
+    return F.expr(f"instr('{_HEX}', substring({col}, {pos}, 1)) - 1")
+
+
+def _sql_nibble(col: str, pos: int) -> str:
+    return f"(strpos('{_HEX}', substr({col}, {pos}, 1)) - 1)"
+
+
+_SHARD_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(concat(CAST(doc_id AS VARCHAR), ':', '{SEED}')) AS sort_key
+  FROM documents)
+SELECT doc_id, sort_key,
+       CAST(({_sql_nibble('sort_key', 1)} * 16 + {_sql_nibble('sort_key', 2)})
+            % {N_SHARDS} AS INT) AS shard
+FROM keyed
+"""
+
+
+@REG.register("shard_assign_shuffle", oracle=_SHARD_ORACLE)
+def shard_assign_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle + sharding: every doc gets a seeded md5
+    sort key and a uniform shard in [0, N_SHARDS). Downstream writers sort
+    within shard by ``sort_key`` for a deterministic global shuffle order
+    with NO global sort — the wide operation a naive
+    ``ORDER BY rand()`` would need is avoided entirely."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn("sort_key", _sort_key())
+    shard = ((_nibble("sort_key", 1) * 16 + _nibble("sort_key", 2)) % N_SHARDS).cast(
+        "int"
+    )
+    return keyed.withColumn("shard", shard)
+
+
+_PACK_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(concat(CAST(doc_id AS VARCHAR), ':', '{SEED}')) AS sort_key,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok
+  FROM documents),
+sharded AS (
+  SELECT doc_id, sort_key, n_tok,
+         CAST(({_sql_nibble('sort_key', 1)} * 16 + {_sql_nibble('sort_key', 2)})
+              % {N_SHARDS} AS INT) AS shard
+  FROM keyed),
+packed AS (
+  SELECT doc_id, shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY sort_key
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM sharded)
+SELECT doc_id, shard, n_tok,
+       CAST((cum_tok - n_tok) // {SEQ_LEN} AS BIGINT) AS seq_id
+FROM packed
+"""
+
+
+@REG.register("pack_sequences_budget", oracle=_PACK_ORACLE)
+def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy fixed-token-budget sequence packing: within each shard, docs
+    are laid end-to-end in seeded-shuffle order and cut into SEQ_LEN-token
+    training sequences (``seq_id`` = starting token offset // SEQ_LEN —
+    the streaming-concat packing LLM loaders use). One shuffle on the
+    shard key; the running sum is a per-partition window, never global."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tok"),
+    )
+    keyed = docs.withColumn("sort_key", _sort_key())
+    shard = ((_nibble("sort_key", 1) * 16 + _nibble("sort_key", 2)) % N_SHARDS).cast(
+        "int"
+    )
+    sharded = keyed.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("sort_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return sharded.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.floor((cum - F.col("n_tok")) / SEQ_LEN).alias("seq_id"),
+    )
+
+
+# Mixture policy: source 'srcN' keeps (N % 4 + 1) / 4 of its docs —
+# rates 0.25 / 0.50 / 0.75 / 1.00 — via a seeded md5 uniform per doc.
+_MIX_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5(concat(CAST(doc_id AS VARCHAR), ':mix:', '{SEED}')) AS k
+  FROM documents),
+scored AS (
+  SELECT doc_id, source,
+         ({_sql_nibble('k', 1)} * 4096 + {_sql_nibble('k', 2)} * 256
+          + {_sql_nibble('k', 3)} * 16 + {_sql_nibble('k', 4)}) / 65536.0 AS u,
+         (CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0 AS rate
+  FROM keyed)
+SELECT doc_id, source, round(u, 6) AS u, rate
+FROM scored
+WHERE u < rate
+"""
+
+
+@REG.register("mixture_sample_by_source", oracle=_MIX_ORACLE)
+def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture resampling: each doc draws a seeded
+    md5 uniform and survives iff u < rate(source). Stateless per-row
+    predicate — no shuffle, no state; rates here derive from the source
+    id (srcN → (N%4+1)/4) so the oracle recomputes them; a production run
+    broadcast-joins a (source → rate) policy table instead."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    k = F.md5(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("mix"), F.lit(SEED))
+    )
+    keyed = docs.withColumn("k", k)
+    u = (
+        _nibble("k", 1) * 4096
+        + _nibble("k", 2) * 256
+        + _nibble("k", 3) * 16
+        + _nibble("k", 4)
+    ) / F.lit(65536.0)
+    rate = (F.substring("source", 4, 10).cast("int") % 4 + 1) / F.lit(4.0)
+    return (
+        keyed.withColumn("u", u)
+        .withColumn("rate", rate)
+        .where(F.col("u") < F.col("rate"))
+        .select("doc_id", "source", F.round("u", 6).alias("u"), "rate")
+    )

@@ -25,6 +25,7 @@ from .operators import (
     textprep,
     tpch_more,
     tpch_rest,
+    traindata,
 )
 from .ml import queries as ml_queries
 from .plans.flagship import TOP_K, flagship_top_terms_per_lang
@@ -67,6 +68,7 @@ ROOT.merge(
     textprep.REG,
     tpch_more.REG,
     tpch_rest.REG,
+    traindata.REG,
     ml_queries.REG,
     streaming_windows.REG,
 )
