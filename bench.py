@@ -57,6 +57,9 @@ HEADLINE = [
     "embedding_centroid_per_label",
     "pipeline_prepare_corpus",
     "variant_json_extract",
+    "pack_sequences_budget",
+    "mixture_sample_by_source",
+    "multimodal_image_decode",
 ]
 
 

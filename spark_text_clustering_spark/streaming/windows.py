@@ -176,6 +176,31 @@ def clicks_to_purchases_join(clicks: DataFrame, purchases: DataFrame) -> DataFra
     ).select("click_id", "purchase_id", "c_ts", "p_ts")
 
 
+@REG.register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS c_ts, p.ts AS p_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mode of the stream-stream interval join (purchases within 1h
+    of a click by the same user). The true two-stream watermarked run is
+    ``run_stream_stream_join`` below, asserted batch-equivalent in
+    tests/test_streaming.py — registering the batch form gives the driver
+    an exact DuckDB oracle for the shared transform."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return clicks_to_purchases_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
 def run_stream_stream_join(spark: SparkSession, sf_dir: str, table_name: str = "ssjoin_out") -> DataFrame:
     """Two watermarked streams over the same replayed events file (filtered
     to clicks / purchases), interval-joined, appended to memory."""

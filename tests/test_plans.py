@@ -239,3 +239,27 @@ def test_prepare_corpus_single_shuffle(spark):
     snuck between pipeline steps."""
     plan = plan_of(spark, "pipeline_prepare_corpus")
     assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_shard_assign_is_shuffle_free(spark):
+    """Seeded shuffle-sharding must be a narrow map over the scan — the
+    whole point vs ORDER BY rand() is that NO exchange happens; writing
+    .partitionBy(shard) afterwards is the only data movement."""
+    plan = plan_of(spark, "shard_assign_shuffle")
+    assert "Exchange" not in plan
+    # column pruning: only doc_id read
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_mixture_sample_is_shuffle_free(spark):
+    plan = plan_of(spark, "mixture_sample_by_source")
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing shuffles exactly once (on the shard key, for the per-shard
+    running-sum window); the token count and shard derivation are narrow."""
+    plan = plan_of(spark, "pack_sequences_budget")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Window" in plan

@@ -140,3 +140,31 @@ def test_corrupt_json_permissive_vs_failfast(spark, tmp_path):
 
     with _pytest.raises(Exception):
         spark.read.schema("a long, b string").option("mode", "FAILFAST").json(str(p)).collect()
+
+
+def test_shard_write_read_pipeline(spark, tmp_path):
+    """End-to-end traindata layout: shard_assign_shuffle → partitionBy(shard)
+    parquet → re-read one shard with partition pruning. This is the 100 TB
+    write topology the sharding op exists for: the only data movement is
+    the partitioned write; the re-read scans 1/N_SHARDS of the files."""
+    from spark_text_clustering_spark.operators.traindata import (
+        N_SHARDS,
+        shard_assign_shuffle,
+    )
+    from spark_text_clustering_spark.sources.sinks import write_partitioned_parquet
+
+    from .conftest import SF_SMALL
+
+    sharded = shard_assign_shuffle(spark, SF_SMALL)
+    out = str(tmp_path / "shards")
+    write_partitioned_parquet(sharded, out, ["shard"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == sharded.count()
+    one = back.where(F.col("shard") == 3)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters", 1)[1][:200]
+    expected = sharded.where(F.col("shard") == 3).count()
+    assert one.count() == expected and expected > 0
