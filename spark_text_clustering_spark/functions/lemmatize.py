@@ -25,6 +25,30 @@ _IRREGULAR = {
     "better": "good", "best": "good",
     "mice": "mouse", "men": "man", "women": "woman", "children": "child",
     "feet": "foot", "teeth": "tooth", "geese": "goose",
+    # round 3: common irregular verb forms (CoreNLP Morphology handles all
+    # of these; each absent entry was a documented divergence)
+    "knew": "know", "known": "know", "saw": "see", "seen": "see",
+    "took": "take", "taken": "take", "came": "come", "got": "get",
+    "gotten": "get", "gave": "give", "given": "give", "told": "tell",
+    "found": "find", "thought": "think", "felt": "feel", "kept": "keep",
+    "stood": "stand", "heard": "hear", "meant": "mean", "met": "meet",
+    "paid": "pay", "sat": "sit", "spoke": "speak", "spoken": "speak",
+    "brought": "bring", "bought": "buy", "caught": "catch",
+    "taught": "teach", "fought": "fight", "sought": "seek",
+    "sold": "sell", "held": "hold", "wrote": "write", "written": "write",
+    "drove": "drive", "driven": "drive", "rode": "ride", "rose": "rise",
+    "risen": "rise", "chose": "choose", "chosen": "choose",
+    "broke": "break", "broken": "break", "woke": "wake", "woken": "wake",
+    "threw": "throw", "thrown": "throw", "grew": "grow", "grown": "grow",
+    "flew": "fly", "flown": "fly", "drew": "draw", "drawn": "draw",
+    "ate": "eat", "eaten": "eat", "fell": "fall", "fallen": "fall",
+    "swam": "swim", "began": "begin", "begun": "begin", "sang": "sing",
+    "sung": "sing", "drank": "drink", "drunk": "drink", "wore": "wear",
+    "worn": "wear", "spent": "spend", "sent": "send", "built": "build",
+    "lost": "lose", "led": "lead", "became": "become",
+    "understood": "understand", "left": "leave", "won": "win",
+    "shook": "shake", "shaken": "shake", "spread": "spread",
+    "lay": "lie", "lain": "lie", "laid": "lay",
 }
 
 _VOWELS = set("aeiou")

@@ -61,6 +61,12 @@ GOLDEN_PAIRS = {
     "foot": "foot", "enough": "enough", "morning": "morn", "name": "name",
     "live": "live", "sure": "sure", "heart": "heart",
     "something": "someth", "year": "year",
+    # irregular verb forms: lemmatized to the base verb first (CoreNLP
+    # behavior), then stemmed — all base forms appear in the vocab
+    "knew": "know", "thought": "think", "brought": "bring",
+    "stood": "stand", "spoke": "speak", "heard": "hear", "fell": "fall",
+    "held": "hold", "began": "begin", "gave": "give", "took": "take",
+    "came": "come", "found": "find", "felt": "feel", "kept": "keep",
 }
 
 
