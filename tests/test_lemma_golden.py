@@ -94,6 +94,23 @@ def test_reference_vocab_mostly_porter_fixpoints():
     assert rate >= 0.94, f"fixpoint rate {rate:.3f}"
 
 
+_VOCAB_GE = (
+    "/root/reference/TextClustering/src/main/resources/models/vocabularies/"
+    "LdaModel_GE_1591070442475"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(_VOCAB_GE), reason="reference GE vocab absent")
+def test_reference_ge_vocab_fixpoint_rate():
+    """The reference's GE chain leaves German words largely unstemmed
+    (OpenNLP Porter is EN-targeted); our stemmer must be equally
+    non-destructive on that vocabulary — ≥97% fixpoints."""
+    terms = open(_VOCAB_GE).read().strip().split(",")
+    assert len(terms) > 100_000
+    fixed = sum(1 for t in terms if porter_stem(t.lower()) == t.lower())
+    assert fixed / len(terms) >= 0.97
+
+
 def test_porter_classic_vectors():
     vecs = {
         "caresses": "caress", "ponies": "poni", "cats": "cat",

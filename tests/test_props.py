@@ -237,3 +237,67 @@ def test_funnel_monotone_and_centroid_bounds(spark):
     assert per_label.where(
         (F.col("n") != 64) | (F.col("n_pos") != 64) | (F.col("lo") != 1) | (F.col("hi") != 64)
     ).count() == 0
+
+
+def test_shard_assignment_balanced(spark):
+    """md5 sharding must be near-uniform: no shard holds more than ~3x the
+    mean (binomial tail bound at n=500, p=1/16)."""
+    import pyspark.sql.functions as F
+
+    from spark_text_clustering_spark.operators.traindata import N_SHARDS
+
+    df = QUERIES["shard_assign_shuffle"](spark, SF_SMALL)
+    counts = [r["n"] for r in df.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert len(counts) == N_SHARDS  # every shard populated
+    mean = sum(counts) / len(counts)
+    assert max(counts) < 3 * mean and min(counts) > mean / 3
+
+
+def test_pack_sequences_contiguous_and_conserving(spark):
+    """Within each shard: seq_ids start at 0, are contiguous (docs here are
+    far smaller than SEQ_LEN so no bin can be skipped), and token totals
+    are conserved."""
+    import pyspark.sql.functions as F
+
+    df = QUERIES["pack_sequences_budget"](spark, SF_SMALL).cache()
+    per_shard = (
+        df.groupBy("shard")
+        .agg(
+            F.min("seq_id").alias("lo"),
+            F.max("seq_id").alias("hi"),
+            F.countDistinct("seq_id").alias("n_seq"),
+            F.sum("n_tok").alias("tok"),
+        )
+        .collect()
+    )
+    for r in per_shard:
+        assert r["lo"] == 0
+        assert r["n_seq"] == r["hi"] + 1  # contiguous bins
+    # token conservation: packing reassigns docs to sequences, never
+    # drops or duplicates tokens
+    total = df.agg(F.sum("n_tok")).first()[0]
+    n_docs = df.count()
+    src = QUERIES["shard_assign_shuffle"](spark, SF_SMALL).count()
+    assert n_docs == src and total > 0
+    df.unpersist()
+
+
+def test_mixture_sample_rates_converge(spark):
+    """Kept fraction per source must approach its target rate (seeded
+    uniforms; 500 docs -> generous tolerance)."""
+    import pyspark.sql.functions as F
+
+    from spark_text_clustering_spark.catalog import load_table
+
+    kept = QUERIES["mixture_sample_by_source"](spark, SF_SMALL)
+    base = load_table(spark, SF_SMALL, "documents").groupBy("source").agg(
+        F.count("*").alias("n_all")
+    )
+    got = kept.groupBy("source", "rate").agg(F.count("*").alias("n_kept"))
+    joined = got.join(base, "source").collect()
+    assert joined
+    for r in joined:
+        frac = r["n_kept"] / r["n_all"]
+        assert frac <= 1.0
+        # binomial noise at n~25/source: allow +-0.35 absolute
+        assert abs(frac - r["rate"]) < 0.35
