@@ -70,13 +70,17 @@ def main() -> None:
     QUERIES["count_rows"](spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for key in HEADLINE:
-        # one warmup run (codegen/JIT), one measured run
-        QUERIES[key](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        df = QUERIES[key](spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - t0, 3)
+        try:
+            # one warmup run (codegen/JIT), one measured run
+            QUERIES[key](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            df = QUERIES[key](spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[key] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one broken key must not void the round's metric
+            failed[key] = f"{type(e).__name__}: {e}"[:200]
 
     # Bucketed vs shuffle join (docs/SCALE.md): write both fact tables
     # bucketed by the join key once (untimed setup), then time the same
@@ -163,17 +167,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
