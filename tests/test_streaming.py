@@ -223,3 +223,69 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert {tuple(r) for r in spark.read.parquet(out).collect()} == {
         tuple(r) for r in batch.collect()
     }
+
+
+def test_streaming_ingest_pipeline(spark, tmp_path):
+    """Continuous-ingestion composite: documents arrive as a file stream;
+    each micro-batch is (1) exact-deduped against the persistent
+    fingerprint store, (2) shard-assigned with the seeded md5 shuffle,
+    (3) appended to a shard-partitioned parquet layout via foreachBatch.
+    Replaying the same file twice must add zero new rows — the streaming
+    twin of tests/test_incremental_dedup.py, and the write topology
+    docs/SCALE.md prescribes for a 100 TB corpus."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from spark_text_clustering_spark.catalog import SCHEMAS, load_table
+    from spark_text_clustering_spark.operators.dedup import incremental_dedup
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    store = str(tmp_path / "fingerprints")
+    layout = str(tmp_path / "corpus_sharded")
+    docs_file = os.path.join(SF_SMALL, "documents.parquet")
+
+    def ingest(batch_df, batch_id):
+        survivors = incremental_dedup(spark, batch_df, store)
+        enriched = survivors.join(batch_df.select("doc_id", "text", "lang"), "doc_id")
+        sharded = enriched.withColumn(
+            "sort_key",
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("42"))),
+        ).withColumn(
+            "shard",
+            (
+                (
+                    F.expr("instr('0123456789abcdef', substring(sort_key, 1, 1)) - 1") * 16
+                    + F.expr("instr('0123456789abcdef', substring(sort_key, 2, 1)) - 1")
+                )
+                % 16
+            ).cast("int"),
+        )
+        sharded.write.mode("append").partitionBy("shard").parquet(layout)
+
+    def run_once(tag):
+        q = (
+            spark.readStream.schema(SCHEMAS["documents"])
+            .parquet(str(src))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    shutil.copy(docs_file, src / "batch_a.parquet")
+    run_once("a")
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    first = spark.read.parquet(layout)
+    assert first.count() == n_docs  # SF_SMALL documents are unique
+
+    # replay the same data: dedup store must reject every row
+    shutil.copy(docs_file, src / "batch_b.parquet")
+    run_once("b")
+    again = spark.read.parquet(layout)
+    assert again.count() == n_docs  # zero new rows
+    # layout is shard-partitioned and prunable
+    assert any(d.startswith("shard=") for d in os.listdir(layout))
