@@ -10,9 +10,14 @@ from pyspark.sql import functions as F
 from .._registry import Registry
 from ..catalog import load_table
 from .lda import describe_topics_with_terms, score_documents, topic_report, train_lda
-from .vectorize import vectorize, vocabulary_table
+from .vectorize import EmptyCorpusError, vectorize, vocabulary_table
 
 REG = Registry()
+
+
+def _empty(spark: SparkSession, schema: str) -> DataFrame:
+    """Empty-in → empty-out degradation for ML fits (EmptyCorpusError)."""
+    return spark.createDataFrame([], schema)
 
 _QUERY_MAX_ITER = 10  # keep driver-run checks fast; parity tests use 50
 
@@ -45,7 +50,10 @@ def tfidf_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     floored TF-IDF vector. Values asserted in unit goldens; here rows-only."""
     from pyspark.ml.functions import vector_to_array
 
-    df, _model = _vectorized(spark, sf_dir)
+    try:
+        df, _model = _vectorized(spark, sf_dir)
+    except EmptyCorpusError:
+        return _empty(spark, "doc_id long, n_active long, tfidf_l1 double")
     arr = vector_to_array(F.col("tfidf"))
     nonzero = F.filter(arr, lambda x: x != 0.0)
     return df.select(
@@ -60,7 +68,10 @@ def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4+M6: train seeded EM-LDA on TF-IDF, describeTopics joined to
     terms. k rows, deterministic under the fixed seed. Term list serialized
     space-joined so the output schema stays atomic for external hashers."""
-    _df, model = _vectorized(spark, sf_dir)
+    try:
+        _df, model = _vectorized(spark, sf_dir)
+    except EmptyCorpusError:
+        return _empty(spark, "topic int, terms string")
     lda_model = _trained_lda(spark, sf_dir)
     vocab = vocabulary_table(model, spark)
     out = describe_topics_with_terms(lda_model, vocab, max_terms=10)
@@ -71,7 +82,10 @@ def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lda_doc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7+A5+S7: batch scoring (one model.transform over all docs — the fix
     for the reference's per-book toLocal loop) → per-topic report."""
-    df, _ = _vectorized(spark, sf_dir)
+    try:
+        df, _ = _vectorized(spark, sf_dir)
+    except EmptyCorpusError:
+        return _empty(spark, "main_topic int, n_docs long, docs string")
     lda_model = _trained_lda(spark, sf_dir)
     scored = score_documents(lda_model, df.select("doc_id", "tfidf"))
     out = topic_report(scored)

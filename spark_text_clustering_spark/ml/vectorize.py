@@ -44,6 +44,15 @@ from pyspark.sql.functions import pandas_udf
 
 from ..functions.textnorm import CLEAN_PATTERN, STOPWORDS
 
+
+class EmptyCorpusError(ValueError):
+    """Fitting was asked to run on a corpus with no surviving tokens.
+
+    Raised instead of CountVectorizer's opaque "Vocabulary list cannot be
+    empty" so callers (registered ML queries, search) can degrade to
+    empty-in → empty-out, the behavior every relational operator in this
+    engine already has."""
+
 IDF_FLOOR = 1e-4  # reference M3: tfidf = tf * (idf == 0 ? 1e-4 : idf)
 
 
@@ -146,6 +155,10 @@ def fit_vectorizer(docs: DataFrame, **kwargs) -> PipelineModel:
     # size m (the reference's idf is computed on the filtered corpus).
     tokenized = tok_pipeline.transform(cleaned).where(F.size("tokens") > 0)
     vocab = build_deterministic_vocab(tokenized, vocab_size)
+    if not vocab:
+        raise EmptyCorpusError(
+            "no tokens survive preprocessing — cannot fit a vocabulary"
+        )
     cv_model = CountVectorizerModel.from_vocabulary(
         vocab, inputCol="tokens", outputCol="tf"
     )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .._registry import Registry
 from ..catalog import load_table
-from ..ml.vectorize import vectorize
+from ..ml.vectorize import EmptyCorpusError, vectorize
 
 REG = Registry()
 
@@ -87,7 +87,12 @@ def search_corpus(
     the reference enforces via its global-vocabulary remap, LDALoader.scala:
     97-105, here guaranteed by construction), then rank."""
     docs = load_table(spark, sf_dir, "documents")
-    vectorized, model = vectorize(docs, vocab_size=10_000, min_doc_freq=2)
+    try:
+        vectorized, model = vectorize(docs, vocab_size=10_000, min_doc_freq=2)
+    except EmptyCorpusError:  # empty-in -> empty-out
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double, rank int"
+        )
     corpus_entries = _sparse_entries(vectorized.select("doc_id", "tfidf"), "doc_id", "tfidf")
 
     qdf = spark.createDataFrame(

@@ -142,6 +142,8 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("e")
     )
+    if emb.isEmpty():  # LSH cannot fit on zero rows: empty-in -> empty-out
+        return spark.createDataFrame([], "id_a long, id_b long, cosine_sim double")
     normed = emb.select(
         "vec_id",
         array_to_vector(
@@ -179,6 +181,10 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("e")
     )
+    if emb.isEmpty():  # KMeans/LSH cannot fit on zero rows: empty-in -> empty-out
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+        )
     vecs = emb.select("vec_id", "e", array_to_vector(F.col("e")).alias("features"))
     km = KMeans(k=n_clusters, seed=42, maxIter=20, featuresCol="features")
     model = km.fit(vecs)
@@ -297,6 +303,10 @@ def knn_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )  # model-sized (N_QUERIES × d), the broadcast query set
+    if not q_rows:  # empty corpus/query set -> empty result, not a crash
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+        )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -380,13 +390,14 @@ _IVF_INDEX_MEMO: dict[str, tuple[str, str]] = {}
 _IVF_CLUSTERS, _IVF_NPROBE = 16, 4
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str] | None:
     """One-time IVF index build: assign every vector to its KMeans cluster
     and WRITE the assignment as a parquet table partitioned by cluster id,
     plus a tiny centroids table. At 100 TB this is the batch index job;
     queries then read only their probed partitions (directory-level
     pruning — no index structure needed beyond the filesystem layout).
-    Memoized per sf_dir for the driver's repeated query calls."""
+    Memoized per sf_dir for the driver's repeated query calls. Returns
+    None when the corpus is empty (nothing to index)."""
     if sf_dir in _IVF_INDEX_MEMO:
         return _IVF_INDEX_MEMO[sf_dir]
     import tempfile
@@ -397,6 +408,8 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("e")
     )
+    if emb.isEmpty():  # KMeans cannot fit on zero rows
+        return None
     vecs = emb.select("vec_id", "e", array_to_vector(F.col("e")).alias("features"))
     model = KMeans(
         k=_IVF_CLUSTERS, seed=42, maxIter=20, featuresCol="features"
@@ -434,7 +447,12 @@ def knn_cosine_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The probe-cluster list is collected to the driver — it is model-sized
     (≤ queries × nprobe ints), the same class of state as the centroids."""
-    index_path, centroids_path = build_ivf_index(spark, sf_dir)
+    built = build_ivf_index(spark, sf_dir)
+    if built is None:  # empty corpus: no index to build -> empty result
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+        )
+    index_path, centroids_path = built
     index = spark.read.parquet(index_path)
     centroids = spark.read.parquet(centroids_path)
 
