@@ -145,11 +145,22 @@ def _nano_cols(path: str, cols: tuple) -> frozenset:
     try:
         import pyarrow.parquet as pq
 
-        sch = pq.ParquetFile(candidates[0]).schema_arrow
+        pf = pq.ParquetFile(candidates[0])
+        sch = pf.schema_arrow
+        # Physical INT96 (Spark's own legacy timestamp format) also surfaces
+        # as timestamp[ns] in arrow — but Spark reads INT96 natively, so
+        # only a true INT64 TIMESTAMP(NANOS) annotation takes the
+        # nanosAsLong path.
+        phys = {
+            pf.schema.column(i).name: pf.schema.column(i).physical_type
+            for i in range(len(pf.schema))
+        }
         nanos = frozenset(
             c
             for c in cols
-            if c in sch.names and getattr(sch.field(c).type, "unit", None) == "ns"
+            if c in sch.names
+            and getattr(sch.field(c).type, "unit", None) == "ns"
+            and phys.get(c) == "INT64"
         )
     except Exception:
         # Footer unreadable (e.g. empty streaming dir) — assume the

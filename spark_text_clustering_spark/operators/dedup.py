@@ -149,7 +149,7 @@ def _simhash_series(tokens: pd.Series) -> pd.Series:
     shifts = np.arange(64, dtype=np.uint64)
 
     def simhash(arr) -> int:
-        if len(arr) == 0:
+        if arr is None or len(arr) == 0:  # null text -> null token array
             return 0
         hashes = np.fromiter((tok_hash(t) for t in arr), dtype=np.uint64, count=len(arr))
         bits = (hashes[:, None] >> shifts) & np.uint64(1)  # (n_tokens, 64)

@@ -40,8 +40,8 @@ _FRAME_SIZE = 256  # bytes per fake "frame"
 
 _MM_ORACLE = f"""
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       CAST(octet_length(encode(text)) // {_FRAME_SIZE} AS BIGINT) AS n_frames,
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS byte_len,
+       CAST(octet_length(encode(coalesce(text, ''))) // {_FRAME_SIZE} AS BIGINT) AS n_frames,
        CAST('fake/v1' AS VARCHAR) AS codec
 FROM documents
 """
@@ -95,7 +95,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     would use.
     """
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    # null text -> zero-byte payload (decode of nothing), mirrored in the oracle
+    payloads = docs.select(
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+    )
     return payloads.mapInPandas(
         _extract_features,
         schema="doc_id long, byte_len long, n_frames long, codec string",
@@ -104,7 +108,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRAME_ORACLE = f"""
 WITH meta AS (
-  SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents),
+  SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS byte_len FROM documents),
 frames AS (
   SELECT doc_id, byte_len,
          unnest(generate_series(0, CAST(byte_len // {_FRAME_SIZE} AS BIGINT) - 1)) AS frame_idx
@@ -137,7 +141,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     into per-frame rows (decode step stubbed deterministically; the oracle
     recomputes the frame arithmetic relationally)."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    # null text -> zero-byte payload (decode of nothing), mirrored in the oracle
+    payloads = docs.select(
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+    )
     return payloads.mapInPandas(
         _sample_frames, schema="doc_id long, frame_idx long, frame_bytes long"
     )

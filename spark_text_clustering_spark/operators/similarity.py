@@ -104,10 +104,12 @@ def knn_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k via window rank with neighbor-id tiebreak. The candidate scan is
     embarrassingly parallel; the only shuffle is the |queries|-keyed rank.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("e")
-    )
-    emb = emb.withColumn("nrm", _l2norm(F.col("e")))
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", _as_double("embedding").alias("e"))
+    # zero-norm vectors have undefined cosine: excluded by definition
+    # (the oracle's nan rows fail its cos-threshold/rank filters the same way)
+    emb = emb.withColumn("nrm", _l2norm(F.col("e"))).where(F.col("nrm") > 0)
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
@@ -139,17 +141,27 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("e")
-    )
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", _as_double("embedding").alias("e"))
     if emb.isEmpty():  # LSH cannot fit on zero rows: empty-in -> empty-out
         return spark.createDataFrame([], "id_a long, id_b long, cosine_sim double")
+    # when() keeps array_to_vector lazy: Catalyst is free to reorder a
+    # deterministic UDF above the isNotNull filter, so the guard must live
+    # INSIDE the expression, not in a preceding .where()
     normed = emb.select(
         "vec_id",
-        array_to_vector(
-            F.transform("e", lambda x: x / F.coalesce(F.nullif(_l2norm(F.col("e")), F.lit(0.0)), F.lit(1.0)))
+        F.when(
+            F.col("e").isNotNull(),
+            array_to_vector(
+                F.transform("e", lambda x: x / F.coalesce(F.nullif(_l2norm(F.col("e")), F.lit(0.0)), F.lit(1.0)))
+            ),
         ).alias("features"),
-    )
+    ).where(F.col("features").isNotNull())
+    # Catalyst reorders deterministic UDFs across filters (the LSH hash was
+    # observed evaluating on rows the isNotNull filter should have removed),
+    # so materialize the filtered frame and cut the lineage before fit.
+    normed = normed.localCheckpoint(eager=True)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
     )
@@ -178,15 +190,25 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     n_clusters, nprobe = 16, 4
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("e")
+    # null embeddings carry no vector; zero-norm vectors have undefined
+    # cosine — both are excluded from index and queries by definition
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", _as_double("embedding").alias("e")).where(
+        _l2norm(F.col("e")) > 0
     )
-    if emb.isEmpty():  # KMeans/LSH cannot fit on zero rows: empty-in -> empty-out
+    n_vecs = emb.count()
+    if n_vecs < 2:  # KMeans needs k>=2; <2 vectors admit no neighbor pairs
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine_sim double, rank int"
         )
-    vecs = emb.select("vec_id", "e", array_to_vector(F.col("e")).alias("features"))
-    km = KMeans(k=n_clusters, seed=42, maxIter=20, featuresCol="features")
+    vecs = emb.select(
+        "vec_id",
+        "e",
+        F.when(F.col("e").isNotNull(), array_to_vector(F.col("e"))).alias("features"),
+    ).where(F.col("features").isNotNull())
+    # KMeans aborts when k exceeds the number of points (tiny corpora)
+    km = KMeans(k=min(n_clusters, n_vecs), seed=42, maxIter=20, featuresCol="features")
     model = km.fit(vecs)
     assigned = model.transform(vecs).select(
         "vec_id", "e", _l2norm(F.col("e")).alias("nrm"), F.col("prediction").alias("cluster")
@@ -263,10 +285,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-verify join only runs inside blocks, which is the scalable shape
     (never the full n² cross join).
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double("embedding").alias("e")
-    )
-    emb = emb.withColumn("nrm", _l2norm(F.col("e")))
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    ).select("vec_id", "label", _as_double("embedding").alias("e"))
+    emb = emb.withColumn("nrm", _l2norm(F.col("e"))).where(F.col("nrm") > 0)
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
@@ -297,7 +319,9 @@ def knn_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     q_rows = (
         emb.where(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding")
@@ -405,14 +429,21 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str] | None:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("e")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", _as_double("embedding").alias("e")).where(
+        _l2norm(F.col("e")) > 0
     )
-    if emb.isEmpty():  # KMeans cannot fit on zero rows
+    n_vecs = emb.count()
+    if n_vecs < 2:  # KMeans needs k>=2; <2 vectors admit no neighbor pairs
         return None
-    vecs = emb.select("vec_id", "e", array_to_vector(F.col("e")).alias("features"))
+    vecs = emb.select(
+        "vec_id",
+        "e",
+        F.when(F.col("e").isNotNull(), array_to_vector(F.col("e"))).alias("features"),
+    ).where(F.col("features").isNotNull())
     model = KMeans(
-        k=_IVF_CLUSTERS, seed=42, maxIter=20, featuresCol="features"
+        k=min(_IVF_CLUSTERS, n_vecs), seed=42, maxIter=20, featuresCol="features"
     ).fit(vecs)
     base = tempfile.mkdtemp(prefix="ivf_index_")
     index_path = f"{base}/vectors"

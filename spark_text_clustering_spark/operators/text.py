@@ -593,9 +593,9 @@ def _lemmatize_batches(batches):
     for pdf in batches:
         out = pdf[["doc_id"]].copy()
         out["lemmas"] = pdf["tokens"].map(
-            lambda arr: " ".join(
-                m for m in (lemmatizer.lemma(t) for t in arr) if m
-            )
+            lambda arr: ""
+            if arr is None  # null text -> null token array -> empty lemmas
+            else " ".join(m for m in (lemmatizer.lemma(t) for t in arr) if m)
         )
         yield out
 
