@@ -180,3 +180,62 @@ def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("u") < F.col("rate"))
         .select("doc_id", "source", F.round("u", 6).alias("u"), "rate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys — multi-column data skipping
+# ---------------------------------------------------------------------------
+
+def _spread16(c: F.Column) -> F.Column:
+    """Interleave-ready bit spread of a 16-bit value (magic-bits Morton
+    encoding — public-domain bit twiddling; same constants both engines)."""
+    x = c.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+_ZORDER_ORACLE = """
+WITH b AS (
+  SELECT event_id,
+         CAST(user_id & 65535 AS BIGINT) AS x,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) // 60 & 65535 AS BIGINT) AS y
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+s1 AS (SELECT event_id, x, y,
+              ((x | (x << 8)) & 16711935)  AS xs, ((y | (y << 8)) & 16711935)  AS ys FROM b),
+s2 AS (SELECT event_id, x, y,
+              ((xs | (xs << 4)) & 252645135) AS xs, ((ys | (ys << 4)) & 252645135) AS ys FROM s1),
+s3 AS (SELECT event_id, x, y,
+              ((xs | (xs << 2)) & 858993459) AS xs, ((ys | (ys << 2)) & 858993459) AS ys FROM s2),
+s4 AS (SELECT event_id, x, y,
+              ((xs | (xs << 1)) & 1431655765) AS xs, ((ys | (ys << 1)) & 1431655765) AS ys FROM s3)
+SELECT event_id, x, y, xs | (ys << 1) AS zkey
+FROM s4
+"""
+
+
+@REG.register("layout_zorder_key", oracle=_ZORDER_ORACLE)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (user_id, minute-of-time): the
+    multi-dimensional clustering key behind OPTIMIZE ZORDER-style layouts.
+
+    Writing a 100 TB events table sorted by ``zkey`` makes per-file min/max
+    statistics selective in BOTH dimensions at once, so scans filtered on
+    user ranges AND time ranges skip files (a single-column sort only ever
+    skips in one). Computing the key is a stateless narrow map — the sort
+    happens once at write time (`sortWithinPartitions("zkey")` after a
+    range-partition on zkey). Magic-bits interleave stays in whole-stage
+    codegen; the oracle replays the identical constants."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    x = F.col("user_id").bitwiseAND(F.lit(0xFFFF)).cast("long")
+    y = (
+        (F.unix_timestamp("ts") / 60).cast("long").bitwiseAND(F.lit(0xFFFF))
+    )
+    keyed = ev.select("event_id", x.alias("x"), y.alias("y"))
+    z = _spread16(F.col("x")).bitwiseOR(F.shiftleft(_spread16(F.col("y")), 1))
+    return keyed.select("event_id", "x", "y", z.alias("zkey"))
