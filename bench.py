@@ -60,6 +60,9 @@ HEADLINE = [
     "pack_sequences_budget",
     "mixture_sample_by_source",
     "multimodal_image_decode",
+    "pipeline_train_ready",
+    "layout_zorder_key",
+    "stream_stream_join",
 ]
 
 

@@ -239,3 +239,125 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = ev.select("event_id", x.alias("x"), y.alias("y"))
     z = _spread16(F.col("x")).bitwiseOR(F.shiftleft(_spread16(F.col("y")), 1))
     return keyed.select("event_id", "x", "y", z.alias("zkey"))
+
+
+# ---------------------------------------------------------------------------
+# Full train-ready composite: filter → dedup → chunk → shard → pack
+# ---------------------------------------------------------------------------
+
+_TRAIN_READY_ORACLE = f"""
+WITH filtered AS (
+  SELECT doc_id, text FROM documents
+  WHERE lang IN ('en', 'de', 'fr', 'es') AND n_chars >= 100
+    AND len(list_filter(regexp_split_to_array(text, '\\s+'),
+                        x -> len(x) > 0)) >= 20),
+dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY sha256(text)
+                              ORDER BY doc_id) AS rn
+    FROM filtered) WHERE rn = 1),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, CAST(ceil(len(text) / 200.0) AS INTEGER)))
+           AS chunk_idx,
+         text
+  FROM dedup),
+toks AS (
+  SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         CAST(len(list_filter(
+                regexp_split_to_array(
+                  substr(text, (chunk_idx - 1) * 200 + 1, 200), '\\s+'),
+                x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+         md5(concat(CAST(doc_id AS VARCHAR), '#', CAST(chunk_idx AS VARCHAR),
+                    ':', '{SEED}')) AS sort_key
+  FROM chunks),
+sharded AS (
+  SELECT doc_id, chunk_idx, n_tokens, sort_key,
+         CAST(({_sql_nibble('sort_key', 1)} * 16 + {_sql_nibble('sort_key', 2)})
+              % {N_SHARDS} AS INT) AS shard
+  FROM toks),
+packed AS (
+  SELECT doc_id, chunk_idx, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY sort_key
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sharded)
+SELECT doc_id, chunk_idx, shard, n_tokens,
+       CAST((cum - n_tokens) // {SEQ_LEN} AS BIGINT) AS seq_id
+FROM packed
+"""
+
+
+@REG.register("pipeline_train_ready", oracle=_TRAIN_READY_ORACLE)
+def pipeline_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data flow as one Catalyst plan: language /
+    length / token-count quality gate → exact dedup (first-id survivor
+    per sha256) → 200-char chunking → per-chunk token counts → seeded
+    shuffle-shard assignment → fixed-token-budget sequence packing.
+
+    Extends ``pipeline_prepare_corpus`` with the traindata last mile.
+    Exactly TWO shuffles at any scale: the dedup window on sha256(text)
+    (uniform 64-hex key) and the per-shard packing window; chunk fan-out,
+    hashing, and shard derivation are all narrow codegen'd maps. The
+    output is what a loader consumes: (shard, seq_id) → chunk list."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = lambda c: F.size(  # noqa: E731
+        F.filter(F.split(c, r"\s+"), lambda x: F.length(x) > 0)
+    )
+    filtered = docs.where(
+        F.col("lang").isin("en", "de", "fr", "es")
+        & (F.col("n_chars") >= 100)
+        & (n_tok(F.col("text")) >= 20)
+    ).select("doc_id", "text")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    dedup = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    chunks = dedup.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.ceil(F.length("text") / 200.0).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    chunk = F.substring(F.col("text"), (F.col("chunk_idx") - 1) * 200 + 1, 200)
+    toks = chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        n_tok(chunk).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.concat_ws(
+                    ":",
+                    F.concat_ws(
+                        "#",
+                        F.col("doc_id").cast("string"),
+                        F.col("chunk_idx").cast("string"),
+                    ),
+                    F.lit(SEED),
+                ),
+            )
+        ).alias("sort_key"),
+    )
+    shard = ((_nibble("sort_key", 1) * 16 + _nibble("sort_key", 2)) % N_SHARDS).cast(
+        "int"
+    )
+    sharded = toks.withColumn("shard", shard)
+    pw = (
+        Window.partitionBy("shard")
+        .orderBy("sort_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(pw)
+    return sharded.select(
+        "doc_id",
+        "chunk_idx",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / SEQ_LEN).alias("seq_id"),
+    )

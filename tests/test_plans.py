@@ -263,3 +263,11 @@ def test_pack_sequences_single_shuffle(spark):
     plan = plan_of(spark, "pack_sequences_budget")
     assert plan.count("Arguments: hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_train_ready_two_shuffles(spark):
+    """The full train-ready composite (filter → dedup → chunk → shard →
+    pack) must plan exactly TWO exchanges: the sha256 dedup window and the
+    per-shard packing window. Everything else is narrow."""
+    plan = plan_of(spark, "pipeline_train_ready")
+    assert plan.count("Arguments: hashpartitioning") == 2
