@@ -94,32 +94,35 @@ def main() -> None:
 
     from spark_text_clustering_spark.catalog import load_table
 
-    wh = tempfile.mkdtemp(prefix="bench_buckets_")
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS bench_b LOCATION '{wh}'")
-    load_table(spark, SF_DIR, "orders").write.mode("overwrite").bucketBy(
-        16, "o_orderkey"
-    ).sortBy("o_orderkey").saveAsTable("bench_b.orders_b")
-    load_table(spark, SF_DIR, "lineitem").write.mode("overwrite").bucketBy(
-        16, "l_orderkey"
-    ).sortBy("l_orderkey").saveAsTable("bench_b.lineitem_b")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        for label, o_df, l_df in [
-            ("join_orderkey_shuffle", load_table(spark, SF_DIR, "orders"), load_table(spark, SF_DIR, "lineitem")),
-            ("join_orderkey_bucketed", spark.table("bench_b.orders_b"), spark.table("bench_b.lineitem_b")),
-        ]:
-            j = o_df.join(l_df, o_df.o_orderkey == l_df.l_orderkey).select(
-                "o_orderkey", "l_quantity", "o_totalprice"
-            )
-            j.write.format("noop").mode("overwrite").save()  # warmup
-            t0 = time.perf_counter()
-            j.write.format("noop").mode("overwrite").save()
-            timings[label] = round(time.perf_counter() - t0, 3)
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        spark.sql("DROP TABLE IF EXISTS bench_b.orders_b")
-        spark.sql("DROP TABLE IF EXISTS bench_b.lineitem_b")
-        spark.sql("DROP DATABASE IF EXISTS bench_b")
+        wh = tempfile.mkdtemp(prefix="bench_buckets_")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS bench_b LOCATION '{wh}'")
+        load_table(spark, SF_DIR, "orders").write.mode("overwrite").bucketBy(
+            16, "o_orderkey"
+        ).sortBy("o_orderkey").saveAsTable("bench_b.orders_b")
+        load_table(spark, SF_DIR, "lineitem").write.mode("overwrite").bucketBy(
+            16, "l_orderkey"
+        ).sortBy("l_orderkey").saveAsTable("bench_b.lineitem_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            for label, o_df, l_df in [
+                ("join_orderkey_shuffle", load_table(spark, SF_DIR, "orders"), load_table(spark, SF_DIR, "lineitem")),
+                ("join_orderkey_bucketed", spark.table("bench_b.orders_b"), spark.table("bench_b.lineitem_b")),
+            ]:
+                j = o_df.join(l_df, o_df.o_orderkey == l_df.l_orderkey).select(
+                    "o_orderkey", "l_quantity", "o_totalprice"
+                )
+                j.write.format("noop").mode("overwrite").save()  # warmup
+                t0 = time.perf_counter()
+                j.write.format("noop").mode("overwrite").save()
+                timings[label] = round(time.perf_counter() - t0, 3)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql("DROP TABLE IF EXISTS bench_b.orders_b")
+            spark.sql("DROP TABLE IF EXISTS bench_b.lineitem_b")
+            spark.sql("DROP DATABASE IF EXISTS bench_b")
+    except Exception as e:
+        failed["bucketed_join_section"] = f"{type(e).__name__}: {e}"[:200]
 
     # Skewed aggregation: plain vs two-stage salted (operators/skew.py).
     # Synthetic hot key: ~60% of lineitem rows collapse onto one key, the
@@ -143,10 +146,13 @@ def main() -> None:
         n_salts=32,
     )
     for label, df in [("agg_skew_plain", plain), ("agg_skew_salted", salted)]:
-        df.write.format("noop").mode("overwrite").save()  # warmup
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[label] = round(time.perf_counter() - t0, 3)
+        try:
+            df.write.format("noop").mode("overwrite").save()  # warmup
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[label] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            failed[label] = f"{type(e).__name__}: {e}"[:200]
 
     # LDA EM training (the reference's only published numbers are EM
     # iteration timings — BASELINE.md: 0.79 s/iter EN, 2.10 s/iter GE at
@@ -155,15 +161,18 @@ def main() -> None:
     from spark_text_clustering_spark.ml.lda import train_lda
     from spark_text_clustering_spark.ml.vectorize import vectorize
 
-    docs = load_table(spark, SF_DIR, "documents")
-    vec, _ = vectorize(docs, vocab_size=2_900_000, min_doc_freq=2)
-    corpus = vec.select("doc_id", "tfidf").cache()
-    corpus.count()  # materialize preprocessing outside the timed window
-    t0 = time.perf_counter()
-    train_lda(corpus, k=5, max_iter=50, optimizer="em", seed=42)
-    lda_total = time.perf_counter() - t0
-    timings["lda_em_train_50iter"] = round(lda_total, 3)
-    timings["lda_em_sec_per_iter"] = round(lda_total / 50, 4)
+    try:
+        docs = load_table(spark, SF_DIR, "documents")
+        vec, _ = vectorize(docs, vocab_size=2_900_000, min_doc_freq=2)
+        corpus = vec.select("doc_id", "tfidf").cache()
+        corpus.count()  # materialize preprocessing outside the timed window
+        t0 = time.perf_counter()
+        train_lda(corpus, k=5, max_iter=50, optimizer="em", seed=42)
+        lda_total = time.perf_counter() - t0
+        timings["lda_em_train_50iter"] = round(lda_total, 3)
+        timings["lda_em_sec_per_iter"] = round(lda_total / 50, 4)
+    except Exception as e:
+        failed["lda_em_section"] = f"{type(e).__name__}: {e}"[:200]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
