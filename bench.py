@@ -187,7 +187,11 @@ def main() -> None:
         "sf": sf_val,
     }
     if failed:
+        # the total is computed over an incomplete query set — flag it so
+        # cross-round comparisons of "value" are not read as a speedup
         out["failed"] = failed
+        out["n_failed"] = len(failed)
+        out["value_complete"] = False
     print(json.dumps(out))
 
 

@@ -165,7 +165,9 @@ def _nano_cols(path: str, cols: tuple) -> frozenset:
     except Exception:
         # Footer unreadable (e.g. empty streaming dir) — assume the
         # native-readable µs/ms layout, the current driver contract.
-        nanos = frozenset()
+        # NOT cached: files may appear later with a different unit, and the
+        # next call should sniff them rather than reuse this guess.
+        return frozenset()
     _NANO_COLS_CACHE[path] = nanos
     return nanos
 

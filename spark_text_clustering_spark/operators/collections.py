@@ -84,7 +84,11 @@ def regexp_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long").alias("k_re"),
+        # regexp_extract yields '' on no-match, which ANSI cast aborts on —
+        # nullif makes missing keys NULL like the SQL oracle's regexp path
+        F.nullif(F.regexp_extract("props", r'"k":\s*(\d+)', 1), F.lit(""))
+        .cast("long")
+        .alias("k_re"),
     )
 
 

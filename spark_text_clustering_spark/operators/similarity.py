@@ -83,8 +83,8 @@ dots AS (
 scored AS (
   SELECT d.query_id, d.neighbor_id, d.dot / (qn.nrm * nn.nrm) AS cos
   FROM dots d
-  JOIN norms qn ON qn.vec_id = d.query_id
-  JOIN norms nn ON nn.vec_id = d.neighbor_id)
+  JOIN norms qn ON qn.vec_id = d.query_id AND qn.nrm > 0
+  JOIN norms nn ON nn.vec_id = d.neighbor_id AND nn.nrm > 0)
 SELECT query_id, neighbor_id,
        round(cos, 6) AS cosine_sim,
        CAST(rn AS INTEGER) AS rank
@@ -108,7 +108,8 @@ def knn_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull()
     ).select("vec_id", _as_double("embedding").alias("e"))
     # zero-norm vectors have undefined cosine: excluded by definition
-    # (the oracle's nan rows fail its cos-threshold/rank filters the same way)
+    # (mirrored in the oracle via nrm > 0 join conditions — DuckDB's x/0.0
+    # is NULL, which would otherwise survive into ranked rows)
     emb = emb.withColumn("nrm", _l2norm(F.col("e"))).where(F.col("nrm") > 0)
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
@@ -197,8 +198,10 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", _as_double("embedding").alias("e")).where(
         _l2norm(F.col("e")) > 0
     )
-    n_vecs = emb.count()
-    if n_vecs < 2:  # KMeans needs k>=2; <2 vectors admit no neighbor pairs
+    # bounded probe: we only need the exact count when it is <= n_clusters,
+    # so scan at most n_clusters+1 rows instead of aggregating the table
+    n_probe = emb.limit(n_clusters + 1).count()
+    if n_probe < 2:  # KMeans needs k>=2; <2 vectors admit no neighbor pairs
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine_sim double, rank int"
         )
@@ -208,7 +211,7 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("e").isNotNull(), array_to_vector(F.col("e"))).alias("features"),
     ).where(F.col("features").isNotNull())
     # KMeans aborts when k exceeds the number of points (tiny corpora)
-    km = KMeans(k=min(n_clusters, n_vecs), seed=42, maxIter=20, featuresCol="features")
+    km = KMeans(k=min(n_clusters, n_probe), seed=42, maxIter=20, featuresCol="features")
     model = km.fit(vecs)
     assigned = model.transform(vecs).select(
         "vec_id", "e", _l2norm(F.col("e")).alias("nrm"), F.col("prediction").alias("cluster")
@@ -271,7 +274,8 @@ dots AS (
   GROUP BY a.vec_id, b.vec_id),
 scored AS (
   SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cos
-  FROM dots d JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b)
+  FROM dots d JOIN norms na ON na.vec_id = d.id_a AND na.nrm > 0
+  JOIN norms nb ON nb.vec_id = d.id_b AND nb.nrm > 0)
 SELECT id_a, id_b, round(cos, 6) AS cosine_sim
 FROM scored WHERE cos >= 0.9
 """
@@ -321,7 +325,7 @@ def knn_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
-    )
+    ).where(_l2norm(_as_double("embedding")) > 0)
     q_rows = (
         emb.where(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding")
@@ -400,7 +404,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
             F.transform(
                 as_double,
-                lambda x: F.round(x * 127.0 / max_abs, 0).cast("long").cast("string"),
+                # zero vector: scale 0 and all-zero codes (ANSI division by
+                # zero would otherwise abort the whole job)
+                lambda x: F.when(
+                    max_abs > 0, F.round(x * 127.0 / max_abs, 0).cast("long")
+                )
+                .otherwise(F.lit(0))
+                .cast("string"),
             ),
         ).alias("q8"),
     )
@@ -434,8 +444,8 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str] | None:
     ).select("vec_id", _as_double("embedding").alias("e")).where(
         _l2norm(F.col("e")) > 0
     )
-    n_vecs = emb.count()
-    if n_vecs < 2:  # KMeans needs k>=2; <2 vectors admit no neighbor pairs
+    n_probe = emb.limit(_IVF_CLUSTERS + 1).count()  # bounded probe, not a full scan
+    if n_probe < 2:  # KMeans needs k>=2; <2 vectors admit no neighbor pairs
         return None
     vecs = emb.select(
         "vec_id",
@@ -443,7 +453,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str] | None:
         F.when(F.col("e").isNotNull(), array_to_vector(F.col("e"))).alias("features"),
     ).where(F.col("features").isNotNull())
     model = KMeans(
-        k=min(_IVF_CLUSTERS, n_vecs), seed=42, maxIter=20, featuresCol="features"
+        k=min(_IVF_CLUSTERS, n_probe), seed=42, maxIter=20, featuresCol="features"
     ).fit(vecs)
     base = tempfile.mkdtemp(prefix="ivf_index_")
     index_path = f"{base}/vectors"

@@ -534,7 +534,10 @@ def _porter_lite(word: str) -> str:
 
 
 def _stem_series(tokens: pd.Series) -> pd.Series:
-    return tokens.map(lambda arr: [_porter_lite(t) for t in arr])
+    # null text -> null token array: stem to an empty list, don't crash
+    return tokens.map(
+        lambda arr: [] if arr is None else [_porter_lite(t) for t in arr]
+    )
 
 
 @REG.register("udf_scalar_stem")  # rows-only: no SQL stemmer oracle (SURVEY §2.9)
@@ -553,7 +556,7 @@ def udf_scalar_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fingerprint_series(text: pd.Series) -> pd.Series:
     def fp(s: str) -> int:
         h = 0
-        for ch in s:
+        for ch in s or "":  # null text fingerprints like the empty string
             h = (h * 131 + ord(ch)) % _MOD
         return h
 

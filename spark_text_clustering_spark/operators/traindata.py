@@ -55,6 +55,13 @@ def _sql_nibble(col: str, pos: int) -> str:
     return f"(strpos('{_HEX}', substr({col}, {pos}, 1)) - 1)"
 
 
+def _shard_col(key_col: str) -> F.Column:
+    """Uniform shard in [0, N_SHARDS) from the first two hex nibbles of a
+    md5 key column — the ONE shard formula every operator (and its SQL
+    oracle via ``_sql_nibble``) must agree on."""
+    return ((_nibble(key_col, 1) * 16 + _nibble(key_col, 2)) % N_SHARDS).cast("int")
+
+
 _SHARD_ORACLE = f"""
 WITH keyed AS (
   SELECT doc_id,
@@ -76,10 +83,7 @@ def shard_assign_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ORDER BY rand()`` would need is avoided entirely."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     keyed = docs.withColumn("sort_key", _sort_key())
-    shard = ((_nibble("sort_key", 1) * 16 + _nibble("sort_key", 2)) % N_SHARDS).cast(
-        "int"
-    )
-    return keyed.withColumn("shard", shard)
+    return keyed.withColumn("shard", _shard_col("sort_key"))
 
 
 _PACK_ORACLE = f"""
@@ -118,10 +122,7 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", r"\s+")).cast("long").alias("n_tok"),
     )
     keyed = docs.withColumn("sort_key", _sort_key())
-    shard = ((_nibble("sort_key", 1) * 16 + _nibble("sort_key", 2)) % N_SHARDS).cast(
-        "int"
-    )
-    sharded = keyed.withColumn("shard", shard)
+    sharded = keyed.withColumn("shard", _shard_col("sort_key"))
     w = (
         Window.partitionBy("shard")
         .orderBy("sort_key")
@@ -331,23 +332,17 @@ def pipeline_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok(chunk).cast("long").alias("n_tokens"),
         F.md5(
             F.concat_ws(
-                "",
+                ":",
                 F.concat_ws(
-                    ":",
-                    F.concat_ws(
-                        "#",
-                        F.col("doc_id").cast("string"),
-                        F.col("chunk_idx").cast("string"),
-                    ),
-                    F.lit(SEED),
+                    "#",
+                    F.col("doc_id").cast("string"),
+                    F.col("chunk_idx").cast("string"),
                 ),
+                F.lit(SEED),
             )
         ).alias("sort_key"),
     )
-    shard = ((_nibble("sort_key", 1) * 16 + _nibble("sort_key", 2)) % N_SHARDS).cast(
-        "int"
-    )
-    sharded = toks.withColumn("shard", shard)
+    sharded = toks.withColumn("shard", _shard_col("sort_key"))
     pw = (
         Window.partitionBy("shard")
         .orderBy("sort_key")

@@ -76,8 +76,10 @@ def null_sf_dir(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("key", sorted(QUERIES))
 def test_runs_on_null_laden_input(spark, null_sf_dir, key):
-    n = QUERIES[key](spark, null_sf_dir).count()
-    assert n >= 0
+    # noop write, NOT count(): count() lets Catalyst prune projection/UDF
+    # columns that are never evaluated (udf_scalar_stem's null crash was
+    # invisible to a count()-based sweep)
+    QUERIES[key](spark, null_sf_dir).write.format("noop").mode("overwrite").save()
 
 
 def test_int96_timestamps_load_natively(spark, null_sf_dir):

@@ -64,9 +64,12 @@ def test_stopword_filter_no_empty_tokens(spark):
 
     # stopword_filter serializes tokens as a space-joined string (atomic
     # schema contract) — split it back to assert no empty tokens survive.
+    # an all-stopword doc serializes to '' whose split yields [''] — only
+    # non-empty serializations can contain a genuinely empty token
     df = QUERIES["stopword_filter"](spark, SF_SMALL)
     bad = df.where(
-        F.exists(F.split("tokens", " "), lambda t: F.length(t) == 0)
+        (F.length("tokens") > 0)
+        & F.exists(F.split("tokens", " "), lambda t: F.length(t) == 0)
     ).count()
     assert bad == 0
 
