@@ -41,9 +41,16 @@ SEQ_LEN = 512
 _HEX = "0123456789abcdef"
 
 
+def _nullsafe_str(c: F.Column) -> F.Column:
+    """NULL → '' so F.concat matches DuckDB's concat (which skips NULL
+    args) byte-for-byte; concat_ws would instead drop the SEPARATOR next
+    to a NULL, silently diverging from the oracle on NULL keys."""
+    return F.coalesce(c.cast("string"), F.lit(""))
+
+
 def _sort_key() -> F.Column:
     """Deterministic per-doc shuffle key: md5(doc_id ':' seed)."""
-    return F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(SEED)))
+    return F.md5(F.concat(_nullsafe_str(F.col("doc_id")), F.lit(":"), F.lit(SEED)))
 
 
 def _nibble(col: str, pos: int) -> F.Column:
@@ -165,7 +172,7 @@ def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-joins a (source → rate) policy table instead."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     k = F.md5(
-        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("mix"), F.lit(SEED))
+        F.concat(_nullsafe_str(F.col("doc_id")), F.lit(":mix:"), F.lit(SEED))
     )
     keyed = docs.withColumn("k", k)
     u = (
@@ -234,8 +241,10 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
     x = F.col("user_id").bitwiseAND(F.lit(0xFFFF)).cast("long")
+    # floor division (not cast-truncation, which rounds toward zero and
+    # diverges from the oracle's // for pre-1970 timestamps)
     y = (
-        (F.unix_timestamp("ts") / 60).cast("long").bitwiseAND(F.lit(0xFFFF))
+        F.floor(F.unix_timestamp("ts") / 60).cast("long").bitwiseAND(F.lit(0xFFFF))
     )
     keyed = ev.select("event_id", x.alias("x"), y.alias("y"))
     z = _spread16(F.col("x")).bitwiseOR(F.shiftleft(_spread16(F.col("y")), 1))
@@ -331,13 +340,11 @@ def pipeline_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         n_tok(chunk).cast("long").alias("n_tokens"),
         F.md5(
-            F.concat_ws(
-                ":",
-                F.concat_ws(
-                    "#",
-                    F.col("doc_id").cast("string"),
-                    F.col("chunk_idx").cast("string"),
-                ),
+            F.concat(
+                _nullsafe_str(F.col("doc_id")),
+                F.lit("#"),
+                _nullsafe_str(F.col("chunk_idx")),
+                F.lit(":"),
                 F.lit(SEED),
             )
         ).alias("sort_key"),
