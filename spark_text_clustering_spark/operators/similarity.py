@@ -137,12 +137,23 @@ _LSH_NORMED_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 @REG.register("knn_cosine_lsh")  # rows-only: LSH is approximate (seeded, deterministic)
-def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_cosine_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    euclid_threshold: float = 1.0,
+    num_hash_tables: int = 4,
+) -> DataFrame:
     """Approximate neighbor pairs via random-projection LSH on L2-normalized
-    vectors (cosine ≥ ~0.5 ⇔ euclidean ≤ 1.0 after normalization).
+    vectors (cosine ≥ ~0.5 ⇔ euclidean ≤ 1.0 after normalization; in
+    general cos ≥ t ⇔ euclid ≤ sqrt(2-2t)).
 
     Scale path for the exact query above: the bucketed join restricts
-    comparisons to same-bucket candidates.
+    comparisons to same-bucket candidates. Measured pair-recall vs exact
+    enumeration (tests/test_search.py::test_ann_recall_lsh, sf0.01):
+    ≥0.97 at cos≥0.4 with 4 hash tables, ≥0.99 with 8 — the keyword args
+    let callers trade tables for recall; the registered key uses the
+    defaults.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
@@ -182,10 +193,14 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         normed = normed.localCheckpoint(eager=True)
         _LSH_NORMED_MEMO[memo_key] = normed
     lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=num_hash_tables,
+        seed=42,
     )
     model = lsh.fit(normed)
-    pairs = model.approxSimilarityJoin(normed, normed, 1.0, distCol="euclid")
+    pairs = model.approxSimilarityJoin(normed, normed, euclid_threshold, distCol="euclid")
     return (
         pairs.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(
@@ -197,18 +212,29 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.register("knn_cosine_ivf")  # rows-only: IVF probe is approximate (seeded, deterministic)
-def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_cosine_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantizer partitions the corpus; each
     query probes only its nearest ``nprobe`` partitions.
 
     The centroid table is tiny → broadcast; candidate scan cost drops by
     ~n_clusters/nprobe vs brute force. This is the 100 TB shape: cluster
     assignment is a one-time batch job, probes are partition-pruned scans.
+
+    Recall@5 vs exact is measured and pinned in
+    tests/test_search.py::test_ann_recall_ivf (the testdata embeddings are
+    near-random — worst case for a coarse quantizer — so the nprobe→recall
+    curve is documented in COVERAGE.md rather than assumed); nprobe ==
+    n_clusters provably degenerates to exact brute force and the test
+    asserts that equality.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    n_clusters, nprobe = 16, 4
     # null embeddings carry no vector; zero-norm vectors have undefined
     # cosine — both are excluded from index and queries by definition
     emb = load_table(spark, sf_dir, "embeddings").where(

@@ -1,5 +1,9 @@
-"""TF-IDF search: self-retrieval sanity + determinism + top-k contract."""
+"""TF-IDF search: self-retrieval sanity + determinism + top-k contract.
+Plus ANN quality: measured recall floors for the LSH and IVF approximate
+paths against exact ground truth (the only way their green status bounds
+result *quality*, not just determinism)."""
 
+import numpy as np
 import pytest
 
 from spark_text_clustering_spark.catalog import load_table
@@ -46,6 +50,106 @@ def test_ivf_stored_index_matches_per_query_fit(spark):
     live = {tuple(r) for r in knn_cosine_ivf(spark, SF_ORACLE).collect()}
     stored = {tuple(r) for r in knn_cosine_ivf_stored(spark, SF_ORACLE).collect()}
     assert stored == live
+
+
+def _exact_topk_sets(spark, sf_dir):
+    """query_id -> set(neighbor_id) from the oracle-checked exact operator."""
+    from spark_text_clustering_spark.operators.similarity import knn_cosine_exact
+
+    out = {}
+    for r in knn_cosine_exact(spark, sf_dir).collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(exact: dict, approx: dict) -> float:
+    return sum(
+        len(nb & approx.get(q, set())) / len(nb) for q, nb in exact.items()
+    ) / len(exact)
+
+
+def test_ann_recall_ivf(spark):
+    """Measured recall@5 of the IVF probe vs exact brute force, pinned at
+    floors observed on the near-random testdata embeddings (worst case for
+    a coarse quantizer — real corpora cluster tighter):
+
+      sf0.01: nprobe=4 -> 0.48, nprobe=8 -> 0.80, nprobe=16 -> 1.00
+      sf0.1:  nprobe=4 -> 0.58, nprobe=8 -> 0.86, nprobe=16 -> 1.00
+
+    nprobe == n_clusters must DEGENERATE TO EXACT (probing every partition
+    is brute force) — asserted as set equality, which also cross-checks the
+    oracle-verified exact operator against the IVF scoring path."""
+    from spark_text_clustering_spark.operators.similarity import knn_cosine_ivf
+    from .conftest import SF_ORACLE
+
+    exact = _exact_topk_sets(spark, SF_ORACLE)
+    assert exact, "exact ground truth is empty"
+
+    by_probe = {
+        p: {} for p in (4, 8, 16)
+    }
+    for p in by_probe:
+        for r in knn_cosine_ivf(spark, SF_ORACLE, nprobe=p).collect():
+            by_probe[p].setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    assert _recall(exact, by_probe[4]) >= 0.40
+    assert _recall(exact, by_probe[8]) >= 0.75
+    # recall must not degrade as the probe widens (each probe set is a
+    # superset of candidates)
+    assert _recall(exact, by_probe[8]) >= _recall(exact, by_probe[4])
+    assert by_probe[16] == exact  # full probe == brute force, exactly
+
+
+def test_ann_recall_lsh(spark):
+    """Pair-recall of the LSH bucket join vs exact pair enumeration at a
+    threshold matched to the data (cos >= 0.4 ⇔ euclid <= sqrt(1.2) on
+    unit vectors). Measured 0.983 with 4 hash tables / 1.000 with 8 at
+    sf0.01 — pinned at 0.9 / 0.95. Precision must be exact (the bucket
+    join post-filters on true distance, so no pair below the threshold
+    may appear)."""
+    from pyspark.sql import functions as F
+    from spark_text_clustering_spark.operators.similarity import knn_cosine_lsh
+    from .conftest import SF_ORACLE
+
+    rows = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    ids, mat = ids[nrm > 0], mat[nrm > 0] / nrm[nrm > 0, None]
+    cos = mat @ mat.T
+    iu = np.triu_indices(len(ids), 1)
+
+    t_cos = 0.4
+    true_pairs = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(*iu)
+        if cos[i, j] >= t_cos
+    }
+    assert true_pairs, "threshold admits no true pairs — test is vacuous"
+    thr = float(np.sqrt(2 - 2 * t_cos))
+
+    for n_tables, floor in ((4, 0.90), (8, 0.95)):
+        found = {
+            (int(r["id_a"]), int(r["id_b"]))
+            for r in knn_cosine_lsh(
+                spark, SF_ORACLE, euclid_threshold=thr, num_hash_tables=n_tables
+            ).collect()
+        }
+        recall = len(found & true_pairs) / len(true_pairs)
+        assert recall >= floor, f"nht={n_tables}: recall {recall:.3f} < {floor}"
+        # precision: every returned pair really is within the threshold
+        # (tiny tolerance for the euclid<->cos float roundtrip at the edge)
+        near_true = {
+            (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+            for i, j in zip(*iu)
+            if cos[i, j] >= t_cos - 1e-9
+        }
+        assert found <= near_true
 
 
 def test_ivf_stored_index_scan_partition_prunes(spark):
