@@ -310,32 +310,67 @@ def incremental_dedup(
     spark: SparkSession,
     new_docs: DataFrame,
     store_path: str,
+    batch_id: str | None = None,
 ) -> DataFrame:
     """Incremental exact dedup against a persistent fingerprint store —
     the production shape: each ingest batch dedups against ALL history
     without rereading historical text.
 
     new batch → sha256 → (1) self-dedup (min doc_id per hash) →
-    (2) anti-join against the store's hashes → survivors appended to the
-    store. Returns the surviving rows. The store holds (h, doc_id) only —
-    40ish bytes/doc regardless of document size, so a 100 TB corpus's
-    store is ~100 GB and the anti-join shuffles hashes, never text.
+    (2) anti-join against the hashes of every OTHER batch in the store →
+    survivors committed under this batch's own partition. The store holds
+    (h, doc_id) partitioned by ``batch_id`` — 40ish bytes/doc regardless
+    of document size, so a 100 TB corpus's store is ~100 GB and the
+    anti-join shuffles hashes, never text.
+
+    Idempotence (the failure mode a plain append store has): history is
+    read EXCLUDING this batch's partition, and the commit OVERWRITES only
+    this batch's partition directory. A batch that crashed mid-write, or
+    whose downstream consumer failed after the write, can therefore be
+    retried with the same ``batch_id`` and will (a) recompute the same
+    survivors — its own partial fingerprints are invisible to the
+    anti-join — and (b) replace, not duplicate, its partition. Passing
+    ``batch_id=None`` auto-assigns the next sequential id (non-retry
+    ingest, where a replay is a NEW batch and correctly yields 0
+    survivors).
     """
     import os
 
+    def _existing_batches() -> list[str]:
+        if not os.path.isdir(store_path):
+            return []
+        return sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(store_path)
+            if d.startswith("batch_id=")
+        )
+
+    batches = _existing_batches()
+    if batch_id is None:
+        batch_id = f"b{len(batches):06d}"
+        while batch_id in batches:  # gap-tolerant: ids are labels, not counters
+            batch_id = f"b{int(batch_id[1:]) + 1:06d}"
+    if "/" in batch_id or "=" in batch_id:
+        raise ValueError(f"batch_id must not contain '/' or '=': {batch_id!r}")
+
     hashed = new_docs.withColumn("h", F.sha2("text", 256))
-    batch_dedup = (
-        hashed.groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
-    if os.path.exists(store_path):
+    batch_dedup = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    history = [b for b in batches if b != batch_id]
+    if history:
         store = spark.read.parquet(store_path)
-        survivors = batch_dedup.join(store.select("h"), "h", "left_anti")
+        prior = store.where(F.col("batch_id") != batch_id).select("h")
+        survivors = batch_dedup.join(prior, "h", "left_anti")
     else:
         survivors = batch_dedup
-    # append survivors' fingerprints (two-phase: write to staging then move
-    # would be the production pattern; append suffices for the local store)
-    survivors.select("h", "doc_id").write.mode("append").parquet(store_path)
+    # commit: overwrite ONLY this batch's partition directory — a retry
+    # replaces any partial prior attempt instead of appending beside it
+    survivors.select("h", "doc_id").write.mode("overwrite").parquet(
+        f"{store_path}/batch_id={batch_id}"
+    )
+    # safe to return the lazy frame: its plan anti-joins history that
+    # EXCLUDES this batch's partition, so re-evaluation after the commit
+    # still yields the same survivors (the old append design returned [] on
+    # re-evaluation — fingerprints had become their own history)
     return survivors.select("doc_id", "h")
 
 
