@@ -23,6 +23,15 @@ CLEAN_PATTERN = r"""[»«!@#$%^&*()_+\-−,”"’';:.`?]"""
 # Same pattern with single quotes doubled for embedding in a SQL string.
 CLEAN_PATTERN_SQL = CLEAN_PATTERN.replace("'", "''")
 
+# The reference never strips LEFT curly quotes / em-dash / ellipsis in its
+# regex — its CoreNLP tokenizer separates them as standalone tokens instead
+# (the committed vocabulary contains no “-prefixed terms). Our whitespace
+# tokenizer needs them in the strip class to reach the same token stream;
+# the extended class is what full-chain vocabulary parity is measured with
+# (tests/test_lemma_golden.py). The registered `regexp_replace_clean` key
+# keeps the literal reference class above.
+CLEAN_PATTERN_EXTENDED = CLEAN_PATTERN[:-1] + "“„‘…—" + "]"
+
 STOPWORDS: tuple[str, ...] = (
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "on", "for", "with", "as", "at", "by", "be", "this", "that", "are",

@@ -111,6 +111,66 @@ def test_reference_ge_vocab_fixpoint_rate():
     assert fixed / len(terms) >= 0.97
 
 
+_BOOKS_EN = "/root/reference/TextClustering/src/main/resources/books/English"
+_STOPWORDS_EN = (
+    "/root/reference/TextClustering/src/main/resources/stopWords_EN.txt"
+)
+
+
+@pytest.mark.skipif(
+    not (os.path.isdir(_BOOKS_EN) and os.path.exists(_VOCAB)),
+    reason="reference books/vocab absent",
+)
+def test_full_chain_agreement_vs_reference_vocab():
+    """End-to-end P2→P3→P5→P6→P7 chain over 5 reference books, measured
+    against the committed EN vocabulary (the *output* of the reference's
+    CoreNLP-lemma → SimpleTokenizer → stopword → OpenNLP-Porter chain over
+    the same corpus).
+
+    Measured (round 4): occurrence-weighted agreement 0.9886, distinct
+    0.9661 — pinned at 0.98 / 0.95. The run uses the reference's OWN
+    stopWords_EN.txt (the S2 side input a real user would supply) and
+    CLEAN_PATTERN_EXTENDED (left curly quotes etc., which the reference's
+    CoreNLP tokenizer separates rather than strips). Case-folded compare:
+    the reference keeps case ('Holm'), our chain lowercases.
+
+    The residual ~1% of occurrences is the documented RuleLemmatizer
+    divergence class: 'ed/ing'-strip rules that lose a final silent 'e'
+    CoreNLP restores ('accumulated' → 'accumulat' vs CoreNLP 'accumulate'
+    → Porter 'accumul'), bracketed stage directions ('[applause'), and
+    vocabulary-truncated ordinals ('10th')."""
+    import re
+
+    from spark_text_clustering_spark.functions.textnorm import (
+        CLEAN_PATTERN_EXTENDED,
+    )
+
+    vocab = {t.lower() for t in open(_VOCAB).read().strip().split(",")}
+    stop = set(open(_STOPWORDS_EN).read().strip().split(","))
+    clean_re = re.compile(CLEAN_PATTERN_EXTENDED)
+    lem = RuleLemmatizer()
+
+    tot = hit = 0
+    dist: dict[str, bool] = {}
+    for book in sorted(os.listdir(_BOOKS_EN))[:5]:
+        text = open(
+            os.path.join(_BOOKS_EN, book), encoding="utf-8", errors="replace"
+        ).read()
+        toks = clean_re.sub(" ", text.lower()).split()  # P2 + P5
+        lemmas = [m for m in (lem.lemma(t) for t in toks) if m]  # P3 (>3 gate)
+        kept = [t for t in lemmas if t not in stop]  # P6
+        for s in (porter_stem(t) for t in kept):  # P7
+            tot += 1
+            in_vocab = s in vocab
+            hit += in_vocab
+            dist.setdefault(s, in_vocab)
+
+    occurrence_agreement = hit / tot
+    distinct_agreement = sum(dist.values()) / len(dist)
+    assert occurrence_agreement >= 0.98, f"occurrence {occurrence_agreement:.4f}"
+    assert distinct_agreement >= 0.95, f"distinct {distinct_agreement:.4f}"
+
+
 def test_porter_classic_vectors():
     vecs = {
         "caresses": "caress", "ponies": "poni", "cats": "cat",
