@@ -167,10 +167,25 @@ def main() -> None:
         corpus = vec.select("doc_id", "tfidf").cache()
         corpus.count()  # materialize preprocessing outside the timed window
         t0 = time.perf_counter()
-        train_lda(corpus, k=5, max_iter=50, optimizer="em", seed=42)
+        model = train_lda(corpus, k=5, max_iter=50, optimizer="em", seed=42)
         lda_total = time.perf_counter() - t0
         timings["lda_em_train_50iter"] = round(lda_total, 3)
         timings["lda_em_sec_per_iter"] = round(lda_total / 50, 4)
+
+        # M7 batch scoring — the reference's worst anti-pattern (per-book
+        # toLocal loop, LDALoader.scala:80-169) rebuilt as ONE
+        # model.transform; timed separately so the scoring path has a
+        # tracked number, not just training.
+        from spark_text_clustering_spark.ml.lda import score_documents
+
+        score_documents(model, corpus).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warmup
+        t0 = time.perf_counter()
+        score_documents(model, corpus).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["lda_score_documents"] = round(time.perf_counter() - t0, 3)
     except Exception as e:
         failed["lda_em_section"] = f"{type(e).__name__}: {e}"[:200]
 

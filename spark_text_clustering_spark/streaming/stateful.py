@@ -119,6 +119,152 @@ def running_user_counters_batch(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Session windows with EVENT-TIME TIMEOUT eviction — the state-bounding
+# pattern (VERDICT r3 directive #6): a session is held in GroupState only
+# until the watermark passes last_event + gap, then the timeout fires, the
+# finalized session is EMITTED (append mode) and the state row is removed.
+# This is what keeps state ~O(active users), not O(all users ever seen),
+# on an unbounded 100 TB/day stream. Spark does NOT pre-filter late rows
+# for arbitrary stateful ops (verified empirically: a below-watermark row
+# reaches the function), so the fold drops rows older than the current
+# watermark itself — otherwise a late event could resurrect an
+# already-evicted session and double-count (asserted in
+# tests/test_stateful.py::test_session_timeout_evicts_and_drops_late).
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def _make_session_fold(gap_seconds: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def _finalized(user_id, start_us, last_us, n, total) -> pd.DataFrame:
+        # session_end = last event + gap: the same convention as Spark's
+        # built-in F.session_window, so the batch twin compares exactly
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
+                "n_events": [n],
+                "sum_value": [total],
+            }
+        )
+
+    def fold(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed last+gap with no on-time extension possible:
+            # the session is final — emit and EVICT the state row
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield _finalized(user_id, start_us, last_us, n, total)
+            return
+
+        cur = state.get if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out: list[pd.DataFrame] = []
+        for ts, value in zip(batch["ts"], batch["value"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if ts_us < wm_us:
+                # LATE: Spark hands arbitrary-stateful ops sub-watermark
+                # rows; admitting one here could extend (or resurrect) a
+                # session the timeout already finalized — drop, matching
+                # what built-in windowed aggs do
+                continue
+            v = float(value) if value is not None else 0.0
+            if cur is not None and ts_us <= cur[1] + gap_us:
+                cur = (cur[0], max(cur[1], ts_us), cur[2] + 1, cur[3] + v)
+            else:
+                if cur is not None:  # intra-batch gap: finalize immediately
+                    out.append(_finalized(user_id, *cur))
+                cur = (ts_us, ts_us, 1, v)
+        if cur is not None:
+            state.update(cur)
+            # fire when the watermark passes session end; never set a
+            # timeout at-or-before the current watermark (Spark rejects it)
+            state.setTimeoutTimestamp(
+                max((cur[1] + gap_us) // 1000 + 1, wm_us // 1000 + 1)
+            )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return fold
+
+
+def user_sessions_stream(
+    spark: SparkSession,
+    src_dir: str,
+    gap_seconds: int = 600,
+    delay_seconds: int = 60,
+    table_name: str = "sessions_out",
+) -> DataFrame:
+    """Replay the parquet files in ``src_dir`` (one microbatch per file in
+    mtime order — the test forges mtimes to control watermark progression)
+    through the session operator; returns finalized sessions only."""
+    ensure_utc(spark)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withWatermark("ts", f"{delay_seconds} seconds")
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _make_session_fold(gap_seconds),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(table_name)
+
+
+def user_sessions_batch(events: DataFrame, gap_seconds: int = 600) -> DataFrame:
+    """Batch twin via the built-in session_window — the oracle for the
+    stateful stream (same end = last + gap convention)."""
+    from pyspark.sql import functions as F
+
+    sw = F.session_window("ts", f"{gap_seconds} seconds")
+    return (
+        events.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # transformWithStateInPandas — the next-gen stateful API (Spark 4.x):
 # typed state handles (ValueState/ListState/MapState), timers, TTL.
 # Same operator semantics as the applyInPandasWithState version above,

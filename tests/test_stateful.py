@@ -37,6 +37,73 @@ def test_stateful_counters_match_batch(spark):
     assert got == want
 
 
+def test_session_timeout_evicts_and_drops_late(spark, tmp_path):
+    """Event-time-timeout sessionization (round 4): sessions are emitted
+    exactly once when the watermark passes last_event + gap, their state
+    rows are evicted (a duplicate emission would mean a timeout re-fired
+    on a lingering state row), a post-eviction event opens a NEW session,
+    and a late row below the watermark is dropped rather than extending
+    an already-finalized session. Batch-equivalence: finalized sessions ==
+    the built-in F.session_window over the on-time events."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from spark_text_clustering_spark.streaming.stateful import (
+        user_sessions_batch,
+        user_sessions_stream,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    S = lambda s: t0 + pd.Timedelta(seconds=s)  # noqa: E731
+    D = lambda s: datetime(2024, 1, 1) + timedelta(seconds=s)  # noqa: E731
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        # micros, not pandas' default nanos (Spark can't read TIMESTAMP(NANOS))
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        path = os.path.join(src, name)
+        pdf.to_parquet(path)
+        os.utime(path, (mtime, mtime))  # mtime order == microbatch order
+
+    base = time.time()
+    # batch 1: user1 3-event session, user2 1-event session
+    write("f1.parquet", [(1, S(0), 1.0), (1, S(120), 2.0), (1, S(300), 3.0),
+                         (2, S(60), 5.0)], base)
+    # batch 2: user3 session + a LATE user1 row (watermark is t0+240 by
+    # now; t0+150 is below it and must NOT reach user1's session)
+    write("f2.parquet", [(3, S(3600), 7.0), (1, S(150), 100.0)], base + 10)
+    # batch 3: watermark pusher -> fires user1/user2 timeouts
+    write("f3.parquet", [(999, S(7200), 0.0)], base + 20)
+    # batch 4: user2 returns AFTER its first session was evicted -> a NEW
+    # session; plus the next watermark pusher (fires user3's timeout)
+    write("f4.parquet", [(2, S(7300), 9.0), (999, S(36000), 0.0)], base + 30)
+    # batch 5: final flush -> fires the batch-4 session timeouts
+    write("f5.parquet", [(999, S(72000), 0.0)], base + 40)
+
+    out = user_sessions_stream(
+        spark, src, gap_seconds=600, delay_seconds=60, table_name="t_sessions"
+    )
+    got = sorted(tuple(r) for r in out.where("user_id != 999").collect())
+
+    on_time = spark.createDataFrame(
+        [(1, D(0), 1.0), (1, D(120), 2.0), (1, D(300), 3.0), (2, D(60), 5.0),
+         (3, D(3600), 7.0), (2, D(7300), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    want = sorted(tuple(r) for r in user_sessions_batch(on_time, 600).collect())
+    assert got == want  # exactly-once emission AND late-row drop
+    # the late 100.0 value must not have leaked into user1's session
+    u1 = [r for r in got if r[0] == 1]
+    assert len(u1) == 1 and u1[0][3] == 3 and u1[0][4] == 6.0
+    # user2: two distinct sessions (state evicted between them)
+    assert len([r for r in got if r[0] == 2]) == 2
+
+
 def test_transform_with_state_matches_batch(spark):
     """transformWithStateInPandas (typed-state API) produces the same final
     per-user snapshot as the batch aggregation."""
