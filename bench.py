@@ -154,6 +154,30 @@ def main() -> None:
         except Exception as e:
             failed[label] = f"{type(e).__name__}: {e}"[:200]
 
+    # Sketch-driven auto-salting (round 4): freq_items nominates hot keys,
+    # exact-verify confirms, only those keys are salted. Timed INCLUDING
+    # the sketch pass — that cost is part of the mechanism.
+    from spark_text_clustering_spark.operators.skew import auto_salted_aggregate
+
+    try:
+        def build_auto():
+            return auto_salted_aggregate(
+                skewed.withColumnRenamed("l_quantity", "q"),
+                "k",
+                {"q": "sum"},
+                salt_cols=["l_linenumber"],
+                n_salts=32,
+                support=0.2,
+                sample_fraction=0.01,
+            )
+
+        build_auto().write.format("noop").mode("overwrite").save()  # warmup
+        t0 = time.perf_counter()
+        build_auto().write.format("noop").mode("overwrite").save()
+        timings["agg_skew_auto"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:
+        failed["agg_skew_auto"] = f"{type(e).__name__}: {e}"[:200]
+
     # LDA EM training (the reference's only published numbers are EM
     # iteration timings — BASELINE.md: 0.79 s/iter EN, 2.10 s/iter GE at
     # 50 iterations). Same k=5 / 50 iters / EM on the documents corpus.

@@ -45,6 +45,93 @@ def salted_aggregate(
     return partial.groupBy(*key_cols).agg(*final_aggs)
 
 
+def choose_hot_keys(
+    df: DataFrame,
+    key_col: str,
+    support: float = 0.1,
+    sample_fraction: float = 0.05,
+    seed: int = 42,
+) -> list:
+    """Sketch-driven hot-key detection: a ``freq_items`` (Karp-style
+    heavy-hitter) pass over a small sample nominates candidates — the
+    sketch has NO false negatives at its support level, only false
+    positives — then one exact count over the candidates alone confirms
+    each one. Cost: one narrow sample scan + one agg over ≤1/support
+    candidate keys; never a full groupBy on the raw key.
+
+    Returns the keys whose sampled share is ≥ ``support`` — driver-sized
+    by construction (at most 1/support keys can each hold ≥ support of
+    the rows)."""
+    sample = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        if sample_fraction < 1.0
+        else df
+    ).select(key_col)
+    candidates = sample.stat.freqItems([key_col], support).collect()[0][0] or []
+    if not candidates:
+        return []
+    # exact verify over candidates only: kills the sketch's false positives
+    counts = (
+        sample.where(F.col(key_col).isin(list(candidates)))
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    total = sample.count()
+    if total == 0:
+        return []
+    return sorted(
+        (r[key_col] for r in counts if r["_n"] / total >= support),
+        key=lambda k: (k is None, str(k)),
+    )
+
+
+def auto_salted_aggregate(
+    df: DataFrame,
+    key_col: str,
+    agg_exprs: dict[str, str],
+    salt_cols: list[str],
+    n_salts: int = 16,
+    support: float = 0.1,
+    sample_fraction: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Salting as a *mechanism*, not a default: the sketch chooser above
+    decides WHICH keys are hot, and only those are salted — cold keys take
+    salt 0, so their second-stage groups are single rows and the extra
+    exchange carries ~one row per cold key. With no hot keys detected the
+    plain single-shuffle aggregation is returned untouched (bench shows
+    blanket salting costs ~1.6× on mild skew; the crossover is ≥10× skew —
+    docs/SCALE.md).
+
+    Same re-aggregatable contract as :func:`salted_aggregate`."""
+    remerge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for fn in agg_exprs.values():
+        if fn not in remerge:
+            raise ValueError(f"{fn!r} is not re-aggregatable; use sum/count/min/max")
+
+    def first_aggs():
+        out_cols = []
+        for out, fn in agg_exprs.items():
+            src = out.split("__", 1)[0] if "__" in out else out
+            col = F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(src)
+            out_cols.append(col.alias(out))
+        return out_cols
+
+    hot = choose_hot_keys(df, key_col, support, sample_fraction, seed)
+    if not hot:
+        return df.groupBy(key_col).agg(*first_aggs())
+
+    # hot keys fan out over n_salts partial groups; cold keys keep salt 0
+    salt = F.when(
+        F.col(key_col).isin(hot),
+        F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(n_salts)),
+    ).otherwise(F.lit(0))
+    partial = df.withColumn("_salt", salt).groupBy(key_col, "_salt").agg(*first_aggs())
+    final = [remerge[fn](out).alias(out) for out, fn in agg_exprs.items()]
+    return partial.groupBy(key_col).agg(*final)
+
+
 def salted_broadcast_join(
     skewed: DataFrame,
     small: DataFrame,

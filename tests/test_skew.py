@@ -51,3 +51,44 @@ def test_salted_join_matches_plain(spark, skewed):
 def test_salted_aggregate_rejects_non_mergeable(spark, skewed):
     with pytest.raises(ValueError):
         salted_aggregate(skewed, ["k"], {"v": "avg"}, salt_cols=["id"])
+
+
+def test_choose_hot_keys_finds_only_hot(spark, skewed):
+    """The sketch→exact-verify chooser must nominate exactly the 90% key
+    and none of the ~0.1%-share cold keys (sketch false positives are
+    killed by the verify pass)."""
+    from spark_text_clustering_spark.operators.skew import choose_hot_keys
+
+    hot = choose_hot_keys(skewed, "k", support=0.1, sample_fraction=0.5)
+    assert hot == ["hot"]
+
+
+def test_auto_salted_aggregate_salts_only_hot_keys(spark, skewed):
+    """auto_salted_aggregate: output equals the plain aggregation, the
+    plan salts conditionally (hot keys only — the when(isin(...)) salt
+    expression and the (k, _salt) partial stage are present), and with no
+    hot keys detected the plan has NO salt column at all (single
+    shuffle)."""
+    from spark_text_clustering_spark.operators.skew import auto_salted_aggregate
+
+    plain = skewed.groupBy("k").agg(
+        F.sum("v").alias("v"), F.count(F.lit(1)).alias("n")
+    )
+    auto = auto_salted_aggregate(
+        skewed, "k", {"v": "sum", "n": "count"}, salt_cols=["id"],
+        n_salts=8, support=0.1, sample_fraction=0.5,
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in auto.collect()}
+
+    plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan  # two-stage path engaged...
+    assert "CASE WHEN" in plan and "hot" in plan  # ...but conditionally
+
+    # support above the hot key's share -> no hot keys -> plain plan,
+    # no salt column, single aggregation exchange
+    none_hot = auto_salted_aggregate(
+        skewed, "k", {"v": "sum", "n": "count"}, salt_cols=["id"],
+        n_salts=8, support=0.95, sample_fraction=0.5,
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in none_hot.collect()}
+    assert "_salt" not in none_hot._jdf.queryExecution().optimizedPlan().toString()
