@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
     "knn_cosine_exact",
+    "knn_cosine_gemm",
     "chunk_documents",
     "ngram_bigram_counts",
     "contamination_ngram_overlap",
