@@ -9,8 +9,13 @@ hash joins where one key dominates. Salting is deterministic here
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .._registry import Registry
+from ..catalog import load_table
+
+REG = Registry()
 
 
 def salted_aggregate(
@@ -153,3 +158,39 @@ def salted_broadcast_join(
     )
     out = salted_large.join(F.broadcast(replicated_small), [key, "_salt"], how)
     return out.drop("_salt")
+
+
+_AUTO_SALT_ORACLE = """
+SELECT CASE WHEN l_orderkey % 5 < 3 THEN 0 ELSE l_orderkey END AS k,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@REG.register("agg_skew_auto_salted", oracle=_AUTO_SALT_ORACLE)
+def agg_skew_auto_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto-salting mechanism as an oracled query: ~60% of lineitem
+    rows collapse onto key 0 (the aggregation-skew worst case AQE does not
+    fix), the sketch chooser nominates exactly that key, and only it is
+    salted. Decimal sums keep the two-stage partial/merge bit-identical to
+    the oracle's single-pass sum (double addition is order-sensitive;
+    decimal is not)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 5 < 3, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+        "l_linenumber",
+    )
+    out = auto_salted_aggregate(
+        li,
+        "k",
+        {"q": "sum", "n": "count"},
+        salt_cols=["l_linenumber"],
+        n_salts=32,
+        support=0.2,
+        sample_fraction=0.05,
+    )
+    return out.select("k", F.col("q").cast("double").alias("q"), "n")

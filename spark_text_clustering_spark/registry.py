@@ -21,6 +21,7 @@ from .operators import (
     relational_more,
     search,
     similarity,
+    skew,
     text,
     textprep,
     tpch_more,
@@ -63,6 +64,7 @@ ROOT.merge(
     text.REG,
     dedup.REG,
     similarity.REG,
+    skew.REG,
     grouped.REG,
     multimodal.REG,
     textprep.REG,
