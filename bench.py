@@ -44,6 +44,8 @@ HEADLINE = [
     "stream_session_agg",
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
     "knn_cosine_exact",
     "knn_cosine_gemm",
     "chunk_documents",
