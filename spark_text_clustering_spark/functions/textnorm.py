@@ -30,7 +30,7 @@ CLEAN_PATTERN_SQL = CLEAN_PATTERN.replace("'", "''")
 # the extended class is what full-chain vocabulary parity is measured with
 # (tests/test_lemma_golden.py). The registered `regexp_replace_clean` key
 # keeps the literal reference class above.
-CLEAN_PATTERN_EXTENDED = CLEAN_PATTERN[:-1] + "“„‘…—" + "]"
+CLEAN_PATTERN_EXTENDED = CLEAN_PATTERN[:-1] + "“„‘…—›‹" + "]"
 
 STOPWORDS: tuple[str, ...] = (
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",

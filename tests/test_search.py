@@ -152,6 +152,46 @@ def test_ann_recall_lsh(spark):
         assert found <= near_true
 
 
+def test_int8_quantization_cosine_error_bounded(spark):
+    """The int8 quantization docstring claims ~0.3% cosine error at d=64 —
+    measure it through the operator's real output (parse q8/scale back,
+    dequantize, compare pairwise cosines against float embeddings).
+    Measured at sf0.01: mean 0.0008, p99 0.0027, max 0.0047 — pinned at
+    mean<=0.002 / max<=0.01."""
+    from pyspark.sql import functions as F
+    from spark_text_clustering_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+    from .conftest import SF_ORACLE
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_ORACLE, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .collect()
+    }
+    quant = {
+        r["vec_id"]: (r["scale"], np.array(r["q8"].split(","), dtype=np.float64))
+        for r in embedding_quantize_int8(spark, SF_ORACLE).collect()
+        if r["vec_id"] in emb
+    }
+    ids = sorted(
+        i for i in quant if np.linalg.norm(emb[i]) > 0 and quant[i][0] > 0
+    )
+    M = np.array([emb[i] for i in ids])
+    D = np.array([quant[i][1] * quant[i][0] / 127.0 for i in ids])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Dn = D / np.linalg.norm(D, axis=1, keepdims=True)
+
+    rng = np.random.default_rng(42)
+    idx = rng.integers(0, len(ids), size=(20_000, 2))
+    c_true = np.einsum("ij,ij->i", Mn[idx[:, 0]], Mn[idx[:, 1]])
+    c_q = np.einsum("ij,ij->i", Dn[idx[:, 0]], Dn[idx[:, 1]])
+    err = np.abs(c_true - c_q)
+    assert err.mean() <= 0.002, f"mean cosine err {err.mean():.5f}"
+    assert err.max() <= 0.01, f"max cosine err {err.max():.5f}"
+
+
 def test_ivf_stored_index_scan_partition_prunes(spark):
     """Probing the stored index must show cluster partition filters in the
     scan — the directory-pruning property that makes IVF cheap at scale."""
