@@ -58,7 +58,11 @@ def compact_small_files(
     ``sort_within`` column asks for clustering.
     """
     n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
-    df = spark.read.parquet(path)
+    # mergeSchema: a compaction that reads one file's footer as THE schema
+    # silently drops columns added by later writers (schema evolution is
+    # routine on long-lived ingest dirs); merging unions the columns and
+    # back-fills nulls, which is the only rewrite that loses nothing
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     staging = path.rstrip("/") + ".compact_staging"
     old = path.rstrip("/") + ".compact_old"
     if sort_within is not None:

@@ -50,6 +50,26 @@ def test_compact_respects_target_size(spark, tmp_path):
     assert len(_parquet_files(src)) == n_files
 
 
+def test_compact_preserves_evolved_schema(spark, tmp_path):
+    """Compacting a directory whose files were written under EVOLVING
+    schemas (a later writer added a column) must keep the union of
+    columns with nulls back-filled — a naive spark.read.parquet picks one
+    footer's schema and silently drops the new column."""
+    src = str(tmp_path / "evolved")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(3, "c", "en")], "doc_id long, text string, lang string"
+    ).write.mode("append").parquet(src)
+
+    compact_small_files(spark, src, target_file_bytes=1 << 40)
+    out = spark.read.parquet(src)
+    assert set(out.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: (r["text"], r["lang"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", "en")}
+
+
 def test_write_zordered_files_admit_skipping(spark, tmp_path):
     """After a Z-ordered write, per-file zkey [min,max] spans must be
     (a) non-overlapping across files (range partitioning) and (b) narrow

@@ -53,6 +53,44 @@ def test_salted_aggregate_rejects_non_mergeable(spark, skewed):
         salted_aggregate(skewed, ["k"], {"v": "avg"}, salt_cols=["id"])
 
 
+def test_auto_salted_aggregate_edge_inputs(spark):
+    """Equivalence with the plain aggregation on the awkward inputs: NULL
+    keys mixed with a hot key (NULL fails the isin(hot) test -> salt 0
+    branch; both engines group NULLs together), an all-hot single-key
+    frame, and an empty frame."""
+    from spark_text_clustering_spark.operators.skew import auto_salted_aggregate
+
+    cases = [
+        spark.range(2_000).select(
+            F.when(F.col("id") % 10 < 8, F.lit("hot"))
+            .when(F.col("id") % 10 == 8, F.lit(None).cast("string"))
+            .otherwise(F.lit("cold"))
+            .alias("k"),
+            (F.col("id") % 5).cast("double").alias("v"),
+            F.col("id"),
+        ),
+        spark.range(500).select(
+            F.lit("only").alias("k"), F.lit(1.0).alias("v"), F.col("id")
+        ),
+        spark.range(0).select(
+            F.lit("x").alias("k"), F.lit(1.0).alias("v"), F.col("id")
+        ),
+    ]
+    for df in cases:
+        plain = {
+            tuple(r)
+            for r in df.groupBy("k").agg(F.sum("v").alias("v")).collect()
+        }
+        auto = {
+            tuple(r)
+            for r in auto_salted_aggregate(
+                df, "k", {"v": "sum"}, salt_cols=["id"],
+                n_salts=8, support=0.3, sample_fraction=1.0,
+            ).collect()
+        }
+        assert auto == plain
+
+
 def test_choose_hot_keys_finds_only_hot(spark, skewed):
     """The sketch→exact-verify chooser must nominate exactly the 90% key
     and none of the ~0.1%-share cold keys (sketch false positives are
