@@ -62,6 +62,8 @@ def sniff_format(data: bytes) -> str:
         return "bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     return "unknown"
 
 

@@ -1,0 +1,439 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81 sequential DCT, grayscale).
+
+The container has no PIL/libjpeg/ffmpeg, but baseline JPEG is fully
+specified public knowledge (ITU-T Rec. T.81 / ISO 10918-1): 8x8 forward
+DCT, uniform quantization, zigzag scan, DC prediction + AC run-length,
+canonical Huffman entropy coding, and a marker-segmented container
+(SOI/APP0/DQT/SOF0/DHT/SOS/EOI with 0xFF00 byte stuffing). Everything
+below implements that spec directly with numpy + struct — no external
+codec library — so the multimodal operators' JPEG path is REAL decode,
+not a stub:
+
+* ``encode_jpeg_gray(img, quality)`` writes a spec-conformant baseline
+  JFIF stream using the Annex K luminance quantization + Huffman tables
+  (scaled IJG-style by ``quality``; ``quality=None`` embeds an all-ones
+  quantization table, under which block-constant images round-trip
+  EXACTLY — the property the driver oracles exploit).
+* ``decode_jpeg_gray(data)`` is a genuine marker parser + entropy
+  decoder: it reads the quantization and Huffman tables FROM the stream
+  (DQT/DHT segments, not hardcoded mirrors), Huffman-decodes the
+  entropy-coded segment with byte-unstuffing and RSTn handling,
+  dequantizes, inverse-zigzags, applies the 2-D IDCT and level shift.
+
+Executor-side usage is Arrow-batched ``mapInPandas``
+(``operators/multimodal.py``); per-image cost is a handful of 8x8 numpy
+matmuls plus a short Huffman symbol loop — microseconds for the small
+deterministic images the pipeline generates, and embarrassingly parallel
+across partitions at any corpus scale.
+
+Reference parity note: the reference pipeline (LDAClustering.scala) is
+text-only; this is rebuild-contract scope (multimodal training-data
+columns), not reference scope.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- ITU-T T.81 Annex K.1: luminance quantization table (natural order) ---
+STD_LUMA_QT = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+# --- T.81 Annex K.3: luminance DC Huffman spec (BITS counts, HUFFVAL) ---
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+
+# --- T.81 Annex K.5: luminance AC Huffman spec ---
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+assert sum(DC_BITS) == len(DC_VALS)
+assert sum(AC_BITS) == len(AC_VALS) == 162
+
+# Zigzag scan order: ZIGZAG[i] = natural (row-major) index of the i-th
+# zigzag position, derived procedurally from the spec's diagonal walk.
+
+
+def _zigzag_order() -> np.ndarray:
+    order = []
+    for s in range(15):  # anti-diagonals of an 8x8 grid
+        rng = range(max(0, s - 7), min(s, 7) + 1)
+        diag = [(s - j, j) for j in rng]
+        if s % 2 == 0:  # even diagonals run bottom-left -> top-right
+            diag.reverse()
+        order.extend(r * 8 + c for r, c in diag)
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()
+assert sorted(ZIGZAG.tolist()) == list(range(64))
+
+# Orthonormal 8-point DCT-II matrix: M @ block @ M.T gives exactly the
+# T.81 FDCT coefficients (and M.T @ coef @ M the IDCT).
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)[:, None].astype(np.float64)
+    n = np.arange(8)[None, :].astype(np.float64)
+    m = np.cos((2 * n + 1) * k * np.pi / 16) * 0.5
+    m[0, :] = 1.0 / np.sqrt(8.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def quant_table(quality: int | None) -> np.ndarray:
+    """IJG-style quality scaling of the Annex K luminance table;
+    ``quality=None`` -> all-ones (block-constant images round-trip
+    exactly, see module docstring)."""
+    if quality is None:
+        return np.ones((8, 8), dtype=np.int32)
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qt = (STD_LUMA_QT * scale + 50) // 100
+    return np.clip(qt, 1, 255).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Canonical Huffman construction (T.81 Annex C)
+# ---------------------------------------------------------------------------
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) via the canonical assignment of Annex C."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-serial entropy decoder."""
+    return {(ln, code): sym for sym, (code, ln) in _build_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with T.81 F.1.2.3 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # stuff a zero so the byte can't read as a marker
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    """Bit-size category of a DC diff / AC coefficient (T.81 F.1.2.1.1)."""
+    return int(abs(v)).bit_length()
+
+
+def _magnitude_bits(v: int, size: int) -> int:
+    """Additional bits: v itself if positive, ones'-complement if negative."""
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg_gray(img: np.ndarray, quality: int | None = None) -> bytes:
+    """Encode an 8-bit grayscale image as a baseline sequential JFIF JPEG.
+
+    Edge-replicates to 8x8 block multiples, FDCT + quantize + zigzag,
+    then Huffman-codes with the Annex K luminance tables (embedded via
+    DHT so any spec decoder — including ours — reads them back)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("grayscale encoder expects a 2-D array")
+    h, w = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+    qt = quant_table(quality)
+    dc_codes = _build_codes(DC_BITS, DC_VALS)
+    ac_codes = _build_codes(AC_BITS, AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    qt_f = qt.astype(np.float64)
+    for by in range(padded.shape[0] // 8):
+        for bx in range(padded.shape[1] // 8):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _DCT_M @ block @ _DCT_M.T
+            # round half away from zero (libjpeg behaviour), not banker's
+            q = np.sign(coef) * np.floor(np.abs(coef) / qt_f + 0.5)
+            zz = q.astype(np.int64).ravel()[ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            size = _category(diff)
+            code, ln = dc_codes[size]
+            bw.put(code, ln)
+            if size:
+                bw.put(_magnitude_bits(diff, size), size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+                    bw.put(code, ln)
+                    run -= 16
+                size = _category(v)
+                code, ln = ac_codes[(run << 4) | size]
+                bw.put(code, ln)
+                bw.put(_magnitude_bits(v, size), size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.put(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = bytes([0x00]) + bytes(qt.ravel()[ZIGZAG].astype(np.uint8).tolist())
+    sof0 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+        + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xFFE0, app0)
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof0)
+        + seg(0xFFC4, dht)
+        + seg(0xFFDA, sos)
+        + entropy
+        + b"\xff\xd9"  # EOI
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with byte
+    unstuffing (0xFF00 -> 0xFF) and RSTn tolerance."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.hit_marker = False
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:  # stuffed literal 0xFF
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn: byte-aligned, drop and resync
+                self.pos += 2
+                self.acc = 0
+                self.nbits = 0
+                b = None
+            else:  # real marker (EOI/next segment): stop
+                self.hit_marker = True
+                b = None
+        else:
+            self.pos += 1
+        if b is not None:
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        while self.nbits == 0:
+            if self.hit_marker:
+                return 0  # spec: pad reads past the end with 0
+            self._fill()
+            if self.hit_marker and self.nbits == 0:
+                return 0
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map magnitude bits back to a signed value."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _decode_symbol(br: _BitReader, dmap: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = dmap.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential grayscale JPEG to a uint8 array.
+
+    Genuine spec decode: marker walk, DQT/DHT tables read from the
+    stream, Huffman + RLE entropy decode, dequantize, inverse zigzag,
+    2-D IDCT, level shift, clamp, crop to the SOF dimensions."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = 0
+    comp_qtab = 0
+    dc_id = ac_id = 0
+    sos_pos = -1
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        payload = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(payload):
+                pq, tq = payload[off] >> 4, payload[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported (baseline)")
+                zz = np.frombuffer(payload[off + 1 : off + 65], dtype=np.uint8)
+                nat = np.empty(64, dtype=np.int32)
+                nat[ZIGZAG] = zz
+                qtables[tq] = nat.reshape(8, 8)
+                off += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            if precision != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component baseline supported")
+            comp_qtab = payload[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            off = 0
+            while off < len(payload):
+                tc, th = payload[off] >> 4, payload[off] & 0x0F
+                bits = list(payload[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(payload[off + 17 : off + 17 + nvals])
+                htables[(tc, th)] = _build_decode_map(bits, vals)
+                off += 17 + nvals
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            if ns != 1:
+                raise ValueError("single-component scan expected")
+            dc_id, ac_id = payload[2] >> 4, payload[2] & 0x0F
+            sos_pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if sos_pos < 0 or h == 0:
+        raise ValueError("truncated JPEG: no SOS/SOF")
+    qt = qtables[comp_qtab].astype(np.float64)
+    dc_map = htables[(0, dc_id)]
+    ac_map = htables[(1, ac_id)]
+    bh, bwidth = (h + 7) // 8, (w + 7) // 8
+    out = np.empty((bh * 8, bwidth * 8), dtype=np.float64)
+    br = _BitReader(data, sos_pos)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bwidth):
+            zz = np.zeros(64, dtype=np.float64)
+            size = _decode_symbol(br, dc_map)
+            prev_dc += _extend(br.read_bits(size), size)
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = _decode_symbol(br, ac_map)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid AC symbol")
+                    i += 16  # ZRL
+                    continue
+                i += run
+                if i > 63:
+                    raise ValueError("AC run past end of block")
+                zz[i] = _extend(br.read_bits(size), size)
+                i += 1
+            nat = np.empty(64, dtype=np.float64)
+            nat[ZIGZAG] = zz
+            coef = nat.reshape(8, 8) * qt
+            block = _DCT_M.T @ coef @ _DCT_M + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)[:h, :w]

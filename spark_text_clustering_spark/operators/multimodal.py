@@ -1,19 +1,22 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Two tiers of decode live here:
+ALL FOUR decode operators are now REAL (round 4 closed the JPEG/video
+stub gap by implementing the public codec specs in-repo):
 
-* **Real decode** (``multimodal_image_decode`` / ``multimodal_audio_meta``):
-  genuine spec-conformant PNG and WAV bytes are encoded AND decoded
-  executor-side with the pure-stdlib codecs in ``functions/imagecodec.py``
-  (zlib-inflated IDAT scanlines with PNG filter reconstruction; RIFF/fmt
-  parsing via the stdlib ``wave`` module). No PIL/ffmpeg needed.
-* **Stub decode** (``multimodal_features`` / ``multimodal_frame_sample``):
-  formats whose codecs genuinely aren't in this container (JPEG, video)
-  keep the deterministic fake, clearly marked, while the Spark-side
-  plumbing — binary column construction, schema, ``mapInPandas`` batch
-  iteration, partition sizing — is real and tested. Swap
-  ``_extract_features`` internals for PIL/torchaudio/ffmpeg calls on a real
-  cluster and nothing else changes.
+* ``multimodal_image_decode`` / ``multimodal_audio_meta``: genuine PNG
+  and WAV bytes encoded AND decoded executor-side with the pure-stdlib
+  codecs in ``functions/imagecodec.py`` (zlib-inflated IDAT scanlines
+  with PNG filter reconstruction; RIFF/fmt parsing via stdlib ``wave``).
+* ``multimodal_features``: genuine baseline JPEG (ITU-T T.81) encoded
+  and fully entropy-decoded with the pure-numpy codec in
+  ``functions/jpegcodec.py`` (Huffman + RLE + dequant + IDCT); emitted
+  facts come ONLY from the decoded pixels. Block-constant images under a
+  unit quantization table round-trip exactly, which keeps the DuckDB
+  oracle arithmetic while the bitstream is a real JPEG.
+* ``multimodal_frame_sample``: genuine Motion-JPEG video in a RIFF AVI
+  container (``functions/avicodec.py``) — the executor walks the RIFF
+  tree, samples every other '00dc' frame, and JPEG-decodes each sampled
+  frame. No PIL/ffmpeg anywhere.
 
 Scale design: payloads live in parquet BINARY columns (or are pointers to
 object storage for >~100 MB blobs). ``mapInPandas`` streams Arrow batches,
@@ -36,118 +39,211 @@ from ..catalog import load_table
 
 REG = Registry()
 
-_FRAME_SIZE = 256  # bytes per fake "frame"
-
-_MM_ORACLE = f"""
+# Deterministic JPEG geometry derived from doc_id so the oracle can
+# recompute the decoded facts arithmetically: bw=doc_id%4+1 block-cols,
+# bh=doc_id%3+1 block-rows, block (yb,xb) constant (doc_id+11*yb+7*xb)%256.
+# Unit quant table -> DCT round trip is EXACT on block-constant images,
+# so sum_pixels below is computed from genuinely decoded JPEG pixels yet
+# still has a closed-form SQL oracle.
+_MM_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 4 + 1 AS bw, doc_id % 3 + 1 AS bh
+  FROM documents WHERE doc_id IS NOT NULL),
+yrows AS (
+  SELECT doc_id, bw, bh, unnest(generate_series(0, bh - 1)) AS yb FROM dims),
+blocks AS (
+  SELECT doc_id, bw, bh, yb, unnest(generate_series(0, bw - 1)) AS xb FROM yrows)
 SELECT doc_id,
-       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS byte_len,
-       CAST(octet_length(encode(coalesce(text, ''))) // {_FRAME_SIZE} AS BIGINT) AS n_frames,
-       CAST('fake/v1' AS VARCHAR) AS codec
-FROM documents
+       CAST(bw * 8 AS INT)       AS width,
+       CAST(bh * 8 AS INT)       AS height,
+       CAST(bw * bh * 64 AS BIGINT) AS n_pixels,
+       CAST(SUM(((doc_id + 11 * yb + 7 * xb) % 256) * 64) AS BIGINT) AS sum_pixels,
+       CAST('jpeg/baseline' AS VARCHAR) AS codec
+FROM blocks
+GROUP BY doc_id, bw, bh
 """
 
 
-def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB DECODER (deterministic fake).
+def _jpeg_image(doc_id: int) -> "np.ndarray":
+    import numpy as np
 
-    A real implementation would decode the payload (image/audio/video) and
-    emit typed features (dims, duration, frame samples). Here: byte length
-    and a fake frame count derived from it. ``NotImplementedError`` paths
-    for real codecs are intentional — see module docstring.
-    """
+    bw, bh = doc_id % 4 + 1, doc_id % 3 + 1
+    vals = np.fromfunction(
+        lambda yb, xb: (doc_id + 11 * yb + 7 * xb) % 256, (bh, bw), dtype=np.int64
+    )
+    return np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL JPEG decode (pure-numpy T.81 baseline codec).
+
+    Each doc's payload is a genuine baseline JPEG bitstream; the features
+    are computed ONLY from the entropy-decoded, IDCT'd pixels."""
+    import numpy as np
+
+    from ..functions import jpegcodec as jc
+
     for pdf in batches:
-        payload = pdf["payload"]
-        byte_len = payload.map(len)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "byte_len": byte_len,
-                "n_frames": byte_len // _FRAME_SIZE,
-                "codec": "fake/v1",
-            }
-        )
+        out = {
+            "doc_id": [], "width": [], "height": [],
+            "n_pixels": [], "sum_pixels": [], "codec": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            px = jc.decode_jpeg_gray(bytes(payload))
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(px.shape[1])
+            out["height"].append(px.shape[0])
+            out["n_pixels"].append(int(px.size))
+            out["sum_pixels"].append(int(np.sum(px, dtype=np.int64)))
+            out["codec"].append("jpeg/baseline")
+        yield pd.DataFrame(out)
 
 
 def decode_real(payload: bytes, codec: str):
-    """Real multimodal decode for the formats the stdlib can handle.
+    """Real multimodal decode dispatch for every in-repo codec.
 
     PNG → list of pixel rows (full zlib + filter reconstruction), WAV →
-    (channels, sampwidth, rate, nframes). JPEG/GIF/video still need
-    external codec libs not present in this container and raise."""
+    (channels, sampwidth, rate, nframes), JPEG → uint8 pixel array via the
+    pure-numpy T.81 baseline decoder, AVI → list of MJPEG frame payloads.
+    Formats with no in-repo codec (GIF, non-MJPEG video) raise."""
+    from ..functions import avicodec as av
     from ..functions import imagecodec as ic
+    from ..functions import jpegcodec as jc
 
     fmt = codec or ic.sniff_format(payload)
     if fmt == "png":
         return ic.decode_png_gray_pixels(payload)
     if fmt == "wav":
         return ic.decode_wav_meta(payload)
+    if fmt == "jpeg":
+        return jc.decode_jpeg_gray(payload)
+    if fmt == "avi":
+        return av.decode_avi_mjpeg_frames(payload)
     raise NotImplementedError(f"decode for {fmt!r} requires external codec libs")
+
+
+def _make_jpeg_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode one genuine baseline JPEG per doc into a BINARY column (the
+    stand-in for media bytes ingested from object storage)."""
+    from ..functions import jpegcodec as jc
+
+    for pdf in batches:
+        ids = [int(d) for d in pdf["doc_id"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [jc.encode_jpeg_gray(_jpeg_image(d), quality=None) for d in ids],
+            }
+        )
 
 
 @REG.register("multimodal_features", oracle=_MM_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction over ``mapInPandas``.
+    """REAL JPEG feature extraction over chained ``mapInPandas`` stages.
 
-    The payload column is built from the document text (UTF-8 bytes) as the
-    deterministic stand-in for real media bytes; the oracle recomputes the
-    same features relationally (octet_length). The Arrow batch shape,
-    binary schema, and iterator contract are exactly what a real decoder
-    would use.
-    """
+    Stage 1 materializes a BINARY payload column of genuine baseline JPEG
+    bitstreams (as an ingest from object storage would); stage 2 entropy-
+    decodes each payload with the pure-numpy T.81 codec and emits features
+    computed only from the decoded pixels. Both stages are narrow maps —
+    no shuffle at any corpus scale; executor memory is bounded by the
+    Arrow batch size times the payload size."""
     docs = load_table(spark, sf_dir, "documents")
-    # null text -> zero-byte payload (decode of nothing), mirrored in the oracle
-    payloads = docs.select(
-        "doc_id",
-        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+    payloads = docs.where(F.col("doc_id").isNotNull()).select("doc_id").mapInPandas(
+        _make_jpeg_payloads, schema="doc_id long, payload binary"
     )
     return payloads.mapInPandas(
         _extract_features,
-        schema="doc_id long, byte_len long, n_frames long, codec string",
+        schema="doc_id long, width int, height int,"
+        " n_pixels long, sum_pixels long, codec string",
     )
 
 
-_FRAME_ORACLE = f"""
+# Deterministic MJPEG video derived from doc_id: nf=doc_id%6+2 frames of
+# 16x8 constant pixels (doc_id*3+17*f)%256; the sampler keeps every other
+# frame and JPEG-decodes it, so mean_pixel comes from real decoded pixels
+# (exact under the unit quant table) with a closed-form oracle.
+_FRAME_ORACLE = """
 WITH meta AS (
-  SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS byte_len FROM documents),
-frames AS (
-  SELECT doc_id, byte_len,
-         unnest(generate_series(0, CAST(byte_len // {_FRAME_SIZE} AS BIGINT) - 1)) AS frame_idx
-  FROM meta
-  WHERE byte_len >= {_FRAME_SIZE})
-SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-       CAST(LEAST({_FRAME_SIZE}, byte_len - frame_idx * {_FRAME_SIZE}) AS BIGINT) AS frame_bytes
-FROM frames
+  SELECT doc_id, doc_id % 6 + 2 AS nf
+  FROM documents WHERE doc_id IS NOT NULL),
+fr AS (
+  SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS f FROM meta)
+SELECT doc_id,
+       CAST(f AS BIGINT)  AS frame_idx,
+       CAST(16 AS INT)    AS width,
+       CAST(8 AS INT)     AS height,
+       CAST((doc_id * 3 + 17 * f) % 256 AS BIGINT) AS mean_pixel,
+       CAST(nf AS BIGINT) AS n_frames_total
+FROM fr
+WHERE f % 2 = 0
 """
 
 
-def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB frame sampler: emits one row per fixed-size frame of the binary
-    payload (a real decoder would emit decoded video/audio frames; the
-    iterator/explode shape is identical)."""
+def _make_avi_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode one genuine MJPEG AVI per doc into a BINARY column."""
+    import numpy as np
+
+    from ..functions import avicodec as av
+    from ..functions import jpegcodec as jc
+
     for pdf in batches:
-        rows = {"doc_id": [], "frame_idx": [], "frame_bytes": []}
+        ids = [int(d) for d in pdf["doc_id"]]
+        payloads = []
+        for d in ids:
+            nf = d % 6 + 2
+            frames = [
+                jc.encode_jpeg_gray(
+                    np.full((8, 16), (d * 3 + 17 * f) % 256, dtype=np.uint8),
+                    quality=None,
+                )
+                for f in range(nf)
+            ]
+            payloads.append(av.encode_avi_mjpeg(frames, 16, 8, fps=10))
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL video frame sampler: RIFF-walk the AVI container, keep every
+    other '00dc' frame, entropy-decode each kept JPEG frame, and emit
+    facts computed from the decoded pixels."""
+    import numpy as np
+
+    from ..functions import avicodec as av
+    from ..functions import jpegcodec as jc
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "frame_idx": [], "width": [],
+            "height": [], "mean_pixel": [], "n_frames_total": [],
+        }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            n = len(payload)
-            for i in range(n // _FRAME_SIZE):
-                rows["doc_id"].append(doc_id)
-                rows["frame_idx"].append(i)
-                rows["frame_bytes"].append(min(_FRAME_SIZE, n - i * _FRAME_SIZE))
-        yield pd.DataFrame(rows, dtype="int64")
+            frames = av.decode_avi_mjpeg_frames(bytes(payload))
+            for idx in range(0, len(frames), 2):  # sample every other frame
+                px = jc.decode_jpeg_gray(frames[idx])
+                rows["doc_id"].append(int(doc_id))
+                rows["frame_idx"].append(idx)
+                rows["width"].append(px.shape[1])
+                rows["height"].append(px.shape[0])
+                rows["mean_pixel"].append(int(np.round(np.mean(px))))
+                rows["n_frames_total"].append(len(frames))
+        yield pd.DataFrame(rows)
 
 
 @REG.register("multimodal_frame_sample", oracle=_FRAME_ORACLE)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over binary payloads: mapInPandas explodes each blob
-    into per-frame rows (decode step stubbed deterministically; the oracle
-    recomputes the frame arithmetic relationally)."""
+    """REAL video frame sampling: stage 1 materializes genuine MJPEG AVI
+    payloads (RIFF container, '00dc' JPEG frames); stage 2 parses the
+    container, samples every other frame, and JPEG-decodes the samples.
+    Both stages are narrow maps — the per-doc explode happens inside the
+    Arrow batch, so no shuffle is introduced at any corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
-    # null text -> zero-byte payload (decode of nothing), mirrored in the oracle
-    payloads = docs.select(
-        "doc_id",
-        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+    payloads = docs.where(F.col("doc_id").isNotNull()).select("doc_id").mapInPandas(
+        _make_avi_payloads, schema="doc_id long, payload binary"
     )
     return payloads.mapInPandas(
-        _sample_frames, schema="doc_id long, frame_idx long, frame_bytes long"
+        _sample_frames,
+        schema="doc_id long, frame_idx long, width int, height int,"
+        " mean_pixel long, n_frames_total long",
     )
 
 
