@@ -636,6 +636,83 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.register(
+    "merge_full_clauses",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 3 THEN 'D' ELSE 'U' END AS op,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS new_price
+      FROM orders WHERE o_orderkey % 7 = 3 OR o_orderkey % 10 = 0
+      UNION ALL
+      SELECT -(o_orderkey + 1), 'I', CAST(1.0 AS DOUBLE)
+      FROM orders WHERE o_orderkey % 13 = 0),
+    j AS (
+      SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+             t.o_totalprice, t.o_orderstatus, s.op, s.new_price
+      FROM t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+    SELECT o_orderkey,
+           CASE WHEN op IN ('U', 'I') THEN new_price ELSE o_totalprice END
+             AS o_totalprice,
+           CASE WHEN op = 'U' THEN 'U' WHEN op = 'I' THEN 'I'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN op = 'U' THEN 'updated' WHEN op = 'I' THEN 'inserted'
+                ELSE 'kept' END AS action
+    FROM j WHERE op IS NULL OR op <> 'D'
+    """,
+)
+def merge_full_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse-style MERGE INTO with ALL THREE clauses — WHEN MATCHED
+    AND cond THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED
+    THEN INSERT — expressed as one full-outer join + per-row CASE, the
+    exact physical shape Delta/Iceberg MERGE compiles to. Extends
+    ``upsert_merge`` (update-only). Clause precedence is the MERGE rule:
+    first matching clause wins (DELETE before UPDATE here).
+
+    The change set is derived from the target so the operator is
+    self-contained: every 7th-ish key (k%7==3) is deleted, every 10th
+    updated (re-priced), and an insert batch arrives under fresh
+    strictly-negative keys -(k+1) (guaranteed not-matched; plain -k would
+    collide on orderkey 0). At 100 TB the join shuffles on the
+    merge key exactly once, and AQE turns it into a broadcast join
+    whenever the change set is small — snapshot+delta compaction in one
+    Catalyst plan."""
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    key = F.col("o_orderkey")
+    upd_del = t.where((key % 7 == 3) | (key % 10 == 0)).select(
+        "o_orderkey",
+        F.when(key % 7 == 3, "D").otherwise("U").alias("op"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 2)
+        .cast("double")
+        .alias("new_price"),
+    )
+    ins = t.where(key % 13 == 0).select(
+        (-(key + 1)).alias("o_orderkey"),  # strictly negative: key 0 exists in orders
+        F.lit("I").alias("op"),
+        F.lit(1.0).alias("new_price"),
+    )
+    src = upd_del.unionByName(ins)
+    j = t.join(src, "o_orderkey", "full_outer")
+    op = F.col("op")
+    return j.where(op.isNull() | (op != "D")).select(
+        "o_orderkey",
+        F.when(op.isin("U", "I"), F.col("new_price"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(op == "U", F.lit("U"))
+        .when(op == "I", F.lit("I"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(op == "U", F.lit("updated"))
+        .when(op == "I", F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+        .alias("action"),
+    )
+
+
+@REG.register(
     "window_percent_rank",
     oracle="""
     SELECT o_orderkey,

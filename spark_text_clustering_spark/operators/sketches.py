@@ -1,0 +1,251 @@
+"""Mergeable-sketch pipelines: sketch → candidate → exact verify.
+
+The scale problem these solve: at 100 TB, a full ``groupBy(key)`` over a
+billion-key column shuffles the whole keyspace, and a full dim×fact join
+shuffles the fact table. Both operators here follow the classic
+sketch-as-candidate-generator design instead — a *narrow* pass builds a
+small mergeable summary (count-min sketch / Bloom bitset) whose merged
+size is O(partitions × sketch), candidates are pruned against it, and a
+final *exact* pass touches only candidate rows. The sketches can
+overestimate but never miss (one-sided error), so the verified output is
+EXACT and each query carries a plain-SQL DuckDB oracle.
+
+Both sketches are built with deterministic md5-derived hash functions so
+repeated runs (and the driver's re-runs) agree bit-for-bit.
+
+Reference parity note: the reference (LDAClustering.scala) has no sketch
+surface; this is rebuild-contract scope (SURVEY §2.9 approx family +
+LLM-pipeline heavy-hitter/vocab-pruning needs). ``freq_items_sketch``
+(operators/relational_more.py) covers Spark's built-in Karp-style
+heavy-hitter contract; this module adds the hand-rolled mergeable-CMS
+pipeline with an exactness guarantee.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .._registry import Registry
+from ..catalog import load_table
+
+REG = Registry()
+
+# Count-min sketch geometry. Width 2048 at depth 4 keeps the per-partition
+# summary at 64 KiB while the expected overestimate on a ~1e5-token
+# partition is a handful of counts — far below the heavy-hitter threshold.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 2048
+_HH_FRACTION = 1000  # heavy hitter := count >= max(1, total_tokens // 1000)
+
+
+def _cms_hash(token: str, seed: int, width: int = _CMS_WIDTH) -> int:
+    h = hashlib.md5(f"{seed}:{token}".encode()).hexdigest()
+    return int(h[:12], 16) % width
+
+
+_HH_ORACLE = """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents),
+tok1 AS (SELECT token FROM tok WHERE len(token) >= 1),
+tot AS (SELECT COUNT(*) AS n FROM tok1),
+cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok1 GROUP BY token)
+SELECT token, cnt
+FROM cnt, tot
+WHERE cnt >= greatest(n // 1000, 1)
+"""
+
+
+def _partition_sketch(batches: Iterator[pd.DataFrame], local_threshold: int):
+    """Per-partition pass: exact local counts feed (a) candidate rows for
+    every token that could be a global heavy hitter (local count >=
+    ceil(T / P) — if a token misses that bar in EVERY partition its global
+    count is < T, so the candidate set is a guaranteed superset) and (b)
+    one count-min sketch row summarizing ALL tokens of the partition."""
+    import numpy as np
+
+    acc: pd.Series | None = None
+    for pdf in batches:
+        vc = pdf["token"].value_counts()  # vectorized, no Python loop per row
+        acc = vc if acc is None else acc.add(vc, fill_value=0)
+    counts = {} if acc is None else acc.astype("int64").to_dict()
+    cms = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+    cand, cand_cnt = [], []
+    for tok, c in counts.items():  # Python cost is per UNIQUE token only
+        for d in range(_CMS_DEPTH):
+            cms[d, _cms_hash(tok, d)] += c
+        if c >= local_threshold:
+            cand.append(tok)
+            cand_cnt.append(int(c))
+    yield pd.DataFrame(
+        {
+            "kind": ["cand"] * len(cand) + ["cms"],
+            "token": cand + [""],
+            "local_cnt": cand_cnt + [0],
+            "cms": [None] * len(cand) + [cms.ravel().tolist()],
+        }
+    )
+
+
+@REG.register("heavy_hitters_cms", oracle=_HH_ORACLE)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens with >= 0.1% of all token occurrences)
+    via the count-min sketch → candidate → verify pipeline.
+
+    Phases (each narrow or candidate-sized — the full keyspace is never
+    shuffled):
+      1. count total tokens (a shuffle-free scan+count);
+      2. one ``mapInPandas`` pass per partition emits local-threshold
+         candidates plus a 4×2048 count-min sketch; sketches and
+         candidates are partition-count-sized, not data-sized;
+      3. driver merges the P sketches (sum — CMS is a linear sketch) and
+         prunes candidates whose CMS upper bound is below T (CMS never
+         underestimates, so pruning is lossless);
+      4. exact verify: re-scan tokens filtered to the broadcast candidate
+         set, ``groupBy`` count, keep count >= T.
+    The output is therefore exact and carries a plain-SQL oracle. At
+    100 TB the verify shuffle carries only candidate-token rows (Zipf:
+    a few hundred keys) vs the full-vocabulary shuffle of the naive agg.
+    """
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"))
+        .where(F.length("token") >= 1)
+    )
+    out_schema = "token string, cnt long"
+    total = tokens.count()
+    threshold = max(1, total // _HH_FRACTION)
+    if total == 0:
+        return spark.createDataFrame([], out_schema)
+    n_parts = tokens.rdd.getNumPartitions() or 1
+    local_threshold = max(1, -(-threshold // n_parts))  # ceil(T / P)
+
+    sketch_rows = tokens.mapInPandas(
+        lambda it: _partition_sketch(it, local_threshold),
+        schema="kind string, token string, local_cnt long, cms array<long>",
+    ).collect()  # partition-count-sized (P candidates lists + P sketches), not data-sized
+
+    merged = np.zeros(_CMS_DEPTH * _CMS_WIDTH, dtype=np.int64)
+    candidates: set[str] = set()
+    for row in sketch_rows:
+        if row["kind"] == "cms":
+            merged += np.asarray(row["cms"], dtype=np.int64)
+        else:
+            candidates.add(row["token"])
+    cms = merged.reshape(_CMS_DEPTH, _CMS_WIDTH)
+    pruned = [
+        t
+        for t in candidates
+        if min(int(cms[d, _cms_hash(t, d)]) for d in range(_CMS_DEPTH)) >= threshold
+    ]
+    if not pruned:
+        return spark.createDataFrame([], out_schema)
+    return (
+        tokens.where(F.col("token").isin(pruned))  # broadcast-sized IN list
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 17  # 16 KiB bitset
+_BLOOM_HASHES = 3
+
+_BLOOM_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+def _bloom_positions(key: int) -> list[int]:
+    h = hashlib.md5(str(int(key)).encode()).hexdigest()
+    return [int(h[8 * i : 8 * i + 8], 16) % _BLOOM_BITS for i in range(_BLOOM_HASHES)]
+
+
+def _bloom_build(batches: Iterator[pd.DataFrame]):
+    """Per-partition Bloom bitset over the dim keys, emitted as one
+    int64-word array row (bitsets OR-merge, so the build is a linear
+    mergeable sketch like the CMS above)."""
+    import numpy as np
+
+    words = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+    for pdf in batches:
+        for key in pdf["c_custkey"]:
+            for pos in _bloom_positions(key):
+                words[pos // 64] |= np.uint64(1) << np.uint64(pos % 64)
+    yield pd.DataFrame({"words": [words.astype(np.int64).tolist()]})
+
+
+@REG.register("bloom_semi_join_prune", oracle=_BLOOM_ORACLE)
+def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pruning for a fact⋈dim join, then exact join.
+
+    The 100 TB problem: joining a fact table to a *filtered* dimension
+    shuffles every fact row, even though most match nothing. The fix used
+    by every warehouse runtime filter (and Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter``): build a Bloom bitset
+    over the filtered dim keys with a distributed mergeable build (one
+    bitset per partition, OR-merged driver-side — P×16 KiB, never
+    data-sized), broadcast it, and drop non-matching fact rows map-side
+    BEFORE the shuffle. Bloom false positives survive the prefilter, so a
+    normal (now much smaller) join runs afterwards to make the result
+    exact — the oracle is the plain join.
+
+    Here the dim fits in a broadcast anyway (so Catalyst would broadcast
+    the join itself); the point is the mechanism, which works when the
+    dim's keys are 10 GB but its Bloom is 16 KiB.
+    """
+    import numpy as np
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    part_rows = cust.mapInPandas(_bloom_build, schema="words array<long>").collect()
+    merged = np.zeros(_BLOOM_BITS // 64, dtype=np.int64)
+    for row in part_rows:
+        merged |= np.asarray(row["words"], dtype=np.int64)
+    bloom = merged.astype(np.uint64)
+
+    @F.pandas_udf("boolean")
+    def maybe_in_dim(keys: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: F811 — executor-side import
+
+        out = []
+        for key in keys:
+            if pd.isna(key):
+                out.append(False)
+                continue
+            hit = True
+            for pos in _bloom_positions(int(key)):
+                if not (int(bloom[pos // 64]) >> (pos % 64)) & 1:
+                    hit = False
+                    break
+            out.append(hit)
+        return pd.Series(out, dtype="boolean")
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("o_totalprice"),
+    )
+    prefiltered = orders.where(maybe_in_dim(F.col("o_custkey")))
+    # exact semi join kills Bloom false positives; its probe side is the
+    # prefiltered (tiny) stream, not the full fact table
+    return prefiltered.join(cust, prefiltered.o_custkey == cust.c_custkey, "left_semi")

@@ -21,6 +21,7 @@ from .operators import (
     relational_more,
     search,
     similarity,
+    sketches,
     skew,
     text,
     textprep,
@@ -65,6 +66,7 @@ ROOT.merge(
     dedup.REG,
     similarity.REG,
     skew.REG,
+    sketches.REG,
     grouped.REG,
     multimodal.REG,
     textprep.REG,
