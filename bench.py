@@ -63,6 +63,11 @@ HEADLINE = [
     "pack_sequences_budget",
     "mixture_sample_by_source",
     "multimodal_image_decode",
+    "multimodal_features",
+    "multimodal_color_decode",
+    "heavy_hitters_cms",
+    "bloom_semi_join_prune",
+    "merge_full_clauses",
     "pipeline_train_ready",
     "layout_zorder_key",
     "stream_stream_join",

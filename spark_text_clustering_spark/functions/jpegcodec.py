@@ -342,20 +342,47 @@ def _decode_symbol(br: _BitReader, dmap: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code in entropy stream")
 
 
-def decode_jpeg_gray(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential grayscale JPEG to a uint8 array.
+def _decode_block(br: _BitReader, dc_map, ac_map, prev_dc: int, qt: np.ndarray):
+    """Entropy-decode one 8x8 block -> (spatial block, new DC predictor)."""
+    zz = np.zeros(64, dtype=np.float64)
+    size = _decode_symbol(br, dc_map)
+    prev_dc += _extend(br.read_bits(size), size)
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        sym = _decode_symbol(br, ac_map)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError("invalid AC symbol")
+            i += 16  # ZRL
+            continue
+        i += run
+        if i > 63:
+            raise ValueError("AC run past end of block")
+        zz[i] = _extend(br.read_bits(size), size)
+        i += 1
+    nat = np.empty(64, dtype=np.float64)
+    nat[ZIGZAG] = zz
+    coef = nat.reshape(8, 8) * qt
+    return _DCT_M.T @ coef @ _DCT_M + 128.0, prev_dc
 
-    Genuine spec decode: marker walk, DQT/DHT tables read from the
-    stream, Huffman + RLE entropy decode, dequantize, inverse zigzag,
-    2-D IDCT, level shift, clamp, crop to the SOF dimensions."""
+
+def _decode_baseline(data: bytes):
+    """Shared baseline-sequential decoder core: marker walk, DQT/DHT read
+    from the stream, interleaved-MCU entropy decode with per-component DC
+    predictors. Returns (planes, (h, w), sampling) where ``planes[c]`` is
+    the float component plane at ITS OWN resolution (chroma still
+    subsampled) and ``sampling[c] = (h_factor, v_factor)``."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
-    comp_qtab = 0
-    dc_id = ac_id = 0
+    comps: list[dict] = []  # SOF order: {id, hs, vs, qt}
     sos_pos = -1
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -378,9 +405,11 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 off += 65
         elif marker == 0xC0:  # SOF0 baseline
             precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
-            if precision != 8 or ncomp != 1:
-                raise ValueError("only 8-bit single-component baseline supported")
-            comp_qtab = payload[8]
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
+            for c in range(ncomp):
+                cid, samp, qtab = payload[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0x0F, "qt": qtab})
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
@@ -394,46 +423,194 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 off += 17 + nvals
         elif marker == 0xDA:  # SOS
             ns = payload[0]
-            if ns != 1:
-                raise ValueError("single-component scan expected")
-            dc_id, ac_id = payload[2] >> 4, payload[2] & 0x0F
+            if ns != len(comps):
+                raise ValueError("non-interleaved scans not supported")
+            by_id = {c["id"]: c for c in comps}
+            for s in range(ns):
+                cid, tabs = payload[1 + 2 * s], payload[2 + 2 * s]
+                by_id[cid]["dc"], by_id[cid]["ac"] = tabs >> 4, tabs & 0x0F
             sos_pos = pos + 2 + seg_len
             break
         pos += 2 + seg_len
-    if sos_pos < 0 or h == 0:
+    if sos_pos < 0 or h == 0 or not comps:
         raise ValueError("truncated JPEG: no SOS/SOF")
-    qt = qtables[comp_qtab].astype(np.float64)
-    dc_map = htables[(0, dc_id)]
-    ac_map = htables[(1, ac_id)]
-    bh, bwidth = (h + 7) // 8, (w + 7) // 8
-    out = np.empty((bh * 8, bwidth * 8), dtype=np.float64)
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(
+            np.empty((mcus_y * c["vs"] * 8, mcus_x * c["hs"] * 8), dtype=np.float64)
+        )
     br = _BitReader(data, sos_pos)
-    prev_dc = 0
-    for by in range(bh):
-        for bx in range(bwidth):
-            zz = np.zeros(64, dtype=np.float64)
-            size = _decode_symbol(br, dc_map)
-            prev_dc += _extend(br.read_bits(size), size)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = _decode_symbol(br, ac_map)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("invalid AC symbol")
-                    i += 16  # ZRL
-                    continue
-                i += run
-                if i > 63:
-                    raise ValueError("AC run past end of block")
-                zz[i] = _extend(br.read_bits(size), size)
-                i += 1
-            nat = np.empty(64, dtype=np.float64)
-            nat[ZIGZAG] = zz
-            coef = nat.reshape(8, 8) * qt
-            block = _DCT_M.T @ coef @ _DCT_M + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)[:h, :w]
+    prev_dc = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                qt = qtables[c["qt"]].astype(np.float64)
+                dc_map, ac_map = htables[(0, c["dc"])], htables[(1, c["ac"])]
+                for v in range(c["vs"]):
+                    for hh in range(c["hs"]):
+                        block, prev_dc[ci] = _decode_block(
+                            br, dc_map, ac_map, prev_dc[ci], qt
+                        )
+                        y0 = (my * c["vs"] + v) * 8
+                        x0 = (mx * c["hs"] + hh) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    sampling = [(c["hs"], c["vs"]) for c in comps]
+    return planes, (h, w), sampling
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential grayscale JPEG to a uint8 array.
+
+    Genuine spec decode: marker walk, DQT/DHT tables read from the
+    stream, Huffman + RLE entropy decode, dequantize, inverse zigzag,
+    2-D IDCT, level shift, clamp, crop to the SOF dimensions."""
+    planes, (h, w), sampling = _decode_baseline(data)
+    if len(planes) != 1:
+        raise ValueError("not a grayscale JPEG; use decode_jpeg_rgb")
+    return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:h, :w]
+
+
+# JFIF YCbCr <-> RGB (ITU-R BT.601 full-range, the JFIF Annex matrices)
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def decode_jpeg_rgb(data: bytes) -> np.ndarray:
+    """Decode a baseline color JPEG (any sampling incl. 4:2:0) to an
+    (h, w, 3) uint8 RGB array: interleaved-MCU entropy decode, chroma
+    upsample by pixel replication, JFIF YCbCr -> RGB."""
+    planes, (h, w), sampling = _decode_baseline(data)
+    if len(planes) != 3:
+        raise ValueError("not a 3-component JPEG; use decode_jpeg_gray")
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    full = []
+    for plane, (hs, vs) in zip(planes, sampling):
+        up = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(up[: planes[0].shape[0] * vmax // sampling[0][1],
+                       : planes[0].shape[1] * hmax // sampling[0][0]])
+    ycc = np.stack([f[: full[0].shape[0], : full[0].shape[1]] for f in full], axis=-1)
+    rgb = _ycbcr_to_rgb(ycc)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def _encode_component_block(bw: _BitWriter, block: np.ndarray, qt_f: np.ndarray,
+                            dc_codes, ac_codes, prev_dc: int) -> int:
+    """FDCT + quantize + Huffman-code one 8x8 block; returns new DC pred."""
+    coef = _DCT_M @ block @ _DCT_M.T
+    q = np.sign(coef) * np.floor(np.abs(coef) / qt_f + 0.5)
+    zz = q.astype(np.int64).ravel()[ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    prev_dc = int(zz[0])
+    size = _category(diff)
+    code, ln = dc_codes[size]
+    bw.put(code, ln)
+    if size:
+        bw.put(_magnitude_bits(diff, size), size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        size = _category(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.put(code, ln)
+        bw.put(_magnitude_bits(v, size), size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]
+        bw.put(code, ln)
+    return prev_dc
+
+
+def encode_jpeg_rgb(img: np.ndarray, quality: int | None = None) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB image as a baseline 4:2:0 color JPEG.
+
+    JFIF RGB -> YCbCr, chroma downsampled by 2x2 box averaging, padded to
+    16x16 MCU multiples, interleaved MCUs (Y00 Y01 Y10 Y11 Cb Cr) with
+    per-component DC predictors. Luma and chroma share the Annex K
+    luminance quant/Huffman tables (ids 0 — spec-legal: table assignment
+    is per-component via SOF/SOS, and the decoder reads them from the
+    stream)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("color encoder expects an (h, w, 3) array")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ycc = _rgb_to_ycbcr(img.astype(np.float64))
+    ph, pw = -h % 16, -w % 16
+    ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    y_plane = ycc[..., 0] - 128.0
+    # 4:2:0 chroma: 2x2 box average, then level shift
+    cb = ycc[..., 1].reshape(ycc.shape[0] // 2, 2, ycc.shape[1] // 2, 2).mean(axis=(1, 3)) - 128.0
+    cr = ycc[..., 2].reshape(ycc.shape[0] // 2, 2, ycc.shape[1] // 2, 2).mean(axis=(1, 3)) - 128.0
+    qt = quant_table(quality)
+    qt_f = qt.astype(np.float64)
+    dc_codes = _build_codes(DC_BITS, DC_VALS)
+    ac_codes = _build_codes(AC_BITS, AC_VALS)
+    bw = _BitWriter()
+    prev = [0, 0, 0]  # per-component DC predictors
+    mcus_y, mcus_x = ycc.shape[0] // 16, ycc.shape[1] // 16
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for v in range(2):  # four Y blocks, raster order
+                for hh in range(2):
+                    y0, x0 = (my * 2 + v) * 8, (mx * 2 + hh) * 8
+                    prev[0] = _encode_component_block(
+                        bw, y_plane[y0 : y0 + 8, x0 : x0 + 8], qt_f,
+                        dc_codes, ac_codes, prev[0],
+                    )
+            for ci, plane in ((1, cb), (2, cr)):
+                y0, x0 = my * 8, mx * 8
+                prev[ci] = _encode_component_block(
+                    bw, plane[y0 : y0 + 8, x0 : x0 + 8], qt_f,
+                    dc_codes, ac_codes, prev[ci],
+                )
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = bytes([0x00]) + bytes(qt.ravel()[ZIGZAG].astype(np.uint8).tolist())
+    sof0 = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]  # Y 2x2, Cb/Cr 1x1, all qt 0
+    )
+    dht = (
+        bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+        + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, app0)
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof0)
+        + seg(0xFFC4, dht)
+        + seg(0xFFDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )

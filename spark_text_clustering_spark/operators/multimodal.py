@@ -318,6 +318,64 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic color geometry: constant-color 32x16 RGB images whose
+# channels sit on the 16-grid offset +8 ((doc_id*k % 16)*16 + 8). The
+# 4:2:0 color decode (YCbCr conversion + chroma subsample + DCT float
+# rounding) is within ±4 of the true constant, so snapping the decoded
+# channel mean back to the grid recovers the encoded value exactly —
+# a real color decode with a closed-form oracle.
+_COLOR_ORACLE = """
+SELECT doc_id,
+       CAST(32 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST((doc_id * 7  % 16) * 16 + 8 AS BIGINT) AS r,
+       CAST((doc_id * 13 % 16) * 16 + 8 AS BIGINT) AS g,
+       CAST((doc_id * 3  % 16) * 16 + 8 AS BIGINT) AS b
+FROM documents WHERE doc_id IS NOT NULL
+"""
+
+
+def _color_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode a genuine 4:2:0 baseline color JPEG per doc, decode it with
+    the interleaved-MCU decoder, and emit grid-snapped channel means
+    computed ONLY from the decoded RGB pixels."""
+    import numpy as np
+
+    from ..functions import jpegcodec as jc
+
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "r": [], "g": [], "b": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            color = ((d * 7 % 16) * 16 + 8, (d * 13 % 16) * 16 + 8, (d * 3 % 16) * 16 + 8)
+            img = np.empty((16, 32, 3), dtype=np.uint8)
+            img[..., 0], img[..., 1], img[..., 2] = color
+            dec = jc.decode_jpeg_rgb(jc.encode_jpeg_rgb(img, quality=None))
+            means = dec.reshape(-1, 3).mean(axis=0)
+            snapped = (np.round(means).astype(np.int64) // 16) * 16 + 8
+            out["doc_id"].append(d)
+            out["width"].append(dec.shape[1])
+            out["height"].append(dec.shape[0])
+            out["r"].append(int(snapped[0]))
+            out["g"].append(int(snapped[1]))
+            out["b"].append(int(snapped[2]))
+        yield pd.DataFrame(out)
+
+
+@REG.register("multimodal_color_decode", oracle=_COLOR_ORACLE)
+def multimodal_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color JPEG decode: 4:2:0 interleaved-MCU baseline bitstreams
+    (the common camera format) encoded and decoded executor-side with the
+    pure-numpy T.81 codec — chroma box-downsample on encode, per-component
+    DC predictors, chroma upsample + JFIF YCbCr→RGB on decode. Narrow
+    ``mapInPandas``, no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id").isNotNull()).select("doc_id").mapInPandas(
+        _color_roundtrip,
+        schema="doc_id long, width int, height int, r long, g long, b long",
+    )
+
+
 _WAV_ORACLE = """
 SELECT doc_id,
        CAST(1 AS INT)      AS n_channels,

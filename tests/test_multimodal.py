@@ -269,3 +269,42 @@ def test_multimodal_frame_sample_spark_real_mjpeg(spark):
     ).count()
     assert bad == 0
     assert df.count() > 0
+
+
+def test_jpeg_color_420_roundtrip():
+    """4:2:0 color: constant images round-trip exactly; gradients are
+    bounded by chroma subsampling + DCT rounding."""
+    import numpy as np
+
+    from spark_text_clustering_spark.functions import jpegcodec as jc
+
+    img = np.zeros((16, 32, 3), dtype=np.uint8)
+    img[:] = (8, 136, 248)
+    dec = jc.decode_jpeg_rgb(jc.encode_jpeg_rgb(img, quality=None))
+    assert dec.shape == (16, 32, 3)
+    assert np.array_equal(dec, img)
+
+    y, x = np.mgrid[0:48, 0:64]
+    grad = np.stack([(x * 2) % 256, (y * 3) % 256, ((x + y) * 2) % 256], -1).astype(
+        np.uint8
+    )
+    dec = jc.decode_jpeg_rgb(jc.encode_jpeg_rgb(grad, quality=None))
+    assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 4
+    # odd (non-MCU-multiple) dims crop correctly
+    odd = np.random.default_rng(1).integers(0, 256, (19, 27, 3)).astype(np.uint8)
+    assert jc.decode_jpeg_rgb(jc.encode_jpeg_rgb(odd, quality=None)).shape == (19, 27, 3)
+
+
+def test_multimodal_color_decode_spark(spark):
+    import pyspark.sql.functions as F
+
+    df = QUERIES["multimodal_color_decode"](spark, SF_SMALL)
+    bad = df.where(
+        (F.col("r") != (F.col("doc_id") * 7 % 16) * 16 + 8)
+        | (F.col("g") != (F.col("doc_id") * 13 % 16) * 16 + 8)
+        | (F.col("b") != (F.col("doc_id") * 3 % 16) * 16 + 8)
+        | (F.col("width") != 32)
+        | (F.col("height") != 16)
+    ).count()
+    assert bad == 0
+    assert df.count() > 0
