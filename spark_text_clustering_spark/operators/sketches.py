@@ -41,7 +41,7 @@ REG = Registry()
 # partition is a handful of counts — far below the heavy-hitter threshold.
 _CMS_DEPTH = 4
 _CMS_WIDTH = 2048
-_HH_FRACTION = 1000  # heavy hitter := count >= max(1, total_tokens // 1000)
+_HH_FRACTION = 1000  # heavy hitter := count >= max(1, ceil(total_tokens / 1000))
 
 
 def _cms_hash(token: str, seed: int, width: int = _CMS_WIDTH) -> int:
@@ -58,16 +58,27 @@ tot AS (SELECT COUNT(*) AS n FROM tok1),
 cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok1 GROUP BY token)
 SELECT token, cnt
 FROM cnt, tot
-WHERE cnt >= greatest(n // 1000, 1)
+WHERE cnt >= greatest((n + 999) // 1000, 1)
 """
 
 
-def _partition_sketch(batches: Iterator[pd.DataFrame], local_threshold: int):
+def _hh_threshold(total: int) -> int:
+    """Global heavy-hitter threshold: ceil(total / fraction), min 1.
+    Ceil (not floor) so the per-partition weighted pigeonhole below is
+    airtight: if c_p < ceil(t_p/f) in EVERY partition then
+    c = Σc_p < Σt_p/f = total/f <= ceil(total/f) = T."""
+    return max(1, -(-total // _HH_FRACTION))
+
+
+def _partition_sketch(batches: Iterator[pd.DataFrame], fraction: int = _HH_FRACTION):
     """Per-partition pass: exact local counts feed (a) candidate rows for
     every token that could be a global heavy hitter (local count >=
-    ceil(T / P) — if a token misses that bar in EVERY partition its global
-    count is < T, so the candidate set is a guaranteed superset) and (b)
-    one count-min sketch row summarizing ALL tokens of the partition."""
+    ceil(t_p / fraction), where t_p is THIS partition's token total — the
+    weighted pigeonhole makes the union of candidates a guaranteed
+    superset of the global heavy hitters, with no advance knowledge of
+    the global total) and (b) one count-min sketch row summarizing ALL
+    tokens of the partition, carrying t_p so the driver recovers the
+    global total without a separate counting pass."""
     import numpy as np
 
     acc: pd.Series | None = None
@@ -75,6 +86,8 @@ def _partition_sketch(batches: Iterator[pd.DataFrame], local_threshold: int):
         vc = pdf["token"].value_counts()  # vectorized, no Python loop per row
         acc = vc if acc is None else acc.add(vc, fill_value=0)
     counts = {} if acc is None else acc.astype("int64").to_dict()
+    part_total = int(sum(counts.values()))
+    local_threshold = max(1, -(-part_total // fraction))  # ceil(t_p / f)
     cms = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
     cand, cand_cnt = [], []
     for tok, c in counts.items():  # Python cost is per UNIQUE token only
@@ -87,7 +100,7 @@ def _partition_sketch(batches: Iterator[pd.DataFrame], local_threshold: int):
         {
             "kind": ["cand"] * len(cand) + ["cms"],
             "token": cand + [""],
-            "local_cnt": cand_cnt + [0],
+            "local_cnt": cand_cnt + [part_total],
             "cms": [None] * len(cand) + [cms.ravel().tolist()],
         }
     )
@@ -98,16 +111,19 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT heavy hitters (tokens with >= 0.1% of all token occurrences)
     via the count-min sketch → candidate → verify pipeline.
 
-    Phases (each narrow or candidate-sized — the full keyspace is never
-    shuffled):
-      1. count total tokens (a shuffle-free scan+count);
-      2. one ``mapInPandas`` pass per partition emits local-threshold
-         candidates plus a 4×2048 count-min sketch; sketches and
-         candidates are partition-count-sized, not data-sized;
-      3. driver merges the P sketches (sum — CMS is a linear sketch) and
-         prunes candidates whose CMS upper bound is below T (CMS never
-         underestimates, so pruning is lossless);
-      4. exact verify: re-scan tokens filtered to the broadcast candidate
+    Two passes total (each narrow or candidate-sized — the full keyspace
+    is never shuffled):
+      1. one ``mapInPandas`` pass per partition emits candidates with
+         local count >= ceil(t_p/1000) (weighted pigeonhole: the union
+         over partitions is a guaranteed superset of the global heavy
+         hitters — no advance global total needed) plus a 4×2048
+         count-min sketch row carrying the partition token total;
+         sketches and candidates are partition-count-sized;
+      2. driver merges the P sketches (sum — CMS is linear), recovers
+         the global total from the carried t_p's, and prunes candidates
+         whose CMS upper bound is below T (CMS never underestimates, so
+         pruning is lossless);
+      3. exact verify: re-scan tokens filtered to the broadcast candidate
          set, ``groupBy`` count, keep count >= T.
     The output is therefore exact and carries a plain-SQL oracle. At
     100 TB the verify shuffle carries only candidate-token rows (Zipf:
@@ -121,25 +137,23 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("token") >= 1)
     )
     out_schema = "token string, cnt long"
-    total = tokens.count()
-    threshold = max(1, total // _HH_FRACTION)
-    if total == 0:
-        return spark.createDataFrame([], out_schema)
-    n_parts = tokens.rdd.getNumPartitions() or 1
-    local_threshold = max(1, -(-threshold // n_parts))  # ceil(T / P)
-
     sketch_rows = tokens.mapInPandas(
-        lambda it: _partition_sketch(it, local_threshold),
+        _partition_sketch,
         schema="kind string, token string, local_cnt long, cms array<long>",
     ).collect()  # partition-count-sized (P candidates lists + P sketches), not data-sized
 
     merged = np.zeros(_CMS_DEPTH * _CMS_WIDTH, dtype=np.int64)
     candidates: set[str] = set()
+    total = 0
     for row in sketch_rows:
         if row["kind"] == "cms":
             merged += np.asarray(row["cms"], dtype=np.int64)
+            total += row["local_cnt"]  # cms rows carry the partition total
         else:
             candidates.add(row["token"])
+    if total == 0:
+        return spark.createDataFrame([], out_schema)
+    threshold = _hh_threshold(total)
     cms = merged.reshape(_CMS_DEPTH, _CMS_WIDTH)
     pruned = [
         t

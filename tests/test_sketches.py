@@ -39,7 +39,7 @@ def test_heavy_hitters_equal_naive_exact(spark):
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
     ).where(F.length("token") >= 1)
     total = tokens.count()
-    threshold = max(1, total // sk._HH_FRACTION)
+    threshold = sk._hh_threshold(total)
     naive = {
         (r["token"], r["cnt"])
         for r in tokens.groupBy("token")
@@ -63,7 +63,7 @@ def test_cms_estimate_upper_bounds_exact_counts(spark):
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
     ).where(F.length("token") >= 1)
     rows = tokens.mapInPandas(
-        lambda it: sk._partition_sketch(it, local_threshold=10**9),  # no candidates
+        lambda it: sk._partition_sketch(it, fraction=1),  # candidates irrelevant here
         schema="kind string, token string, local_cnt long, cms array<long>",
     ).collect()
     merged = np.zeros(sk._CMS_DEPTH * sk._CMS_WIDTH, dtype=np.int64)
