@@ -104,9 +104,11 @@ def decode_real(payload: bytes, codec: str):
 
     PNG → list of pixel rows (full zlib + filter reconstruction), WAV →
     (channels, sampwidth, rate, nframes), JPEG → uint8 pixel array via the
-    pure-numpy T.81 baseline decoder, AVI → list of MJPEG frame payloads.
-    Formats with no in-repo codec (GIF, non-MJPEG video) raise."""
+    pure-numpy T.81 baseline decoder, GIF → RGB pixel grids per frame
+    (variable-width LZW), AVI → list of MJPEG frame payloads. Formats
+    with no in-repo codec (e.g. BMP, non-MJPEG video) raise."""
     from ..functions import avicodec as av
+    from ..functions import gifcodec as gc
     from ..functions import imagecodec as ic
     from ..functions import jpegcodec as jc
 
@@ -117,6 +119,8 @@ def decode_real(payload: bytes, codec: str):
         return ic.decode_wav_meta(payload)
     if fmt == "jpeg":
         return jc.decode_jpeg_gray(payload)
+    if fmt == "gif":
+        return gc.decode_gif_frames(payload)
     if fmt == "avi":
         return av.decode_avi_mjpeg_frames(payload)
     raise NotImplementedError(f"decode for {fmt!r} requires external codec libs")

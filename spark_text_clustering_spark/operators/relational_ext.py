@@ -67,6 +67,63 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.register(
+    "join_asof_keyless_bucketed",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.event_id AS click_id, v.event_id AS view_id, v.ts AS view_ts,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM events c JOIN events v
+        ON v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+       AND v.event_id <> c.event_id
+      WHERE c.event_type = 'click' AND v.event_type = 'view')
+    SELECT click_id, view_id, view_ts FROM pairs WHERE rn = 1
+    """,
+)
+def join_asof_keyless_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-LESS bounded as-of join via the time-bucket ±1 trick — the
+    mechanism docs/SCALE.md prescribes when there is no partition key to
+    ride (``join_asof`` uses user_id; here ANY prior view within 1 hour
+    qualifies, across all users).
+
+    A key-less inequality join is a cartesian product to Catalyst (range
+    join at best). Bucketing event time to the lookback interval (1 h)
+    restores an equi-key: a view within (c.ts - 1h, c.ts] lives in the
+    click's bucket or the one before, so joining on bucket ∈ {b, b-1}
+    (probe side exploded to 2 rows — a constant factor, not a blow-up)
+    turns the plan into a shuffled hash join on the bucket key whose
+    per-task pair space is one bucket's worth of events, not the whole
+    table. The residual exact time predicate + rank run inside buckets.
+    Bounded lookback is what makes as-of tractable at 100 TB — unbounded
+    "most recent ever" needs state the size of history.
+    """
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    bucket = lambda col: (F.unix_timestamp(col) / 3600).cast("long")  # noqa: E731
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("event_id", "ts", bucket(F.col("ts")).alias("b"))
+        .withColumn("probe_b", F.explode(F.array(F.col("b"), F.col("b") - 1)))
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        bucket(F.col("ts")).alias("view_b"),
+    )
+    pairs = clicks.join(views, F.col("probe_b") == F.col("view_b")).where(
+        (F.col("view_ts") <= F.col("ts"))
+        & (F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_id") != F.col("event_id"))
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc("view_ts"), F.desc("view_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("event_id").alias("click_id"), "view_id", "view_ts")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sliding + session windows, batch form (streaming twins in streaming/windows)
 # ---------------------------------------------------------------------------

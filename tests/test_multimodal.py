@@ -88,9 +88,16 @@ def test_decode_real_dispatch():
     # AVI dispatches to the RIFF walker
     avi = av.encode_avi_mjpeg([jpeg, jpeg], 8, 8)
     assert decode_real(avi, "") == [jpeg, jpeg]
+    # GIF dispatches to the LZW decoder
+    from spark_text_clustering_spark.functions import gifcodec as gc
+
+    gif = gc.encode_gif_gray([[9, 9], [4, 4]])
+    assert decode_real(gif, "") == [  # one frame of RGB rows
+        [[(9, 9, 9), (9, 9, 9)], [(4, 4, 4), (4, 4, 4)]]
+    ]
     # formats with no in-repo codec still raise
     with pytest.raises(NotImplementedError):
-        decode_real(b"GIF89a......", "")
+        decode_real(b"BM......", "")
 
 
 def test_sniff_formats():
@@ -308,3 +315,35 @@ def test_multimodal_color_decode_spark(spark):
     ).count()
     assert bad == 0
     assert df.count() > 0
+
+
+def test_gif_lzw_roundtrip_variants():
+    """Variable-width LZW: random, repetitive (dict growth), constant
+    (KwKwK), and table-full CLEAR-reset streams all round-trip."""
+    import numpy as np
+
+    from spark_text_clustering_spark.functions import gifcodec as gc
+
+    rng = np.random.default_rng(5)
+    for seq in (
+        rng.integers(0, 256, 3000).tolist(),
+        (list(range(10)) * 300),
+        [7] * 2500,
+        [1, 2, 3, 4, 5] * 4000,  # forces a 4096-entry table reset
+    ):
+        assert gc.lzw_decompress(gc.lzw_compress(seq, 8), 8) == seq
+
+
+def test_gif_container_roundtrip_and_interlace():
+    import numpy as np
+
+    from spark_text_clustering_spark.functions import gifcodec as gc
+
+    img = np.random.default_rng(0).integers(0, 256, (23, 37)).tolist()
+    for interlace in (False, True):
+        gif = gc.encode_gif_gray(img, interlace=interlace)
+        assert ic.sniff_format(gif) == "gif"
+        frames = gc.decode_gif_frames(gif)
+        assert len(frames) == 1
+        got = [[px[0] for px in row] for row in frames[0]]
+        assert got == img

@@ -271,3 +271,22 @@ def test_train_ready_two_shuffles(spark):
     per-shard packing window. Everything else is narrow."""
     plan = plan_of(spark, "pipeline_train_ready")
     assert plan.count("Arguments: hashpartitioning") == 2
+
+
+def test_keyless_asof_is_hash_join_on_bucket(spark):
+    """The bucket±1 trick must plan as a hash join on the bucket key —
+    never a cartesian/broadcast-nested-loop (the key-less naive form)."""
+    plan = plan_of(spark, "join_asof_keyless_bucketed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_heavy_hitters_verify_agg_is_filtered(spark):
+    """The exact-verify aggregation must scan with the candidate IN-filter
+    applied (only candidate-token rows reach the groupBy shuffle)."""
+    from spark_text_clustering_spark.registry import QUERIES as Q
+
+    df = Q["heavy_hitters_cms"](spark, SF_ORACLE)
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "token" in plan and "IN" in plan.upper()

@@ -304,3 +304,59 @@ def test_mixture_sample_rates_converge(spark):
         assert frac <= 1.0
         # binomial noise at n~25/source: allow +-0.35 absolute
         assert abs(frac - r["rate"]) < 0.35
+
+
+# --- round 4: JPEG codec properties ---------------------------------------
+
+_dims = st.integers(min_value=1, max_value=40)
+
+
+@given(_dims, _dims, st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_gray_roundtrip_bounded_any_dims(h, w, seed):
+    """Any image, any (non-8-multiple) dims: decode(encode(x, q=None))
+    differs from x by at most 1 per pixel (pure float-DCT rounding)."""
+    import numpy as np
+
+    from spark_text_clustering_spark.functions import jpegcodec as jc
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w)).astype(np.uint8)
+    dec = jc.decode_jpeg_gray(jc.encode_jpeg_gray(img, quality=None))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+@given(st.integers(min_value=1, max_value=100), st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=15, deadline=None)
+def test_jpeg_gray_lossy_never_crashes_and_bounded(q, seed):
+    """Every quality in [1,100] produces a decodable stream with error
+    bounded by the worst quant step (coarse but universal bound)."""
+    import numpy as np
+
+    from spark_text_clustering_spark.functions import jpegcodec as jc
+
+    img = np.random.default_rng(seed).integers(0, 256, (16, 24)).astype(np.uint8)
+    qt = jc.quant_table(q)
+    dec = jc.decode_jpeg_gray(jc.encode_jpeg_gray(img, quality=q))
+    assert dec.shape == img.shape
+    # IDCT error per pixel <= sum of per-coefficient quant errors / 8... use
+    # the loose-but-sound bound: 8 * max quant step covers the worst block.
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8 * int(qt.max())
+
+
+@given(_dims, _dims, st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=15, deadline=None)
+def test_jpeg_color_roundtrip_bounded_any_dims(h, w, seed):
+    import numpy as np
+
+    from spark_text_clustering_spark.functions import jpegcodec as jc
+
+    rng = np.random.default_rng(seed)
+    # smooth-ish image: random per-channel constants + mild gradient, so
+    # the 4:2:0 chroma subsample bound stays tight
+    base = rng.integers(16, 240, (1, 1, 3))
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.clip(base + (x % 8)[..., None] + (y % 8)[..., None], 0, 255).astype(np.uint8)
+    dec = jc.decode_jpeg_rgb(jc.encode_jpeg_rgb(img, quality=None))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 24
