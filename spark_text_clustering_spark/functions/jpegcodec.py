@@ -153,6 +153,26 @@ def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int],
     return {(ln, code): sym for sym, (code, ln) in _build_codes(bits, vals).items()}
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _fast_decode_table(bits_b: bytes, vals_b: bytes):
+    """libjpeg-style accelerated Huffman decode: a 2^16-entry lookup from
+    the next 16 peeked bits to (symbol, code length). Built once per
+    distinct DHT payload (lru-cached on the raw table bytes — all frames
+    of a corpus share tables, so this amortizes to zero)."""
+    codes = _build_codes(list(bits_b), list(vals_b))
+    syms = np.zeros(1 << 16, dtype=np.int32)
+    lens = np.zeros(1 << 16, dtype=np.uint8)
+    for sym, (code, ln) in codes.items():
+        prefix = code << (16 - ln)
+        span = 1 << (16 - ln)
+        syms[prefix : prefix + span] = sym
+        lens[prefix : prefix + span] = ln
+    return syms, lens
+
+
 class _BitWriter:
     """MSB-first bit accumulator with T.81 F.1.2.3 byte stuffing."""
 
@@ -194,12 +214,61 @@ def _magnitude_bits(v: int, size: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _fdct_quantize_zigzag(blocks: np.ndarray, qt_f: np.ndarray) -> np.ndarray:
+    """Batch FDCT + quantize + zigzag for a (n, 8, 8) block stack — one
+    einsum instead of n small matmuls. Rounds half away from zero
+    (libjpeg behaviour), not banker's."""
+    coef = np.einsum("ij,njk,lk->nil", _DCT_M, blocks, _DCT_M)
+    q = np.sign(coef) * np.floor(np.abs(coef) / qt_f + 0.5)
+    return q.reshape(-1, 64)[:, ZIGZAG].astype(np.int64)
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) -> (H/8 * W/8, 8, 8) in raster block order."""
+    hh, ww = plane.shape
+    return (
+        plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _encode_block_zz(bw: _BitWriter, zz: np.ndarray, dc_codes, ac_codes,
+                     prev_dc: int) -> int:
+    """Huffman-code one pre-quantized zigzag block; returns new DC pred.
+    Iterates only the nonzero AC positions (sparse blocks cost ~nothing)."""
+    diff = int(zz[0]) - prev_dc
+    prev_dc = int(zz[0])
+    size = _category(diff)
+    code, ln = dc_codes[size]
+    bw.put(code, ln)
+    if size:
+        bw.put(_magnitude_bits(diff, size), size)
+    nz = np.nonzero(zz[1:])[0]
+    prevpos = 0
+    for pos in nz + 1:
+        run = int(pos) - prevpos - 1
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+            bw.put(code, ln)
+            run -= 16
+        v = int(zz[pos])
+        size = _category(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.put(code, ln)
+        bw.put(_magnitude_bits(v, size), size)
+        prevpos = int(pos)
+    if prevpos < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.put(code, ln)
+    return prev_dc
+
+
 def encode_jpeg_gray(img: np.ndarray, quality: int | None = None) -> bytes:
     """Encode an 8-bit grayscale image as a baseline sequential JFIF JPEG.
 
-    Edge-replicates to 8x8 block multiples, FDCT + quantize + zigzag,
-    then Huffman-codes with the Annex K luminance tables (embedded via
-    DHT so any spec decoder — including ours — reads them back)."""
+    Edge-replicates to 8x8 block multiples, batch FDCT + quantize +
+    zigzag, then Huffman-codes with the Annex K luminance tables
+    (embedded via DHT so any spec decoder — including ours — reads them
+    back)."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 2:
         raise ValueError("grayscale encoder expects a 2-D array")
@@ -213,40 +282,9 @@ def encode_jpeg_gray(img: np.ndarray, quality: int | None = None) -> bytes:
     ac_codes = _build_codes(AC_BITS, AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
-    qt_f = qt.astype(np.float64)
-    for by in range(padded.shape[0] // 8):
-        for bx in range(padded.shape[1] // 8):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = _DCT_M @ block @ _DCT_M.T
-            # round half away from zero (libjpeg behaviour), not banker's
-            q = np.sign(coef) * np.floor(np.abs(coef) / qt_f + 0.5)
-            zz = q.astype(np.int64).ravel()[ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            size = _category(diff)
-            code, ln = dc_codes[size]
-            bw.put(code, ln)
-            if size:
-                bw.put(_magnitude_bits(diff, size), size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
-                    bw.put(code, ln)
-                    run -= 16
-                size = _category(v)
-                code, ln = ac_codes[(run << 4) | size]
-                bw.put(code, ln)
-                bw.put(_magnitude_bits(v, size), size)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.put(code, ln)
+    zzs = _fdct_quantize_zigzag(_blockify(padded), qt.astype(np.float64))
+    for zz in zzs:
+        prev_dc = _encode_block_zz(bw, zz, dc_codes, ac_codes, prev_dc)
     entropy = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -318,7 +356,31 @@ class _BitReader:
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
+    def peek16(self) -> int:
+        """Next 16 bits MSB-first without consuming (zero-padded past the
+        end of the entropy segment — legal: trailing pad bits are 1s and
+        the block loop is count-bounded, so padding is never decoded)."""
+        while self.nbits < 16 and not self.hit_marker:
+            self._fill()
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        return (self.acc << (16 - self.nbits)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        if self.nbits >= n:
+            self.nbits -= n
+            self.acc &= (1 << self.nbits) - 1
+        else:  # consumed virtual padding at stream end
+            self.nbits = 0
+            self.acc = 0
+
     def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if n <= 16:
+            v = self.peek16() >> (16 - n)
+            self.consume(n)
+            return v
         v = 0
         for _ in range(n):
             v = (v << 1) | self.read_bit()
@@ -332,25 +394,27 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def _decode_symbol(br: _BitReader, dmap: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = dmap.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in entropy stream")
+def _decode_symbol(br: _BitReader, table) -> int:
+    """One Huffman symbol via the 16-bit peek table (libjpeg-style)."""
+    syms, lens = table
+    p = br.peek16()
+    ln = int(lens[p])
+    if ln == 0:
+        raise ValueError("invalid Huffman code in entropy stream")
+    br.consume(ln)
+    return int(syms[p])
 
 
-def _decode_block(br: _BitReader, dc_map, ac_map, prev_dc: int, qt: np.ndarray):
-    """Entropy-decode one 8x8 block -> (spatial block, new DC predictor)."""
-    zz = np.zeros(64, dtype=np.float64)
-    size = _decode_symbol(br, dc_map)
+def _decode_block_zz(br: _BitReader, dc_tab, ac_tab, out_zz: np.ndarray,
+                     prev_dc: int) -> int:
+    """Entropy-decode one 8x8 block into ``out_zz`` (zigzag order);
+    returns the new DC predictor. IDCT happens batched afterwards."""
+    size = _decode_symbol(br, dc_tab)
     prev_dc += _extend(br.read_bits(size), size)
-    zz[0] = prev_dc
+    out_zz[0] = prev_dc
     i = 1
     while i < 64:
-        sym = _decode_symbol(br, ac_map)
+        sym = _decode_symbol(br, ac_tab)
         if sym == 0x00:  # EOB
             break
         run, size = sym >> 4, sym & 0x0F
@@ -362,12 +426,9 @@ def _decode_block(br: _BitReader, dc_map, ac_map, prev_dc: int, qt: np.ndarray):
         i += run
         if i > 63:
             raise ValueError("AC run past end of block")
-        zz[i] = _extend(br.read_bits(size), size)
+        out_zz[i] = _extend(br.read_bits(size), size)
         i += 1
-    nat = np.empty(64, dtype=np.float64)
-    nat[ZIGZAG] = zz
-    coef = nat.reshape(8, 8) * qt
-    return _DCT_M.T @ coef @ _DCT_M + 128.0, prev_dc
+    return prev_dc
 
 
 def _decode_baseline(data: bytes):
@@ -416,10 +477,10 @@ def _decode_baseline(data: bytes):
             off = 0
             while off < len(payload):
                 tc, th = payload[off] >> 4, payload[off] & 0x0F
-                bits = list(payload[off + 1 : off + 17])
+                bits = payload[off + 1 : off + 17]
                 nvals = sum(bits)
-                vals = list(payload[off + 17 : off + 17 + nvals])
-                htables[(tc, th)] = _build_decode_map(bits, vals)
+                vals = payload[off + 17 : off + 17 + nvals]
+                htables[(tc, th)] = _fast_decode_table(bytes(bits), bytes(vals))
                 off += 17 + nvals
         elif marker == 0xDA:  # SOS
             ns = payload[0]
@@ -438,26 +499,37 @@ def _decode_baseline(data: bytes):
     vmax = max(c["vs"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        planes.append(
-            np.empty((mcus_y * c["vs"] * 8, mcus_x * c["hs"] * 8), dtype=np.float64)
-        )
+    n_mcus = mcus_y * mcus_x
+    # entropy pass: fill per-component zigzag stacks in MCU arrival order
+    zz_stacks = [
+        np.zeros((n_mcus * c["vs"] * c["hs"], 64), dtype=np.float64) for c in comps
+    ]
+    fills = [0] * len(comps)
     br = _BitReader(data, sos_pos)
     prev_dc = [0] * len(comps)
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci, c in enumerate(comps):
-                qt = qtables[c["qt"]].astype(np.float64)
-                dc_map, ac_map = htables[(0, c["dc"])], htables[(1, c["ac"])]
-                for v in range(c["vs"]):
-                    for hh in range(c["hs"]):
-                        block, prev_dc[ci] = _decode_block(
-                            br, dc_map, ac_map, prev_dc[ci], qt
-                        )
-                        y0 = (my * c["vs"] + v) * 8
-                        x0 = (mx * c["hs"] + hh) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    for _m in range(n_mcus):
+        for ci, c in enumerate(comps):
+            dc_tab, ac_tab = htables[(0, c["dc"])], htables[(1, c["ac"])]
+            for _b in range(c["vs"] * c["hs"]):
+                prev_dc[ci] = _decode_block_zz(
+                    br, dc_tab, ac_tab, zz_stacks[ci][fills[ci]], prev_dc[ci]
+                )
+                fills[ci] += 1
+    # batched dequant + inverse zigzag + IDCT per component (one einsum
+    # per plane instead of one matmul per block), then MCU de-interleave
+    planes = []
+    for ci, c in enumerate(comps):
+        nat = np.zeros((zz_stacks[ci].shape[0], 64), dtype=np.float64)
+        nat[:, ZIGZAG] = zz_stacks[ci]
+        coef = nat.reshape(-1, 8, 8) * qtables[c["qt"]].astype(np.float64)
+        spatial = np.einsum("ji,njk,kl->nil", _DCT_M, coef, _DCT_M) + 128.0
+        vs, hs = c["vs"], c["hs"]
+        plane = (
+            spatial.reshape(mcus_y, mcus_x, vs, hs, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * vs * 8, mcus_x * hs * 8)
+        )
+        planes.append(plane)
     sampling = [(c["hs"], c["vs"]) for c in comps]
     return planes, (h, w), sampling
 
@@ -510,41 +582,6 @@ def decode_jpeg_rgb(data: bytes) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
 
 
-def _encode_component_block(bw: _BitWriter, block: np.ndarray, qt_f: np.ndarray,
-                            dc_codes, ac_codes, prev_dc: int) -> int:
-    """FDCT + quantize + Huffman-code one 8x8 block; returns new DC pred."""
-    coef = _DCT_M @ block @ _DCT_M.T
-    q = np.sign(coef) * np.floor(np.abs(coef) / qt_f + 0.5)
-    zz = q.astype(np.int64).ravel()[ZIGZAG]
-    diff = int(zz[0]) - prev_dc
-    prev_dc = int(zz[0])
-    size = _category(diff)
-    code, ln = dc_codes[size]
-    bw.put(code, ln)
-    if size:
-        bw.put(_magnitude_bits(diff, size), size)
-    run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-    for i in range(1, last_nz + 1):
-        v = int(zz[i])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, ln = ac_codes[0xF0]
-            bw.put(code, ln)
-            run -= 16
-        size = _category(v)
-        code, ln = ac_codes[(run << 4) | size]
-        bw.put(code, ln)
-        bw.put(_magnitude_bits(v, size), size)
-        run = 0
-    if last_nz < 63:
-        code, ln = ac_codes[0x00]
-        bw.put(code, ln)
-    return prev_dc
-
-
 def encode_jpeg_rgb(img: np.ndarray, quality: int | None = None) -> bytes:
     """Encode an (h, w, 3) uint8 RGB image as a baseline 4:2:0 color JPEG.
 
@@ -574,21 +611,21 @@ def encode_jpeg_rgb(img: np.ndarray, quality: int | None = None) -> bytes:
     bw = _BitWriter()
     prev = [0, 0, 0]  # per-component DC predictors
     mcus_y, mcus_x = ycc.shape[0] // 16, ycc.shape[1] // 16
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for v in range(2):  # four Y blocks, raster order
-                for hh in range(2):
-                    y0, x0 = (my * 2 + v) * 8, (mx * 2 + hh) * 8
-                    prev[0] = _encode_component_block(
-                        bw, y_plane[y0 : y0 + 8, x0 : x0 + 8], qt_f,
-                        dc_codes, ac_codes, prev[0],
-                    )
-            for ci, plane in ((1, cb), (2, cr)):
-                y0, x0 = my * 8, mx * 8
-                prev[ci] = _encode_component_block(
-                    bw, plane[y0 : y0 + 8, x0 : x0 + 8], qt_f,
-                    dc_codes, ac_codes, prev[ci],
-                )
+    # batch FDCT per component; MCU interleaving is then index arithmetic
+    # over the precomputed zigzag stacks
+    y_zz = _fdct_quantize_zigzag(
+        y_plane.reshape(mcus_y, 2, 8, mcus_x, 2, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(-1, 8, 8),  # (my, mx, v, hh) raster order
+        qt_f,
+    )
+    cb_zz = _fdct_quantize_zigzag(_blockify(cb), qt_f)
+    cr_zz = _fdct_quantize_zigzag(_blockify(cr), qt_f)
+    for m in range(mcus_y * mcus_x):
+        for k in range(4):  # four Y blocks, raster order within the MCU
+            prev[0] = _encode_block_zz(bw, y_zz[4 * m + k], dc_codes, ac_codes, prev[0])
+        prev[1] = _encode_block_zz(bw, cb_zz[m], dc_codes, ac_codes, prev[1])
+        prev[2] = _encode_block_zz(bw, cr_zz[m], dc_codes, ac_codes, prev[2])
     entropy = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:

@@ -15,6 +15,7 @@ from .operators import (
     collections as collections_ops,
     dedup,
     grouped,
+    lm,
     multimodal,
     relational,
     relational_ext,
@@ -67,6 +68,7 @@ ROOT.merge(
     similarity.REG,
     skew.REG,
     sketches.REG,
+    lm.REG,
     grouped.REG,
     multimodal.REG,
     textprep.REG,
