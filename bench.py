@@ -68,6 +68,8 @@ HEADLINE = [
     "heavy_hitters_cms",
     "bloom_semi_join_prune",
     "merge_full_clauses",
+    "ngram_lm_score",
+    "join_asof_keyless_bucketed",
     "pipeline_train_ready",
     "layout_zorder_key",
     "stream_stream_join",

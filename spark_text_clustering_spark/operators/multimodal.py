@@ -148,11 +148,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage 1 materializes a BINARY payload column of genuine baseline JPEG
     bitstreams (as an ingest from object storage would); stage 2 entropy-
     decodes each payload with the pure-numpy T.81 codec and emits features
-    computed only from the decoded pixels. Both stages are narrow maps —
-    no shuffle at any corpus scale; executor memory is bounded by the
+    computed only from the decoded pixels. Both codec stages are narrow
+    maps; the only exchange is the id-only repartition below that spreads
+    the CPU-bound decode across cores. Executor memory is bounded by the
     Arrow batch size times the payload size."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.where(F.col("doc_id").isNotNull()).select("doc_id").mapInPandas(
+    # decode is CPU-bound: spread the id-only input across all cores (an
+    # 8-byte-per-row exchange) before the heavy mapInPandas stages; at
+    # corpus scale the scan has many splits and this is a no-op choice
+    ids = (
+        docs.where(F.col("doc_id").isNotNull())
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    payloads = ids.mapInPandas(
         _make_jpeg_payloads, schema="doc_id long, payload binary"
     )
     return payloads.mapInPandas(
@@ -238,10 +247,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling: stage 1 materializes genuine MJPEG AVI
     payloads (RIFF container, '00dc' JPEG frames); stage 2 parses the
     container, samples every other frame, and JPEG-decodes the samples.
-    Both stages are narrow maps — the per-doc explode happens inside the
-    Arrow batch, so no shuffle is introduced at any corpus scale."""
+    Both codec stages are narrow maps (the per-doc frame explode happens
+    inside the Arrow batch); the only exchange is the id-only repartition
+    that parallelizes the CPU-bound decode."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.where(F.col("doc_id").isNotNull()).select("doc_id").mapInPandas(
+    ids = (  # id-only repartition: parallelize the CPU-bound codec stage
+        docs.where(F.col("doc_id").isNotNull())
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    payloads = ids.mapInPandas(
         _make_avi_payloads, schema="doc_id long, payload binary"
     )
     return payloads.mapInPandas(
@@ -374,7 +389,12 @@ def multimodal_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     DC predictors, chroma upsample + JFIF YCbCr→RGB on decode. Narrow
     ``mapInPandas``, no shuffle at any scale."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.where(F.col("doc_id").isNotNull()).select("doc_id").mapInPandas(
+    ids = (  # id-only repartition: parallelize the CPU-bound codec stage
+        docs.where(F.col("doc_id").isNotNull())
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return ids.mapInPandas(
         _color_roundtrip,
         schema="doc_id long, width int, height int, r long, g long, b long",
     )

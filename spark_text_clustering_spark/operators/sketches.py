@@ -186,9 +186,25 @@ WHERE c.c_mktsegment = 'BUILDING'
 """
 
 
+def _bloom_positions_vec(keys):
+    """Vectorized (n, k) bit positions via splitmix64 + Kirsch-Mitzenmacher
+    double hashing — pure numpy uint64 arithmetic, no per-row Python, so
+    both the build and the map-side probe run at Arrow-batch speed."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):  # wrapping is the point of splitmix64
+        x = np.asarray(keys, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        h1 = x & np.uint64(0xFFFFFFFF)
+        h2 = (x >> np.uint64(32)) | np.uint64(1)  # odd -> cycles all slots
+        i = np.arange(_BLOOM_HASHES, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(_BLOOM_BITS)
+
+
 def _bloom_positions(key: int) -> list[int]:
-    h = hashlib.md5(str(int(key)).encode()).hexdigest()
-    return [int(h[8 * i : 8 * i + 8], 16) % _BLOOM_BITS for i in range(_BLOOM_HASHES)]
+    return [int(p) for p in _bloom_positions_vec([int(key)])[0]]
 
 
 def _bloom_build(batches: Iterator[pd.DataFrame]):
@@ -199,9 +215,13 @@ def _bloom_build(batches: Iterator[pd.DataFrame]):
 
     words = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
     for pdf in batches:
-        for key in pdf["c_custkey"]:
-            for pos in _bloom_positions(key):
-                words[pos // 64] |= np.uint64(1) << np.uint64(pos % 64)
+        keys = pdf["c_custkey"].dropna().to_numpy(dtype=np.int64)
+        if not len(keys):
+            continue
+        pos = _bloom_positions_vec(keys).ravel()
+        np.bitwise_or.at(
+            words, (pos // 64).astype(np.int64), np.uint64(1) << (pos % 64)
+        )
     yield pd.DataFrame({"words": [words.astype(np.int64).tolist()]})
 
 
@@ -241,17 +261,13 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     def maybe_in_dim(keys: pd.Series) -> pd.Series:
         import numpy as np  # noqa: F811 — executor-side import
 
-        out = []
-        for key in keys:
-            if pd.isna(key):
-                out.append(False)
-                continue
-            hit = True
-            for pos in _bloom_positions(int(key)):
-                if not (int(bloom[pos // 64]) >> (pos % 64)) & 1:
-                    hit = False
-                    break
-            out.append(hit)
+        valid = keys.notna().to_numpy()
+        out = np.zeros(len(keys), dtype=bool)
+        if valid.any():
+            kv = keys[valid].to_numpy(dtype=np.int64)
+            pos = _bloom_positions_vec(kv)  # (n, k), fully vectorized
+            bits = (bloom[(pos // 64).astype(np.int64)] >> (pos % 64)) & np.uint64(1)
+            out[valid] = bits.all(axis=1)
         return pd.Series(out, dtype="boolean")
 
     orders = load_table(spark, sf_dir, "orders").select(
