@@ -69,6 +69,7 @@ HEADLINE = [
     "bloom_semi_join_prune",
     "merge_full_clauses",
     "ngram_lm_score",
+    "search_bm25_scores",
     "join_asof_keyless_bucketed",
     "pipeline_train_ready",
     "layout_zorder_key",

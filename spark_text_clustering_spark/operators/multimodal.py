@@ -400,6 +400,66 @@ def multimodal_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GIF is LOSSLESS (palette indices, LZW): arbitrary per-pixel patterns
+# round-trip bit-exactly, so the oracle recomputes the decoded pixel sum
+# over the full w×h grid. w=doc_id%12+2, h=doc_id%7+2, px(y,x)=(doc_id+3y+5x)%256.
+_GIF_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 12 + 2 AS w, doc_id % 7 + 2 AS h
+  FROM documents WHERE doc_id IS NOT NULL),
+ys AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y FROM dims),
+px AS (
+  SELECT doc_id, w, h, y, unnest(generate_series(0, w - 1)) AS x FROM ys)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(SUM((doc_id + 3 * y + 5 * x) % 256) AS BIGINT) AS sum_pixels
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+def _gif_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode a genuine GIF89a per doc (real LZW compression, interlaced
+    for every third doc to exercise that path) and decode it back; facts
+    come ONLY from the decoded pixels — bit-exact because GIF is
+    lossless."""
+    from ..functions import gifcodec as gc
+
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "sum_pixels": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = d % 12 + 2, d % 7 + 2
+            img = [[(d + 3 * y + 5 * x) % 256 for x in range(w)] for y in range(h)]
+            gif = gc.encode_gif_gray(img, interlace=(d % 3 == 0))
+            frames = gc.decode_gif_frames(gif)
+            rows = frames[0]
+            out["doc_id"].append(d)
+            out["width"].append(len(rows[0]))
+            out["height"].append(len(rows))
+            out["sum_pixels"].append(sum(px[0] for row in rows for px in row))
+        yield pd.DataFrame(out)
+
+
+@REG.register("multimodal_gif_decode", oracle=_GIF_ORACLE)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode: genuine GIF89a bitstreams (variable-width LZW,
+    interlace on every third doc) encoded and decoded executor-side with
+    ``functions/gifcodec.py``. Narrow map over an id-only repartition."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = (
+        docs.where(F.col("doc_id").isNotNull())
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return ids.mapInPandas(
+        _gif_roundtrip,
+        schema="doc_id long, width int, height int, sum_pixels long",
+    )
+
+
 _WAV_ORACLE = """
 SELECT doc_id,
        CAST(1 AS INT)      AS n_channels,

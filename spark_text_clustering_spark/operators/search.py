@@ -121,3 +121,101 @@ def search_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["table scan join", "stream window batch", "vector hash group"],
         k=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (round 4) — exactly oracled, unlike the TF-IDF
+# top-k whose weights live in fitted-model state.
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("join", "hash", "scan", "vector", "window")
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> len(x) >= 1) AS arr
+  FROM documents WHERE text IS NOT NULL),
+docs AS (SELECT doc_id, len(arr) AS dl FROM toks WHERE len(arr) >= 1),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM docs),
+tf AS (
+  SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(arr) AS w FROM toks)
+  WHERE w IN {_BM25_TERMS!r}
+  GROUP BY doc_id, w),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term, ln(1 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+  FROM df, stats)
+SELECT tf.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       round(SUM(idf.idf * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * docs.dl / stats.avgdl))), 6)
+         AS bm25
+FROM tf
+JOIN idf  ON tf.term = idf.term
+JOIN docs ON tf.doc_id = docs.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+"""
+
+
+@REG.register("search_bm25_scores", oracle=_BM25_ORACLE)
+def search_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query, computed
+    relationally (Robertson idf with Lucene's +1, k1=1.2, b=0.75).
+
+    Unlike ``search_tfidf_topk`` (whose weights live in fitted
+    CountVectorizer/IDF model state → rows-only check), every BM25 input
+    (tf, df, dl, avgdl, N) is a relational aggregate of the corpus, so
+    the whole scorer has an exact DuckDB oracle. Plan shape: one token
+    explode filtered to the query terms (scan-local predicate — only
+    query-term rows survive to the shuffle), per-term df and corpus
+    stats are term-count-sized broadcasts, one per-doc aggregation.
+    Scores are returned for all matching docs rather than rank-limited:
+    cross-engine float ranking at tie boundaries is the one
+    nondeterminism a value-hash gate cannot absorb, and the caller's
+    top-k is a TakeOrderedAndProject away."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: F.length(x) >= 1
+        ).alias("arr"),
+    )
+    dl = toks.where(F.size("arr") >= 1).select("doc_id", F.size("arr").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("arr").alias("term"))
+        .where(F.col("term").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+    )
+    k1, b = _BM25_K1, _BM25_B
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * F.col("tf")
+                    * (k1 + 1)
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )

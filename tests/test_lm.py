@@ -38,3 +38,26 @@ def test_lm_prefers_common_phrasing(spark):
             for r in ngram_lm_score(spark, d).collect()
         }
     assert scores[0] > scores[100]
+
+
+def test_bm25_scores_sane(spark):
+    """BM25 invariants: positive scores, n_terms_hit bounded by the query
+    length, and a doc stuffed with a query term outranks a one-hit doc."""
+    from spark_text_clustering_spark.operators.search import search_bm25_scores, _BM25_TERMS
+    import os
+    import tempfile
+
+    rows = [
+        (1, "join join join join join filler words here", "en", "s", 40),
+        (2, "join once amid many many other other tokens", "en", "s", 40),
+        (3, "nothing relevant at all", "en", "s", 20),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["doc_id"]: r for r in search_bm25_scores(spark, d).collect()}
+    assert set(got) == {1, 2}  # doc 3 matches no query term
+    assert all(r["bm25"] > 0 for r in got.values())
+    assert all(r["n_terms_hit"] <= len(_BM25_TERMS) for r in got.values())
+    assert got[1]["bm25"] > got[2]["bm25"]

@@ -347,3 +347,15 @@ def test_gif_container_roundtrip_and_interlace():
         assert len(frames) == 1
         got = [[px[0] for px in row] for row in frames[0]]
         assert got == img
+
+
+def test_multimodal_gif_decode_spark(spark):
+    import pyspark.sql.functions as F
+
+    df = QUERIES["multimodal_gif_decode"](spark, SF_SMALL)
+    bad = df.where(
+        (F.col("width") != F.col("doc_id") % 12 + 2)
+        | (F.col("height") != F.col("doc_id") % 7 + 2)
+    ).count()
+    assert bad == 0
+    assert df.count() > 0
