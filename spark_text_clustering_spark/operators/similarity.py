@@ -592,3 +592,190 @@ def knn_cosine_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine_sim"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 4): the memory-compression ANN path
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (d=64 -> 8 dims each)
+_PQ_K = 256  # centroids per subspace -> one byte code each; 8 B/vector
+_PQ_SAMPLE = 512  # training sample (model-sized, deterministic prefix)
+_PQ_RERANK = 100  # ADC shortlist size fed to the exact re-rank stage
+_PQ_MEMO: dict = {}
+
+
+def _pq_train_codebooks(sample: "object", seed: int = 42):
+    """Per-subspace k-means (numpy, fixed 10 Lloyd iterations, seeded
+    farthest-point-ish init) over an (n, d) sample of NORMALIZED vectors.
+    Returns (m, k, d_s) codebooks. Deterministic for the driver's reruns."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    n, d = x.shape
+    d_s = d // _PQ_M
+    rng = np.random.default_rng(seed)
+    books = np.empty((_PQ_M, _PQ_K, d_s))
+    for s in range(_PQ_M):
+        sub = x[:, s * d_s : (s + 1) * d_s]
+        idx = rng.choice(n, size=_PQ_K, replace=n < _PQ_K)
+        cents = sub[idx].copy()
+        for _ in range(10):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(_PQ_K):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(0)
+        books[s] = cents
+    return books
+
+
+@REG.register("knn_cosine_pq")  # rows-only: approximate (seeded, deterministic)
+def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: top-k cosine via asymmetric distance
+    computation (ADC) over 8-byte codes.
+
+    This is the 100 TB *memory* story the IVF/LSH variants don't cover: a
+    64-dim float64 vector is 512 B; its PQ code is 8 B (one byte per
+    8-dim subspace, k=256 centroids) — 64× compression, so a 100 TB
+    embedding table scans as ~1.6 TB of codes. Cosine over normalized vectors decomposes
+    per subspace, so ADC scores are sums of m=8 table lookups: each query
+    precomputes an (8×16) inner-product table against the codebooks (tiny,
+    broadcast in the closure), and candidates never decompress.
+
+    Pipeline: seeded per-subspace k-means on a deterministic model-sized
+    sample (driver numpy — PQ training is sample-based by design), one
+    ``mapInPandas`` encode pass (vectorized argmin), one ``mapInPandas``
+    ADC scan emitting per-batch partial top-k (the shuffle carries
+    batches×Q×k rows, same trick as the GEMM variant), global window
+    top-k. Recall@5 vs ``knn_cosine_exact`` is measured and pinned in
+    tests/test_search.py::test_ann_recall_pq.
+    """
+    import numpy as np
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "pq")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("e"))
+        .withColumn("nrm", _l2norm(F.col("e")))
+        .where(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            F.transform("e", lambda x: x / F.col("nrm")).alias("e"),
+        )
+    )
+    out_schema = "query_id long, neighbor_id long, cosine_sim double, rank int"
+    sample_rows = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()  # model-sized
+    if len(sample_rows) < 2:
+        return spark.createDataFrame([], out_schema)
+    if memo_key in _PQ_MEMO:
+        books = _PQ_MEMO[memo_key]
+    else:
+        books = _pq_train_codebooks([r["e"] for r in sample_rows])
+        _PQ_MEMO[memo_key] = books
+    d_s = books.shape[2]
+
+    def encode(batches):
+        import pandas as pd  # noqa: F811 — executor-side import
+
+        for pdf in batches:
+            vecs = np.stack(pdf["e"].to_numpy())
+            codes = np.empty((len(pdf), _PQ_M), dtype=np.int64)
+            for s in range(_PQ_M):
+                sub = vecs[:, s * d_s : (s + 1) * d_s]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "code": list(codes)}
+            )
+
+    codes_df = emb.mapInPandas(encode, schema="vec_id long, code array<long>")
+
+    queries = [
+        (int(r["vec_id"]), np.asarray(r["e"], dtype=np.float64))
+        for r in sample_rows
+        if r["vec_id"] < N_QUERIES
+    ]
+    if not queries:
+        return spark.createDataFrame([], out_schema)
+    # per-query ADC tables: (Q, m, k) inner products query-subvector ·
+    # centroid — model-sized, shipped in the closure
+    adc = np.stack(
+        [
+            np.stack(
+                [books[s] @ q[s * d_s : (s + 1) * d_s] for s in range(_PQ_M)]
+            )
+            for _, q in queries
+        ]
+    )
+    qids = np.array([qid for qid, _ in queries])
+
+    def adc_score(batches):
+        import pandas as pd  # noqa: F811 — executor-side import
+
+        for pdf in batches:
+            codes = np.stack(pdf["code"].to_numpy())  # (n, m)
+            vec_ids = pdf["vec_id"].to_numpy()
+            # scores[q, n] = sum_s adc[q, s, codes[n, s]]
+            scores = np.take_along_axis(
+                adc[:, None, :, :], codes[None, :, :, None], axis=3
+            )[..., 0].sum(-1)
+            out = {"query_id": [], "neighbor_id": [], "cosine_sim": []}
+            for qi in range(len(qids)):
+                mask = vec_ids != qids[qi]
+                sc, ids = scores[qi][mask], vec_ids[mask]
+                # keep the RERANK depth per batch, not TOP_K: the exact
+                # re-rank stage needs the full shortlist to recover from
+                # quantization error (emitting only top-k here silently
+                # degrades it to pure ADC)
+                keep = min(_PQ_RERANK, len(sc))
+                if keep == 0:
+                    continue
+                part = np.argpartition(-sc, keep - 1)[:keep]
+                out["query_id"].extend([int(qids[qi])] * keep)
+                out["neighbor_id"].extend(int(i) for i in ids[part])
+                out["cosine_sim"].extend(float(s) for s in sc[part])
+            yield pd.DataFrame(out)
+
+    scored = codes_df.mapInPandas(
+        adc_score, schema="query_id long, neighbor_id long, cosine_sim double"
+    )
+    # ADC shortlist -> EXACT re-rank (the standard PQ pipeline: the
+    # compressed scan nominates _PQ_RERANK candidates per query, then the
+    # true vectors — candidate-sized, not corpus-sized — break the
+    # quantization ties). Both joins are broadcast (shortlist and query
+    # set are model-sized).
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rnk", F.row_number().over(w_adc))
+        .where(F.col("rnk") <= _PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+        "query_id long, qe array<double>",
+    )
+    rescored = (
+        emb.join(F.broadcast(shortlist), emb.vec_id == F.col("neighbor_id"))
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("e"), F.col("qe")).alias("cos"),  # normalized -> dot = cosine
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

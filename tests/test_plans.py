@@ -290,3 +290,12 @@ def test_heavy_hitters_verify_agg_is_filtered(spark):
     df = Q["heavy_hitters_cms"](spark, SF_ORACLE)
     plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "token" in plan and "IN" in plan.upper()
+
+
+def test_bloom_prune_semi_join_is_broadcast(spark):
+    """After the map-side Bloom prefilter, the false-positive-killing semi
+    join must broadcast the (tiny, filtered) dim — the probe side is the
+    prefiltered stream, and no full-fact shuffle join appears."""
+    plan = plan_of(spark, "bloom_semi_join_prune")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
