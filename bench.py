@@ -62,6 +62,8 @@ HEADLINE = [
     "variant_json_extract",
     "pack_sequences_budget",
     "mixture_sample_by_source",
+    "sample_weighted_reservoir",
+    "knn_cosine_pq",
     "multimodal_image_decode",
     "multimodal_features",
     "multimodal_color_decode",

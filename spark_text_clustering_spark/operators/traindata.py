@@ -363,3 +363,82 @@ def pipeline_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / SEQ_LEN).alias("seq_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (round 4): Efraimidis-Spirakis A-ES
+# ---------------------------------------------------------------------------
+
+_WRS_N = 50  # sample size
+
+
+def _u32_from_md5(key_col: str):
+    """Uniform u in (0,1) from the first 8 hex nibbles of a md5 column —
+    identical nibble arithmetic on both engines (instr/strpos)."""
+    acc = _nibble(key_col, 1).cast("long")  # long from the start: 8 nibbles overflow INT under ANSI
+    for pos in range(2, 9):
+        acc = acc * 16 + _nibble(key_col, pos)
+    return (acc.cast("double") + 1.0) / 4294967297.0  # (u32 + 1) / (2^32 + 1)
+
+
+def _sql_u32_from_md5(key_col: str) -> str:
+    expr = _sql_nibble(key_col, 1)
+    for pos in range(2, 9):
+        expr = f"(({expr}) * 16 + {_sql_nibble(key_col, pos)})"
+    return f"((CAST({expr} AS DOUBLE) + 1.0) / 4294967297.0)"
+
+
+_WRS_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(greatest(coalesce(n_chars, 0), 1) AS BIGINT) AS weight,
+         md5(concat(CAST(doc_id AS VARCHAR), ':wrs:', '42')) AS h
+  FROM documents WHERE doc_id IS NOT NULL),
+scored AS (
+  SELECT doc_id, weight,
+         pow({_sql_u32_from_md5('h')}, 1.0 / weight) AS es_key
+  FROM keyed)
+SELECT doc_id, weight, round(es_key, 6) AS es_key
+FROM (SELECT *, row_number() OVER (ORDER BY es_key DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= {_WRS_N}
+"""
+
+
+@REG.register("sample_weighted_reservoir", oracle=_WRS_ORACLE)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via Efraimidis-Spirakis A-ES:
+    each row gets key u^(1/w) (u = seeded md5 uniform, w = doc length) and
+    the sample is the global top-n keys — inclusion probability
+    proportional to weight, the standard way to length-weight a training
+    mixture draw.
+
+    Scale: A-ES is exactly a top-n over a narrow map — the plan is
+    TakeOrderedAndProject-shaped (per-partition heaps, no global sort),
+    which is why this beats ORDER BY rand() LIMIT n at any size. Seeded
+    md5 uniforms make the draw reproducible across engines and
+    partitionings; the md5-randomized keys keep adjacent ES keys far
+    apart relative to double precision, so cross-engine libm pow
+    differences (<=1 ulp) cannot reorder the cutoff."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    keyed = docs.select(
+        "doc_id",
+        F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1))
+        .cast("long")
+        .alias("weight"),
+        F.md5(
+            F.concat(_nullsafe_str(F.col("doc_id")), F.lit(":wrs:"), F.lit(SEED))
+        ).alias("h"),
+    )
+    scored = keyed.select(
+        "doc_id",
+        "weight",
+        F.pow(_u32_from_md5("h"), 1.0 / F.col("weight")).alias("es_key"),
+    )
+    # orderBy().limit() plans TakeOrderedAndProject (per-partition heaps,
+    # no single-partition global window) — the scale-correct top-n
+    return (
+        scored.orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(_WRS_N)
+        .select("doc_id", "weight", F.round("es_key", 6).alias("es_key"))
+    )

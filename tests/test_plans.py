@@ -299,3 +299,11 @@ def test_bloom_prune_semi_join_is_broadcast(spark):
     plan = plan_of(spark, "bloom_semi_join_prune")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_weighted_reservoir_is_take_ordered(spark):
+    """A-ES weighted sampling must plan TakeOrderedAndProject (per-
+    partition heaps), never a single-partition global window/sort."""
+    plan = plan_of(spark, "sample_weighted_reservoir")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

@@ -360,3 +360,23 @@ def test_jpeg_color_roundtrip_bounded_any_dims(h, w, seed):
     dec = jc.decode_jpeg_rgb(jc.encode_jpeg_rgb(img, quality=None))
     assert dec.shape == img.shape
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 24
+
+
+def test_weighted_reservoir_favors_heavy_docs(spark):
+    """Statistical sanity for A-ES: the mean weight of the selected sample
+    must exceed the corpus mean weight (inclusion ∝ weight)."""
+    import pyspark.sql.functions as F
+
+    from spark_text_clustering_spark.catalog import load_table
+    from spark_text_clustering_spark.registry import QUERIES
+
+    from .conftest import SF_SMALL
+
+    sample = QUERIES["sample_weighted_reservoir"](spark, SF_SMALL)
+    samp_mean = sample.agg(F.avg("weight")).first()[0]
+    corpus_mean = (
+        load_table(spark, SF_SMALL, "documents")
+        .agg(F.avg(F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1))))
+        .first()[0]
+    )
+    assert samp_mean > corpus_mean
