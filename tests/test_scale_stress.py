@@ -102,3 +102,53 @@ def test_simhash_bands_at_10x(spark, inflated_docs):
     dt = time.perf_counter() - t0
     assert n_pairs >= 45 * 500  # each of 500 texts has C(10,2)=45 copy-pairs
     assert dt < 60
+
+
+def test_heavy_hitters_sketch_pass_at_10x(spark, inflated_docs):
+    """The CMS sketch pass over 50k docs must stay partition-count-sized:
+    candidates + P sketch rows, never a vocabulary-sized collect."""
+    from spark_text_clustering_spark.operators import sketches as sk
+
+    tokens = inflated_docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).where(F.length("token") >= 1)
+    t0 = time.perf_counter()
+    rows = tokens.mapInPandas(
+        sk._partition_sketch,
+        schema="kind string, token string, local_cnt long, cms array<long>",
+    ).collect()
+    dt = time.perf_counter() - t0
+    n_parts = sum(1 for r in rows if r["kind"] == "cms")
+    n_cand = sum(1 for r in rows if r["kind"] == "cand")
+    assert n_parts <= 64
+    # candidate rows are threshold-gated, not vocabulary-sized
+    assert n_cand < 5_000, f"{n_cand} candidates — local threshold broken?"
+    assert dt < 60, f"sketch pass took {dt:.1f}s"
+
+
+def test_jpeg_decode_at_10x(spark, inflated_docs):
+    """10x-corpus real JPEG encode+decode round trips across all cores:
+    the codec stage must parallelize (id-only repartition) and finish in
+    bounded time."""
+    from spark_text_clustering_spark.operators.multimodal import (
+        _extract_features,
+        _make_jpeg_payloads,
+    )
+
+    ids = (
+        inflated_docs.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    t0 = time.perf_counter()
+    n = (
+        ids.mapInPandas(_make_jpeg_payloads, schema="doc_id long, payload binary")
+        .mapInPandas(
+            _extract_features,
+            schema="doc_id long, width int, height int,"
+            " n_pixels long, sum_pixels long, codec string",
+        )
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    assert n == inflated_docs.count()
+    assert dt < 90, f"10x JPEG round trips took {dt:.1f}s"
