@@ -496,6 +496,67 @@ def _wav_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+# Sample-LEVEL audio decode: the PCM payload pattern ((i*257)%4096-2048)
+# is deterministic, so the sum of |sample| over genuinely decoded frames
+# has a closed-form oracle via generate_series.
+_WAV_SAMPLES_ORACLE = """
+WITH meta AS (
+  SELECT doc_id, CAST((doc_id % 50 + 1) * 160 AS BIGINT) AS n
+  FROM documents WHERE doc_id IS NOT NULL),
+samples AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM meta)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(SUM(abs((i * 257) % 4096 - 2048)) AS BIGINT) AS abs_sum,
+       CAST(MAX((i * 257) % 4096 - 2048) AS BIGINT) AS peak
+FROM samples
+GROUP BY doc_id, n
+"""
+
+
+def _wav_sample_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL sample-level audio decode: parse the RIFF container with the
+    stdlib ``wave`` reader, pull the raw PCM frames, and compute stats
+    from the decoded int16 samples only."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from ..functions import imagecodec as ic
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_samples": [], "abs_sum": [], "peak": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            data = ic.encode_wav_mono16((d % 50 + 1) * 160, 16000)
+            with wave.open(io.BytesIO(data), "rb") as w:
+                pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+            out["doc_id"].append(d)
+            out["n_samples"].append(int(pcm.size))
+            out["abs_sum"].append(int(np.abs(pcm.astype(np.int64)).sum()))
+            out["peak"].append(int(pcm.max()))
+        yield pd.DataFrame(out)
+
+
+@REG.register("multimodal_audio_samples", oracle=_WAV_SAMPLES_ORACLE)
+def multimodal_audio_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sample-level audio decode (beyond ``multimodal_audio_meta``'s
+    header parse): genuine RIFF/WAVE PCM bytes are decoded back to int16
+    samples executor-side and the emitted stats come only from those
+    samples. Narrow map over an id-only repartition."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = (
+        docs.where(F.col("doc_id").isNotNull())
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return ids.mapInPandas(
+        _wav_sample_decode,
+        schema="doc_id long, n_samples long, abs_sum long, peak long",
+    )
+
+
 @REG.register("multimodal_audio_meta", oracle=_WAV_ORACLE)
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio metadata decode: writes genuine RIFF/WAVE PCM bytes and

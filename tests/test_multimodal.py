@@ -359,3 +359,18 @@ def test_multimodal_gif_decode_spark(spark):
     ).count()
     assert bad == 0
     assert df.count() > 0
+
+
+def test_multimodal_audio_samples_spark(spark):
+    """Sample-level decode: stats computed from genuinely decoded int16
+    PCM obey the deterministic triangle pattern."""
+    import pyspark.sql.functions as F
+
+    df = QUERIES["multimodal_audio_samples"](spark, SF_SMALL)
+    bad = df.where(
+        (F.col("n_samples") != (F.col("doc_id") % 50 + 1) * 160)
+        | (F.col("peak") > 2047)
+        | (F.col("abs_sum") <= 0)
+    ).count()
+    assert bad == 0
+    assert df.count() > 0
