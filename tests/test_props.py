@@ -380,3 +380,18 @@ def test_weighted_reservoir_favors_heavy_docs(spark):
         .first()[0]
     )
     assert samp_mean > corpus_mean
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=2000),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_lzw_roundtrip_property(seq, mcs):
+    """Variable-width GIF LZW round-trips any index stream whose symbols
+    fit the minimum code size (dict growth, KwKwK, width switches, and
+    4096-entry CLEAR resets all exercised by the generator)."""
+    from spark_text_clustering_spark.functions import gifcodec as gc
+
+    seq = [v % (1 << mcs) for v in seq]
+    assert gc.lzw_decompress(gc.lzw_compress(seq, mcs), mcs) == seq
