@@ -631,6 +631,32 @@ def _pq_train_codebooks(sample: "object", seed: int = 42):
     return books
 
 
+def _pq_encode_iter(books, extra_cols=()):
+    """mapInPandas closure: encode normalized vectors in column ``e`` to
+    per-subspace nearest-centroid codes, passing ``extra_cols`` through
+    (vectorized argmin per subspace — no per-row Python)."""
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        d_s = books.shape[2]
+        for pdf in batches:
+            vecs = np.stack(pdf["e"].to_numpy())
+            codes = np.empty((len(pdf), _PQ_M), dtype=np.int64)
+            for s in range(_PQ_M):
+                sub = vecs[:, s * d_s : (s + 1) * d_s]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d2.argmin(1)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for c in extra_cols:
+                out[c] = pdf[c].to_numpy()
+            out["code"] = list(codes)
+            yield pd.DataFrame(out)
+
+    return encode
+
+
 @REG.register("knn_cosine_pq")  # rows-only: approximate (seeded, deterministic)
 def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: top-k cosine via asymmetric distance
@@ -676,21 +702,6 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         books = _pq_train_codebooks([r["e"] for r in sample_rows])
         _PQ_MEMO[memo_key] = books
     d_s = books.shape[2]
-
-    def encode(batches):
-        import pandas as pd  # noqa: F811 — executor-side import
-
-        for pdf in batches:
-            vecs = np.stack(pdf["e"].to_numpy())
-            codes = np.empty((len(pdf), _PQ_M), dtype=np.int64)
-            for s in range(_PQ_M):
-                sub = vecs[:, s * d_s : (s + 1) * d_s]
-                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
-                codes[:, s] = d2.argmin(1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "code": list(codes)}
-            )
-
     codes_key = (spark.sparkContext.applicationId, sf_dir, "pq-codes")
     if codes_key in _PQ_MEMO:
         codes_df = _PQ_MEMO[codes_key]
@@ -700,7 +711,9 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # — at scale this is the stored parquet code table
         codes_df = (
             emb.repartition(spark.sparkContext.defaultParallelism)
-            .mapInPandas(encode, schema="vec_id long, code array<long>")
+            .mapInPandas(
+                _pq_encode_iter(books), schema="vec_id long, code array<long>"
+            )
             .localCheckpoint(eager=True)
         )
         _PQ_MEMO[codes_key] = codes_df
@@ -870,32 +883,15 @@ def knn_cosine_ivfpq(
             "vec_id", "e", F.col("prediction").alias("cluster")
         )
         centroids = np.array(model.clusterCenters())
-    d_s = books.shape[2]
-
-    def encode(batches):
-        import pandas as pd  # noqa: F811 — executor-side import
-
-        for pdf in batches:
-            vecs_np = np.stack(pdf["e"].to_numpy())
-            codes = np.empty((len(pdf), _PQ_M), dtype=np.int64)
-            for s in range(_PQ_M):
-                sub = vecs_np[:, s * d_s : (s + 1) * d_s]
-                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
-                codes[:, s] = d2.argmin(1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cluster": pdf["cluster"].to_numpy(),
-                    "code": list(codes),
-                }
-            )
-
     # the assigned+encoded code table IS the index: build once per
     # session, cut lineage, reuse across queries (the stored-parquet shape
     # at scale — cf. knn_cosine_ivf_stored)
     codes_df = (
         assigned.repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(encode, schema="vec_id long, cluster int, code array<long>")
+        .mapInPandas(
+            _pq_encode_iter(books, extra_cols=("cluster",)),
+            schema="vec_id long, cluster int, code array<long>",
+        )
         .localCheckpoint(eager=True)
     )
     _PQ_MEMO[index_key] = (books, centroids, codes_df)
