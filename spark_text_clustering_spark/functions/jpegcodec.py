@@ -327,6 +327,9 @@ class _BitReader:
         self.hit_marker = False
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data) - 1:  # truncated stream: no marker room
+            self.hit_marker = True
+            return
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]

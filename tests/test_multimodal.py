@@ -374,3 +374,25 @@ def test_multimodal_audio_samples_spark(spark):
     ).count()
     assert bad == 0
     assert df.count() > 0
+
+
+def test_jpeg_truncated_stream_fails_cleanly():
+    """A truncated entropy segment must raise ValueError (invalid Huffman
+    code on zero-padded reads) or return a clean partial decode — never
+    IndexError from the bit reader."""
+    import numpy as np
+    import pytest as _pytest
+
+    from spark_text_clustering_spark.functions import jpegcodec as jc
+
+    img = np.random.default_rng(2).integers(0, 256, (16, 16)).astype(np.uint8)
+    data = jc.encode_jpeg_gray(img, quality=None)
+    sos = data.find(b"\xff\xda")
+    for cut in (sos + 10, sos + 20, len(data) - 3):
+        truncated = data[:cut]
+        try:
+            jc.decode_jpeg_gray(truncated)
+        except ValueError:
+            pass  # the acceptable failure mode
+        except IndexError:  # pragma: no cover
+            _pytest.fail("bit reader ran off the end of a truncated stream")
