@@ -84,8 +84,8 @@ def decode_avi_meta(data: bytes) -> tuple[int, int, int, int]:
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI file")
     avih = _find_chunk(data, 12, len(data), b"avih")
-    if avih is None:
-        raise ValueError("missing avih header")
+    if avih is None or len(avih) < 56:
+        raise ValueError("missing or truncated avih header")
     fields = struct.unpack("<14I", avih[:56])
     usec_per_frame, n_frames, width, height = fields[0], fields[4], fields[8], fields[9]
     fps = round(1_000_000 / usec_per_frame) if usec_per_frame else 0

@@ -206,12 +206,16 @@ def decode_gif_frames(data: bytes) -> list[list[list[tuple[int, int, int]]]]:
     frames = []
     while pos < len(data):
         block = data[pos]
+        if block == 0x21 and pos + 2 > len(data):
+            raise ValueError("truncated GIF extension block")
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension: label + sub-blocks, skip
             pos += 2
-            while data[pos] != 0:
+            while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension block")
             pos += 1
             continue
         if block != 0x2C:
@@ -226,10 +230,12 @@ def decode_gif_frames(data: bytes) -> list[list[list[tuple[int, int, int]]]]:
         mcs = data[pos]
         pos += 1
         payload = bytearray()
-        while data[pos] != 0:
+        while pos < len(data) and data[pos] != 0:
             ln = data[pos]
             payload += data[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+        if pos >= len(data):
+            raise ValueError("truncated GIF image data blocks")
         pos += 1
         indices = lzw_decompress(bytes(payload), mcs)
         if len(indices) < w * h:

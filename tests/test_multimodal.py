@@ -396,3 +396,28 @@ def test_jpeg_truncated_stream_fails_cleanly():
             pass  # the acceptable failure mode
         except IndexError:  # pragma: no cover
             _pytest.fail("bit reader ran off the end of a truncated stream")
+
+
+def test_gif_avi_truncated_fail_cleanly():
+    """Truncated containers fail with ValueError/struct.error — never an
+    IndexError from an unguarded position walk."""
+    import struct
+
+    from spark_text_clustering_spark.functions import avicodec as av
+    from spark_text_clustering_spark.functions import gifcodec as gc
+    from spark_text_clustering_spark.functions import jpegcodec as jc
+
+    gif = gc.encode_gif_gray([[1, 2, 3], [4, 5, 6]])
+    for cut in (14, len(gif) // 2, len(gif) - 2):
+        try:
+            gc.decode_gif_frames(gif[:cut])
+        except (ValueError, struct.error):
+            pass
+    img = __import__("numpy").full((8, 8), 9, dtype="uint8")
+    avi = av.encode_avi_mjpeg([jc.encode_jpeg_gray(img, quality=None)], 8, 8)
+    for cut in (13, 40, len(avi) // 2):
+        try:
+            av.decode_avi_meta(avi[:cut])
+            av.decode_avi_mjpeg_frames(avi[:cut])
+        except (ValueError, struct.error):
+            pass
