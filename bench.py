@@ -50,6 +50,7 @@ HEADLINE = [
     "knn_cosine_gemm",
     "chunk_documents",
     "ngram_bigram_counts",
+    "bpe_pair_counts",
     "contamination_ngram_overlap",
     "gap_fill_forward",
     "grouped_map_zscore",

@@ -313,3 +313,64 @@ def url_parse_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("host")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training, step 1: merge-candidate pair statistics (round 4)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP_K = 20
+
+_BPE_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+  FROM documents),
+words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM tok WHERE len(word) >= 2 GROUP BY word),
+pairs AS (
+  SELECT substr(word, i, 2) AS pair, freq
+  FROM words, unnest(generate_series(1, len(word) - 1)) AS t(i))
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT {_BPE_TOP_K}
+"""
+
+
+@REG.register("bpe_pair_counts", oracle=_BPE_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, step 1: the top merge candidates — corpus-
+    weighted counts of adjacent character pairs.
+
+    The classic BPE scale trick is visible in the plan: pair statistics
+    are computed over the DISTINCT-word frequency table (vocabulary-
+    sized), not the raw token stream — each distinct word contributes its
+    pairs once, weighted by its corpus frequency. So a 100 TB corpus
+    costs one word-count aggregation (map-side combined over Zipf), one
+    vocab-sized pair explode (JVM ``sequence``/``substring`` — no
+    Python), one pair aggregation, and a TakeOrderedAndProject top-k.
+    Iterating BPE applies the winning merge to the (vocab-sized) word
+    table and repeats — every subsequent round touches only the
+    vocabulary. Deterministic (cnt desc, pair asc) tiebreak keeps both
+    engines' top-k identical with integer counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(_BPE_TOP_K)
+    )
