@@ -203,11 +203,12 @@ def main() -> None:
     try:
         docs = load_table(spark, SF_DIR, "documents")
         vec, _ = vectorize(docs, vocab_size=2_900_000, min_doc_freq=2)
-        # size the EM graph's partitions to the DATA, not default
-        # parallelism: GraphX EM pays per-partition overhead every
-        # iteration, and a 5k-doc corpus on 32 slices wastes ~20%/iter
-        # (measured 0.42 -> 0.34 s/iter at sf0.1). ~512 docs/partition,
-        # capped by the executor slot count.
+        # size the EM graph's partitions to the DATA (~512 docs each,
+        # capped by executor slots), not default parallelism. At sf0.1
+        # the A/B is within noise (0.48-0.52 s/iter at 10 vs 32 parts,
+        # 50 iters), but tiny corpora on wide parallelism pay real
+        # per-iteration scheduling overhead, and the data-driven count
+        # is the right default at every scale.
         n_docs = vec.count()
         parts = max(1, min(int(CPUS), (n_docs + 511) // 512))
         corpus = vec.select("doc_id", "tfidf").coalesce(parts).cache()
