@@ -77,6 +77,7 @@ HEADLINE = [
     "join_asof_keyless_bucketed",
     "pipeline_train_ready",
     "layout_zorder_key",
+    "layout_hilbert_key",
     "stream_stream_join",
 ]
 

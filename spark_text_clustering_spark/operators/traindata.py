@@ -442,3 +442,102 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WRS_N)
         .select("doc_id", "weight", F.round("es_key", 6).alias("es_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve layout keys (round 4) — better range locality than Morton
+# ---------------------------------------------------------------------------
+
+# Hilbert xy2d (order 15): fold over bit levels 14..0. The accumulator is
+# ONE BIGINT packing (d << 30) | (x << 15) | y — a scalar fold because
+# DuckDB 1.0's list_reduce mis-evaluates multi-field STRUCT accumulators
+# deep in a chain (same state + same lambda gave different results at
+# step 4 of the chained fold vs a single step; scalar accumulators are
+# the well-trodden path, cf. doc_fingerprint). Order 15 keeps the packed
+# value within 60 bits. At each level: rx/ry are the level bits of x/y,
+# d gains (1 << 2i) * ((3*rx) XOR ry), and the quadrant rotation
+# flips (with the 32767 complement, keeping intermediates non-negative)
+# and swaps x and y. The SAME fold runs as Spark's ``aggregate``
+# higher-order function and DuckDB's ``list_reduce``. Beware: DuckDB
+# parses ``a << 30 | b`` left-to-right at ONE precedence level
+# (((a << 30) | b) — every shift term below is fully parenthesized.
+
+_H_X = "((acc >> 15) & 32767)"
+_H_Y = "(acc & 32767)"
+_H_RX = f"(({_H_X} >> i) & 1)"
+_H_RY = f"(({_H_Y} >> i) & 1)"
+_H_NEWX = (
+    f"(CASE WHEN {_H_RY} = 0 THEN CASE WHEN {_H_RX} = 1 "
+    f"THEN 32767 - {_H_Y} ELSE {_H_Y} END ELSE {_H_X} END)"
+)
+_H_NEWY = (
+    f"(CASE WHEN {_H_RY} = 0 THEN CASE WHEN {_H_RX} = 1 "
+    f"THEN 32767 - {_H_X} ELSE {_H_X} END ELSE {_H_Y} END)"
+)
+
+_HILBERT_SPARK = f"""
+shiftright(
+  aggregate(
+    sequence(14, 0, -1),
+    CAST(shiftleft(x, 15) + y AS BIGINT),
+    (acc, i) ->
+      shiftleft((acc >> 30) + shiftleft(CAST(1 AS BIGINT), 2 * i)
+                * ((3 * {_H_RX}) ^ {_H_RY}), 30)
+      + shiftleft({_H_NEWX}, 15)
+      + {_H_NEWY}
+  ),
+  30)
+"""
+
+_HILBERT_DUCK = f"""
+list_reduce(
+  list_prepend(CAST((x << 15) | y AS BIGINT),
+               list_transform(generate_series(14, 0, -1),
+                              ii -> CAST(ii AS BIGINT))),
+  (acc, i) ->
+    (((acc >> 30) + (CAST(1 AS BIGINT) << (2 * i))
+      * xor(3 * {_H_RX}, {_H_RY})) << 30)
+    | ({_H_NEWX} << 15)
+    | {_H_NEWY}
+) >> 30
+"""
+
+_HILBERT_ORACLE = f"""
+WITH b AS (
+  SELECT event_id,
+         CAST(user_id & 32767 AS BIGINT) AS x,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) // 60 & 32767 AS BIGINT) AS y
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+SELECT event_id, x, y, {_HILBERT_DUCK} AS hkey
+FROM b
+"""
+
+
+@REG.register("layout_hilbert_key", oracle=_HILBERT_ORACLE)
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert curve layout key over (user_id, minute-of-time) — the
+    higher-locality alternative to ``layout_zorder_key``: a Hilbert walk
+    visits every cell of the 2^15 x 2^15 grid with CONSECUTIVE keys
+    always one Manhattan step apart (Morton jumps at power-of-two
+    boundaries), so files sorted by ``hkey`` have tighter per-file
+    min/max boxes in both dimensions and skip more at scan time.
+
+    The xy2d fold runs entirely inside Catalyst's ``aggregate``
+    higher-order function (whole-stage codegen, stateless narrow map —
+    no UDF), and the DuckDB oracle folds the identical packed-scalar
+    recurrence with ``list_reduce``. The locality property (bijection +
+    unit steps) is pinned exhaustively on a small grid in
+    tests/test_props.py."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    keyed = ev.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(0x7FFF)).cast("long").alias("x"),
+        F.floor(F.unix_timestamp("ts") / 60)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFF))
+        .alias("y"),
+    )
+    return keyed.select("event_id", "x", "y", F.expr(_HILBERT_SPARK).alias("hkey"))

@@ -395,3 +395,51 @@ def test_gif_lzw_roundtrip_property(seq, mcs):
 
     seq = [v % (1 << mcs) for v in seq]
     assert gc.lzw_decompress(gc.lzw_compress(seq, mcs), mcs) == seq
+
+
+def _hilbert_xy2d(order, x, y):
+    """Reference implementation of the exact fold both engines run."""
+    n_1 = (1 << order) - 1
+    d = 0
+    for i in range(order - 1, -1, -1):
+        rx = (x >> i) & 1
+        ry = (y >> i) & 1
+        d += (1 << (2 * i)) * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n_1 - x, n_1 - y
+            x, y = y, x
+    return d
+
+
+def test_hilbert_curve_locality_exhaustive():
+    """The defining Hilbert properties on a full small grid: xy2d is a
+    bijection onto [0, n^2) and consecutive d values are exactly one
+    Manhattan step apart (Morton violates the latter at power-of-two
+    boundaries — that's the locality win)."""
+    order = 5  # 32x32 grid, exhaustive
+    n = 1 << order
+    inv = {}
+    for x in range(n):
+        for y in range(n):
+            d = _hilbert_xy2d(order, x, y)
+            assert d not in inv
+            inv[d] = (x, y)
+    assert sorted(inv) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_spark_fold_matches_reference(spark):
+    """The Catalyst `aggregate` fold must equal the reference xy2d at
+    order 15 on the real key values (the oracle already pins Spark ==
+    DuckDB; this pins both == the published algorithm)."""
+    from spark_text_clustering_spark.registry import QUERIES
+
+    from .conftest import SF_SMALL
+
+    rows = QUERIES["layout_hilbert_key"](spark, SF_SMALL).limit(300).collect()
+    assert rows
+    for r in rows:
+        assert r["hkey"] == _hilbert_xy2d(15, r["x"], r["y"]), (r["x"], r["y"])
