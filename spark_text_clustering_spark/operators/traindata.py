@@ -524,9 +524,13 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max boxes in both dimensions and skip more at scan time.
 
     The xy2d fold runs entirely inside Catalyst's ``aggregate``
-    higher-order function (whole-stage codegen, stateless narrow map —
-    no UDF), and the DuckDB oracle folds the identical packed-scalar
-    recurrence with ``list_reduce``. The locality property (bijection +
+    higher-order function — JVM expression evaluation, no Python, a
+    stateless narrow map (HOF lambdas are interpreted rather than
+    whole-stage-codegen'd, which is why this key costs ~1s at sf0.1
+    where the Morton magic-bits key costs ~0.1 — the price of exact
+    unit-step locality; both are one-time write-path costs). The DuckDB
+    oracle folds the identical packed-scalar recurrence with
+    ``list_reduce``. The locality property (bijection +
     unit steps) is pinned exhaustively on a small grid in
     tests/test_props.py."""
     ev = load_table(spark, sf_dir, "events").where(
