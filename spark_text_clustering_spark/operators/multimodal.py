@@ -568,3 +568,61 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_channels int, sample_width int,"
         " sample_rate int, n_frames long, duration_ms long",
     )
+
+
+# Cross-modality composite: decoded-image facts joined back to the text
+# row and aggregated per language — the "one plan over mixed modalities"
+# shape a multimodal training-data pipeline runs (image stats gate text
+# samples and vice versa).
+_MM_PIPELINE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, lang, n_chars,
+         doc_id % 4 + 1 AS bw, doc_id % 3 + 1 AS bh
+  FROM documents WHERE doc_id IS NOT NULL),
+yrows AS (
+  SELECT doc_id, lang, n_chars, bw, bh,
+         unnest(generate_series(0, bh - 1)) AS yb FROM dims),
+blocks AS (
+  SELECT doc_id, lang, n_chars, bw, bh, yb,
+         unnest(generate_series(0, bw - 1)) AS xb FROM yrows),
+per_doc AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(bw * bh * 64 AS BIGINT) AS n_pixels,
+         CAST(SUM(((doc_id + 11 * yb + 7 * xb) % 256) * 64) AS BIGINT) AS sum_pixels
+  FROM blocks GROUP BY doc_id, lang, n_chars, bw, bh)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_pixels) AS BIGINT) AS total_pixels,
+       CAST(SUM(sum_pixels) AS BIGINT) AS total_pixel_value,
+       CAST(SUM(coalesce(n_chars, 0)) AS BIGINT) AS total_chars
+FROM per_doc
+GROUP BY lang
+"""
+
+
+@REG.register("pipeline_multimodal_stats", oracle=_MM_PIPELINE_ORACLE)
+def pipeline_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality composite: REAL JPEG decode feeds a join back to
+    the text row, aggregated per language — one Catalyst plan spanning
+    the binary-decode stage (Arrow-batched) and relational text columns.
+    The only wide operations are the decoded-facts join (rides doc_id)
+    and the language aggregation (map-side combined over a handful of
+    languages)."""
+    decoded = multimodal_features(spark, sf_dir).select(
+        "doc_id", "n_pixels", "sum_pixels"
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id", "lang", "n_chars")
+    )
+    return (
+        docs.join(decoded, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pixels").alias("total_pixels"),
+            F.sum("sum_pixels").alias("total_pixel_value"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("total_chars"),
+        )
+    )
