@@ -102,6 +102,7 @@ def run_training(
         checkpoint_interval=params.checkpoint_interval,
         doc_concentration=params.doc_concentration,
         topic_concentration=params.topic_concentration,
+        corpus_size=corpus_size,
     )
     model_path = save_model(lda_model, model_dir, lang=lang)
     pipeline_model.write().overwrite().save(os.path.join(model_path, "vectorizer"))

@@ -48,12 +48,20 @@ def train_lda(
     checkpoint_interval: int = 10,
     doc_concentration: float = -1.0,
     topic_concentration: float = -1.0,
+    corpus_size: int | None = None,
 ):
     """M4: LDA fit on (floored) TF-IDF features.
 
     ``-1`` sentinels resolve to the EM defaults α=(50/k)+1, β=1.1 — the
     reference's Params.scala behavior (confirmed in its saved model
     metadata: docConcentration=[11,...], topicConcentration=1.1).
+
+    For ``optimizer="online"`` the reference sets
+    ``miniBatchFraction = 0.05 + 1.0/actualCorpusSize``
+    (LDAClustering.scala:43-44, "be more robust on tiny datasets");
+    replicated as ``subsamplingRate``. Pass ``corpus_size`` when the caller
+    already counted the corpus (app.run_training does) to avoid a second
+    count job; otherwise it is counted here. Capped at 1.0 for 1-doc corpora.
     """
     alpha = (50.0 / k) + 1.0 if doc_concentration == -1.0 else doc_concentration
     beta = DEFAULT_BETA if topic_concentration == -1.0 else topic_concentration
@@ -68,6 +76,9 @@ def train_lda(
         docConcentration=[alpha],
         topicConcentration=beta,
     )
+    if optimizer == "online":
+        n = corpus_size if corpus_size is not None else corpus.count()
+        lda.setSubsamplingRate(min(1.0, 0.05 + 1.0 / max(n, 1)))
     return lda.fit(corpus)
 
 

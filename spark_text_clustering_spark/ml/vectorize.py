@@ -172,22 +172,28 @@ def apply_idf_floor(df: DataFrame, idf_values: np.ndarray) -> DataFrame:
     get weight tf × 1e-4 instead of 0, so rare-term signal never vanishes
     (LDAClustering.scala:180-192; non-standard, replicated as-is).
 
-    Implemented over ``vector_to_array`` with an Arrow-batched pandas UDF;
-    the idf array is a model parameter (vocab-sized), captured once per
-    executor via the UDF closure — the rebuild of the reference's
-    closure-captured ``idfVals`` (scale-safe: size is O(vocab), not O(corpus)).
+    Sparse-preserving: the multiply touches only a doc's ACTIVE entries —
+    ``values * effective[indices]`` — and rebuilds ``SparseVector`` with the
+    same index set (the floor multiplies by a nonzero scalar, so the active
+    set is unchanged). The reference likewise never densifies its doc-term
+    matrix (LDAClustering.scala:165,191 keeps SparseVector end-to-end); a
+    vocab-size dense expansion would be 23 MB/doc at the reference's own
+    2.9 M vocab cap. The idf array is a model parameter (vocab-sized),
+    captured once per executor via the UDF closure — the rebuild of the
+    reference's closure-captured ``idfVals`` (O(vocab), not O(corpus)).
+    Arrow-optimized UDF: batched transfer, per-row work is O(nnz).
     """
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.linalg import DenseVector, SparseVector, VectorUDT, Vectors
 
     effective = np.where(idf_values == 0.0, IDF_FLOOR, idf_values)
 
-    @pandas_udf("array<double>")
-    def floor_mul(tf_arr: pd.Series) -> pd.Series:
-        return tf_arr.map(lambda a: (np.asarray(a) * effective).tolist())
+    def floor_mul(v):
+        if isinstance(v, SparseVector):
+            return SparseVector(v.size, v.indices, v.values * effective[v.indices])
+        return Vectors.dense(np.asarray(v.toArray()) * effective)
 
-    return df.withColumn(
-        "tfidf", array_to_vector(floor_mul(vector_to_array(F.col("tf"))))
-    )
+    floor_udf = F.udf(floor_mul, VectorUDT(), useArrow=True)
+    return df.withColumn("tfidf", floor_udf(F.col("tf")))
 
 
 def vectorize(docs: DataFrame, **kwargs) -> tuple[DataFrame, PipelineModel]:

@@ -83,6 +83,19 @@ def test_idf_floor_golden(spark, mini):
         assert all(v > 0 for v in arr if v != 0.0)
 
 
+def test_idf_floor_stays_sparse(spark, mini):
+    """M3 scale contract: the floor must NOT densify — every tfidf vector is
+    a SparseVector with the same active-index set as its tf input (the floor
+    multiplies active entries by a nonzero scalar; reference keeps
+    SparseVector end-to-end, LDAClustering.scala:165,191)."""
+    from pyspark.ml.linalg import SparseVector
+
+    df, _ = vectorize(mini, vocab_size=100, min_doc_freq=2)
+    for r in df.select("tf", "tfidf").collect():
+        assert isinstance(r["tfidf"], SparseVector)
+        assert list(r["tfidf"].indices) == list(r["tf"].indices)
+
+
 def test_empty_doc_dropped(spark, mini):
     df, _ = vectorize(mini, vocab_size=100)
     ids = {r["doc_id"] for r in df.select("doc_id").collect()}
@@ -190,6 +203,22 @@ def test_lda_online_optimizer(spark, lda_setup):
     rows = scored.collect()
     assert len(rows) == corpus.count()
     assert all(0 <= r["main_topic"] < 3 for r in rows)
+
+
+def test_lda_online_minibatch_fraction(spark, mini):
+    """Online parity knob: subsamplingRate = 0.05 + 1/corpusSize
+    (LDAClustering.scala:43-44). On the 3-doc mini corpus that is
+    0.05 + 1/3."""
+    df, _ = vectorize(mini, vocab_size=100, min_doc_freq=2)
+    corpus = df.select("doc_id", "tfidf")
+    n = corpus.count()
+    model = train_lda(corpus, k=2, max_iter=2, optimizer="online", seed=1, corpus_size=n)
+    got = model.getSubsamplingRate()
+    assert got == pytest.approx(0.05 + 1.0 / n, rel=1e-12)
+    # and a 1-doc corpus caps at 1.0 (0.05 + 1/1 would exceed the valid range)
+    one = df.limit(1).select("doc_id", "tfidf")
+    m1 = train_lda(one, k=2, max_iter=1, optimizer="online", seed=1, corpus_size=1)
+    assert m1.getSubsamplingRate() == 1.0
 
 
 def test_sql_registered_udfs(spark):
