@@ -701,7 +701,6 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         books = _pq_train_codebooks([r["e"] for r in sample_rows])
         _PQ_MEMO[memo_key] = books
-    d_s = books.shape[2]
     codes_key = (spark.sparkContext.applicationId, sf_dir, "pq-codes")
     if codes_key in _PQ_MEMO:
         codes_df = _PQ_MEMO[codes_key]
@@ -725,6 +724,20 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     if not queries:
         return spark.createDataFrame([], out_schema)
+    return _pq_adc_rerank(spark, emb, books, codes_df, queries, out_schema)
+
+
+def _pq_adc_rerank(spark, emb, books, codes_df, queries, out_schema):
+    """Query side of the PQ index: ADC scan over the code table (per-batch
+    partial top-RERANK), global shortlist window, exact re-rank. Split out
+    so the memoized (`knn_cosine_pq`) and stored-parquet
+    (`knn_cosine_pq_stored`) indexes share one probe plan — the shortlist
+    is the GLOBAL ADC top-RERANK (deterministic given code-table content,
+    independent of how the code table is partitioned), so both paths
+    return identical results by construction."""
+    import numpy as np
+
+    d_s = books.shape[2]
     # per-query ADC tables: (Q, m, k) inner products query-subvector ·
     # centroid — model-sized, shipped in the closure
     adc = np.stack(
@@ -804,6 +817,90 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str) -> str | None:
+    """One-time PQ index build: train the per-subspace codebooks, encode the
+    corpus, and WRITE both as parquet — ``<base>/codebooks`` (m×k rows of
+    (s, c, centroid), a few MB at any scale) and ``<base>/codes`` (8 B/vector
+    code table). At 100 TB this is the batch index job; the code table and
+    codebooks are durable artifacts surviving the session, and queries are
+    probe-only reads (cf. ``build_ivf_index`` — same lifecycle, this is the
+    compressed twin). Memoized per sf_dir. Returns None on an empty corpus."""
+    import tempfile
+
+    memo_key = (sf_dir, "pq-stored-path")
+    if memo_key in _PQ_MEMO:
+        return _PQ_MEMO[memo_key]
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("e"))
+        .withColumn("nrm", _l2norm(F.col("e")))
+        .where(F.col("nrm") > 0)
+        .select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("e"))
+    )
+    sample_rows = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()  # model-sized
+    if len(sample_rows) < 2:
+        return None
+    books = _pq_train_codebooks([r["e"] for r in sample_rows])
+    base = tempfile.mkdtemp(prefix="pq_index_")
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in books[s][c]])
+            for s in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "s int, c int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{base}/codebooks")
+    (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_pq_encode_iter(books), schema="vec_id long, code array<long>")
+        .write.mode("overwrite")
+        .parquet(f"{base}/codes")
+    )
+    _PQ_MEMO[memo_key] = base
+    return base
+
+
+@REG.register("knn_cosine_pq_stored")  # rows-only: approximate (seeded, deterministic)
+def knn_cosine_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN against the STORED parquet index: codebooks and the 8-byte
+    code table are read back from disk (no retraining, no re-encode), then
+    the shared `_pq_adc_rerank` probe runs — so results must reproduce
+    `knn_cosine_pq` exactly (asserted in tests/test_search.py). This is the
+    durable-artifact shape of the PQ story at 100 TB: the index outlives
+    the session; a query session reads ~1.6 TB of codes instead of 100 TB
+    of vectors, plus a few MB of codebooks."""
+    import numpy as np
+
+    out_schema = "query_id long, neighbor_id long, cosine_sim double, rank int"
+    base = build_pq_index(spark, sf_dir)
+    if base is None:
+        return spark.createDataFrame([], out_schema)
+    book_rows = spark.read.parquet(f"{base}/codebooks").collect()  # m×k rows
+    m = max(r["s"] for r in book_rows) + 1
+    k = max(r["c"] for r in book_rows) + 1
+    d_s = len(book_rows[0]["centroid"])
+    books = np.empty((m, k, d_s))
+    for r in book_rows:
+        books[r["s"], r["c"]] = r["centroid"]
+    codes_df = spark.read.parquet(f"{base}/codes")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("e"))
+        .withColumn("nrm", _l2norm(F.col("e")))
+        .where(F.col("nrm") > 0)
+        .select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("e"))
+    )
+    queries = [
+        (int(r["vec_id"]), np.asarray(r["e"], dtype=np.float64))
+        for r in emb.where(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    if not queries:
+        return spark.createDataFrame([], out_schema)
+    return _pq_adc_rerank(spark, emb, books, codes_df, queries, out_schema)
 
 
 @REG.register("knn_cosine_ivfpq")  # rows-only: approximate (seeded, deterministic)

@@ -208,6 +208,23 @@ def test_ivf_stored_index_scan_partition_prunes(spark):
     assert "PartitionFilters" in plan and "cluster" in plan
 
 
+def test_pq_stored_index_matches_memoized(spark):
+    """The stored-parquet PQ index (codebooks + code table read back from
+    disk, no retrain/re-encode) must return exactly the memoized
+    `knn_cosine_pq` results — both run the shared `_pq_adc_rerank` probe
+    whose shortlist is the global ADC top-RERANK, deterministic given the
+    code-table CONTENT regardless of its partitioning."""
+    from spark_text_clustering_spark.operators.similarity import (
+        knn_cosine_pq,
+        knn_cosine_pq_stored,
+    )
+    from .conftest import SF_ORACLE
+
+    live = {tuple(r) for r in knn_cosine_pq(spark, SF_ORACLE).collect()}
+    stored = {tuple(r) for r in knn_cosine_pq_stored(spark, SF_ORACLE).collect()}
+    assert stored == live
+
+
 def test_ann_recall_pq(spark):
     """Measured recall@5 of the PQ ADC + exact-re-rank pipeline vs exact
     brute force: 1.00 at sf0.01 / 0.96 at sf0.1 with m=8 subspaces,
