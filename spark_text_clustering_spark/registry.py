@@ -32,6 +32,7 @@ from .operators import (
 )
 from .ml import queries as ml_queries
 from .plans.flagship import TOP_K, flagship_top_terms_per_lang
+from .streaming import heavy_hitters as streaming_hh
 from .streaming import windows as streaming_windows
 
 ROOT = Registry()
@@ -77,6 +78,7 @@ ROOT.merge(
     traindata.REG,
     ml_queries.REG,
     streaming_windows.REG,
+    streaming_hh.REG,
 )
 
 
