@@ -143,9 +143,14 @@ def lzw_decompress(data: bytes, min_code_size: int) -> list[int]:
         else:
             raise ValueError("corrupt LZW stream: code beyond table")
         if prev is not None:
-            table.append(prev + entry[:1])
-            if len(table) == (1 << width) and width < _MAX_WIDTH:
-                width += 1
+            # 12-bit cap: once the table holds 4096 entries no more are
+            # added until a CLEAR (deferred-clear streams stay at width 12
+            # and keep referencing the frozen table — growing past 4096
+            # would both leak memory and accept out-of-spec codes)
+            if len(table) < (1 << _MAX_WIDTH):
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < _MAX_WIDTH:
+                    width += 1
         out.extend(entry)
         prev = entry
     return out
@@ -240,6 +245,10 @@ def decode_gif_frames(data: bytes) -> list[list[list[tuple[int, int, int]]]]:
         indices = lzw_decompress(bytes(payload), mcs)
         if len(indices) < w * h:
             raise ValueError("truncated GIF image data")
+        if indices and max(indices[: w * h]) >= len(palette):
+            # match the ValueError the truncation paths standardize on —
+            # never let a short local color table surface as IndexError
+            raise ValueError("GIF pixel index outside color table")
         rows = [indices[r * w : (r + 1) * w] for r in range(h)]
         if iflags & 0x40:  # deinterlace
             ordered: list[list[int]] = [[]] * h

@@ -198,6 +198,14 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self.out)
 
+    def emit_restart(self, n: int) -> None:
+        """T.81 E.1.4: byte-align (1-bit padding) then write RSTn — marker
+        bytes are raw, never byte-stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n % 8)])
+
 
 def _category(v: int) -> int:
     """Bit-size category of a DC diff / AC coefficient (T.81 F.1.2.1.1)."""
@@ -262,13 +270,17 @@ def _encode_block_zz(bw: _BitWriter, zz: np.ndarray, dc_codes, ac_codes,
     return prev_dc
 
 
-def encode_jpeg_gray(img: np.ndarray, quality: int | None = None) -> bytes:
+def encode_jpeg_gray(
+    img: np.ndarray, quality: int | None = None, restart_interval: int = 0
+) -> bytes:
     """Encode an 8-bit grayscale image as a baseline sequential JFIF JPEG.
 
     Edge-replicates to 8x8 block multiples, batch FDCT + quantize +
     zigzag, then Huffman-codes with the Annex K luminance tables
     (embedded via DHT so any spec decoder — including ours — reads them
-    back)."""
+    back). ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that-many MCUs (T.81 E.1.4: byte-align, RST(n mod 8), DC
+    predictor reset) — used to exercise the decoder's restart path."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 2:
         raise ValueError("grayscale encoder expects a 2-D array")
@@ -283,7 +295,10 @@ def encode_jpeg_gray(img: np.ndarray, quality: int | None = None) -> bytes:
     bw = _BitWriter()
     prev_dc = 0
     zzs = _fdct_quantize_zigzag(_blockify(padded), qt.astype(np.float64))
-    for zz in zzs:
+    for i, zz in enumerate(zzs):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.emit_restart(i // restart_interval - 1)
+            prev_dc = 0  # F.2.1.3.1: predictors reset at every restart
         prev_dc = _encode_block_zz(bw, zz, dc_codes, ac_codes, prev_dc)
     entropy = bw.flush()
 
@@ -298,12 +313,14 @@ def encode_jpeg_gray(img: np.ndarray, quality: int | None = None) -> bytes:
         + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
     )
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"  # SOI
         + seg(0xFFE0, app0)
         + seg(0xFFDB, dqt)
         + seg(0xFFC0, sof0)
         + seg(0xFFC4, dht)
+        + dri
         + seg(0xFFDA, sos)
         + entropy
         + b"\xff\xd9"  # EOI
@@ -325,6 +342,7 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
         self.hit_marker = False
+        self.at_restart = False
 
     def _fill(self) -> None:
         if self.pos >= len(self.data) - 1:  # truncated stream: no marker room
@@ -335,10 +353,13 @@ class _BitReader:
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:  # stuffed literal 0xFF
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn: byte-aligned, drop and resync
-                self.pos += 2
-                self.acc = 0
-                self.nbits = 0
+            elif 0xD0 <= nxt <= 0xD7:
+                # RSTn: stop WITHOUT consuming — only sync_restart() (called
+                # at a DRI-declared MCU boundary, which resets the DC
+                # predictors) may cross it; reading past one anywhere else
+                # is a malformed stream and fails loudly below
+                self.hit_marker = True
+                self.at_restart = True
                 b = None
             else:  # real marker (EOI/next segment): stop
                 self.hit_marker = True
@@ -349,12 +370,35 @@ class _BitReader:
             self.acc = (self.acc << 8) | b
             self.nbits += 8
 
+    def sync_restart(self, expect_n: int) -> None:
+        """T.81 F.2.1.3.1 restart boundary: discard the current interval's
+        byte-padding bits, consume the (byte-aligned) RSTn marker, verify
+        its modulo-8 sequence number, and rearm the reader. The caller
+        resets the DC predictors."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos >= len(self.data) - 1
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("missing restart marker at DRI boundary")
+        if self.data[self.pos + 1] != 0xD0 + (expect_n % 8):
+            raise ValueError("restart marker out of sequence")
+        self.pos += 2
+        self.hit_marker = False
+        self.at_restart = False
+
     def read_bit(self) -> int:
         while self.nbits == 0:
+            if self.at_restart:
+                raise ValueError("unexpected restart marker in entropy stream")
             if self.hit_marker:
                 return 0  # spec: pad reads past the end with 0
             self._fill()
             if self.hit_marker and self.nbits == 0:
+                if self.at_restart:
+                    raise ValueError("unexpected restart marker in entropy stream")
                 return 0
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
@@ -365,6 +409,10 @@ class _BitReader:
         the block loop is count-bounded, so padding is never decoded)."""
         while self.nbits < 16 and not self.hit_marker:
             self._fill()
+        if self.nbits == 0 and self.at_restart:
+            # a whole symbol would decode from virtual padding past an
+            # unconsumed RSTn — malformed unless sync_restart() was due
+            raise ValueError("unexpected restart marker in entropy stream")
         if self.nbits >= 16:
             return (self.acc >> (self.nbits - 16)) & 0xFFFF
         return (self.acc << (16 - self.nbits)) & 0xFFFF
@@ -448,6 +496,7 @@ def _decode_baseline(data: bytes):
     h = w = 0
     comps: list[dict] = []  # SOF order: {id, hs, vs, qt}
     sos_pos = -1
+    dri_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at offset {pos}")
@@ -485,6 +534,8 @@ def _decode_baseline(data: bytes):
                 vals = payload[off + 17 : off + 17 + nvals]
                 htables[(tc, th)] = _fast_decode_table(bytes(bits), bytes(vals))
                 off += 17 + nvals
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            dri_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = payload[0]
             if ns != len(comps):
@@ -498,6 +549,7 @@ def _decode_baseline(data: bytes):
         pos += 2 + seg_len
     if sos_pos < 0 or h == 0 or not comps:
         raise ValueError("truncated JPEG: no SOS/SOF")
+    restart_interval = dri_interval
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -511,6 +563,11 @@ def _decode_baseline(data: bytes):
     br = _BitReader(data, sos_pos)
     prev_dc = [0] * len(comps)
     for _m in range(n_mcus):
+        if restart_interval and _m and _m % restart_interval == 0:
+            # F.2.1.3.1: consume the byte-aligned RSTn and reset every
+            # component's DC predictor
+            br.sync_restart(_m // restart_interval - 1)
+            prev_dc = [0] * len(comps)
         for ci, c in enumerate(comps):
             dc_tab, ac_tab = htables[(0, c["dc"])], htables[(1, c["ac"])]
             for _b in range(c["vs"] * c["hs"]):

@@ -421,3 +421,78 @@ def test_gif_avi_truncated_fail_cleanly():
             av.decode_avi_mjpeg_frames(avi[:cut])
         except (ValueError, struct.error):
             pass
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn support (round 5, ADVICE): a JPEG with restart intervals
+    decodes identically to its no-restart twin — the decoder consumes the
+    byte-aligned RSTn at each DRI boundary, verifies the modulo-8 marker
+    sequence, and resets the per-component DC predictors (T.81
+    F.2.1.3.1). Previously restart streams decoded to silently wrong
+    pixels."""
+    import numpy as np
+
+    from spark_text_clustering_spark.functions import jpegcodec as jc
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (41, 53), dtype=np.uint8)
+    base = jc.decode_jpeg_gray(jc.encode_jpeg_gray(img))
+    for ri in (1, 2, 5, 100):
+        got = jc.decode_jpeg_gray(jc.encode_jpeg_gray(img, restart_interval=ri))
+        assert np.array_equal(got, base), f"restart_interval={ri} diverged"
+
+
+def test_jpeg_restart_without_dri_fails_cleanly():
+    """An RSTn in the entropy stream with no DRI declared is malformed:
+    the decoder must raise ValueError, not resync into corrupt output."""
+    import pytest as _pytest
+
+    import numpy as np
+
+    from spark_text_clustering_spark.functions import jpegcodec as jc
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    enc = jc.encode_jpeg_gray(img, restart_interval=2)
+    i = enc.find(b"\xff\xdd")
+    no_dri = enc[:i] + enc[i + 6 :]  # strip the 6-byte DRI segment
+    with _pytest.raises(ValueError):
+        jc.decode_jpeg_gray(no_dri)
+
+
+def test_gif_short_palette_raises_valueerror():
+    """A pixel index past the end of a short local color table must raise
+    the standardized ValueError, never IndexError (round 5, ADVICE)."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from spark_text_clustering_spark.functions import gifcodec as gc
+
+    # 2x1 image whose indices are 0 and 3, with a 2-entry local color table
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", 2, 1, 0x00, 0, 0)  # no global table
+    out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, 2, 1, 0x80)  # local, 2 entries
+    out += bytes([10, 10, 10, 20, 20, 20])
+    mcs = 2
+    payload = gc.lzw_compress([0, 3], mcs)
+    out += bytes([mcs])
+    out += bytes([len(payload)]) + payload + b"\x00" + b"\x3b"
+    with _pytest.raises(ValueError, match="color table"):
+        gc.decode_gif_frames(bytes(out))
+
+
+def test_gif_lzw_table_capped_at_4096():
+    """Deferred-clear LZW streams must not grow the decode table past the
+    12-bit cap (round 5, ADVICE): a long stream round-trips and the
+    decoder's memory stays bounded by construction (cap enforced at
+    append time — verified by the round-trip still matching)."""
+    import numpy as np
+
+    from spark_text_clustering_spark.functions import gifcodec as gc
+
+    rng = np.random.default_rng(13)
+    # enough varied data to fill a 4096-entry table several times over
+    data = rng.integers(0, 256, 300_000).tolist()
+    enc = gc.lzw_compress(data, 8)
+    assert gc.lzw_decompress(enc, 8) == data
