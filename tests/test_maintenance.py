@@ -106,3 +106,70 @@ def test_write_zordered_files_admit_skipping(spark, tmp_path):
 
     # and the data survives intact
     assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_hilbert_vs_morton_locality(spark):
+    """Round 5: the Hilbert key's locality claim, MEASURED. On a uniform
+    20k-point sample of the shared 2^15 grid, sort by each shipped key
+    expression, cut into 64 equal files, take per-file (x, y) bounding
+    boxes, and count files intersecting random square query boxes — the
+    exact file-skipping model min/max parquet footer stats give. Hilbert's
+    unit-step walk yields tighter boxes than Morton's power-of-two jumps:
+    measured avg files read per box (64 files, 200 boxes/side):
+    side=1024: 3.10 vs 2.05 (0.66x), side=2048: 3.96 vs 2.73 (0.69x),
+    side=4096: 6.33 vs 4.64 (0.73x). Pinned at <= 0.85x for every side."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_text_clustering_spark.operators.traindata import (
+        _HILBERT_SPARK,
+        _spread16,
+    )
+
+    rng = np.random.default_rng(42)
+    n = 20_000
+    pdf = pd.DataFrame(
+        {"x": rng.integers(0, 32768, n), "y": rng.integers(0, 32768, n)}
+    )
+    keyed = spark.createDataFrame(pdf).select(
+        "x",
+        "y",
+        _spread16(F.col("x"))
+        .bitwiseOR(F.shiftleft(_spread16(F.col("y")), 1))
+        .alias("zkey"),
+        F.expr(_HILBERT_SPARK).alias("hkey"),
+    )
+    rows = keyed.collect()
+    x = np.array([r["x"] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    zk = np.array([r["zkey"] for r in rows])
+    hk = np.array([r["hkey"] for r in rows])
+
+    n_files = 64
+    per = n // n_files
+
+    def avg_files_read(keys, box_side, seed=7, n_boxes=200):
+        order = np.argsort(keys, kind="stable")
+        fx, fy = x[order], y[order]
+        bx0 = np.array([fx[i * per : (i + 1) * per].min() for i in range(n_files)])
+        bx1 = np.array([fx[i * per : (i + 1) * per].max() for i in range(n_files)])
+        by0 = np.array([fy[i * per : (i + 1) * per].min() for i in range(n_files)])
+        by1 = np.array([fy[i * per : (i + 1) * per].max() for i in range(n_files)])
+        boxes = np.random.default_rng(seed)
+        lox = boxes.integers(0, 32768 - box_side, n_boxes)
+        loy = boxes.integers(0, 32768 - box_side, n_boxes)
+        reads = 0
+        for lx, ly in zip(lox, loy):
+            hit = ~(
+                (bx1 < lx) | (bx0 > lx + box_side) | (by1 < ly) | (by0 > ly + box_side)
+            )
+            reads += hit.sum()
+        return reads / n_boxes
+
+    for side in (1024, 2048, 4096):
+        morton = avg_files_read(zk, side)
+        hilbert = avg_files_read(hk, side)
+        assert hilbert <= 0.85 * morton, (
+            f"side={side}: hilbert {hilbert:.2f} vs morton {morton:.2f} — "
+            "locality advantage collapsed"
+        )
