@@ -910,6 +910,7 @@ def knn_cosine_ivfpq(
     *,
     n_clusters: int = 16,
     nprobe: int = 8,
+    n_queries: int = N_QUERIES,
 ) -> DataFrame:
     """IVF+PQ combined — the FAISS-style architecture an actual 100 TB
     vector store runs: a coarse KMeans quantizer prunes the search to
@@ -949,7 +950,8 @@ def knn_cosine_ivfpq(
     if index_key in _PQ_MEMO:
         books, centroids, codes_df = _PQ_MEMO[index_key]
         return _ivfpq_probe(
-            spark, emb, books, centroids, codes_df, sample_rows, nprobe, out_schema
+            spark, emb, books, centroids, codes_df, sample_rows, nprobe, out_schema,
+            n_queries=n_queries,
         )
     books = _pq_train_codebooks([r["e"] for r in sample_rows])
 
@@ -993,12 +995,14 @@ def knn_cosine_ivfpq(
     )
     _PQ_MEMO[index_key] = (books, centroids, codes_df)
     return _ivfpq_probe(
-        spark, emb, books, centroids, codes_df, sample_rows, nprobe, out_schema
+        spark, emb, books, centroids, codes_df, sample_rows, nprobe, out_schema,
+        n_queries=n_queries,
     )
 
 
 def _ivfpq_probe(
-    spark, emb, books, centroids, codes_df, sample_rows, nprobe, out_schema
+    spark, emb, books, centroids, codes_df, sample_rows, nprobe, out_schema,
+    n_queries=N_QUERIES,
 ):
     """Query side of the IVF+PQ index: probe selection, ADC over probed
     codes, exact re-rank. Split out so the built index memoizes."""
@@ -1008,7 +1012,7 @@ def _ivfpq_probe(
     queries = [
         (int(r["vec_id"]), np.asarray(r["e"], dtype=np.float64))
         for r in sample_rows
-        if r["vec_id"] < N_QUERIES
+        if r["vec_id"] < n_queries
     ]
     if not queries:
         return spark.createDataFrame([], out_schema)
