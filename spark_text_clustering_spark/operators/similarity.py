@@ -1096,3 +1096,154 @@ def _ivfpq_probe(
             "rank",
         )
     )
+
+
+def build_ivfpq_index(
+    spark: SparkSession, sf_dir: str, *, n_clusters: int = 16
+) -> str | None:
+    """One-time IVF+PQ index build, written to parquet: ``<base>/centroids``
+    (coarse quantizer), ``<base>/codebooks`` (PQ per-subspace centroids),
+    and ``<base>/codes`` — the 8-byte code table PARTITIONED BY cluster, so
+    a probe reads only nprobe/n_clusters of the index at the directory
+    level. This is the full FAISS-style durable artifact at 100 TB: the
+    batch index job runs once; query sessions read a few MB of
+    centroids/codebooks plus the probed partitions of a ~64×-compressed
+    code table. Memoized per (sf_dir, n_clusters). None on empty corpus."""
+    import tempfile
+
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    memo_key = (sf_dir, "ivfpq-stored-path", n_clusters)
+    if memo_key in _PQ_MEMO:
+        return _PQ_MEMO[memo_key]
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("e"))
+        .withColumn("nrm", _l2norm(F.col("e")))
+        .where(F.col("nrm") > 0)
+        .select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("e"))
+    )
+    sample_rows = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()
+    if len(sample_rows) < 2:
+        return None
+    books = _pq_train_codebooks([r["e"] for r in sample_rows])
+    vecs = emb.select(
+        "vec_id",
+        "e",
+        F.when(F.col("e").isNotNull(), array_to_vector(F.col("e"))).alias("features"),
+    ).where(F.col("features").isNotNull())
+    n_distinct = len({tuple(r["e"]) for r in sample_rows})
+    if n_distinct < 2:
+        assigned = vecs.select("vec_id", "e", F.lit(0).alias("cluster"))
+        centroids = np.asarray([sample_rows[0]["e"]], dtype=np.float64)
+    else:
+        km = KMeans(
+            k=min(n_clusters, len(sample_rows), n_distinct),
+            seed=42,
+            maxIter=20,
+            featuresCol="features",
+        )
+        model = km.fit(vecs)
+        assigned = model.transform(vecs).select(
+            "vec_id", "e", F.col("prediction").alias("cluster")
+        )
+        centroids = np.array(model.clusterCenters())
+    base = tempfile.mkdtemp(prefix="ivfpq_index_")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{base}/centroids")
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in books[s][c]])
+            for s in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "s int, c int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{base}/codebooks")
+    (
+        assigned.repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            _pq_encode_iter(books, extra_cols=("cluster",)),
+            schema="vec_id long, cluster int, code array<long>",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{base}/codes")
+    )
+    _PQ_MEMO[memo_key] = base
+    return base
+
+
+@REG.register("knn_cosine_ivfpq_stored")  # rows-only: approximate (seeded, deterministic)
+def knn_cosine_ivfpq_stored(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_clusters: int = 16,
+    nprobe: int = 8,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """IVF+PQ against the STORED parquet index: centroids, codebooks and
+    the cluster-partitioned code table are read back from disk; the union
+    of the queries' probe clusters becomes a partition filter on the code
+    table (directory-level pruning, asserted in tests/test_search.py like
+    the stored-IVF twin), then the shared `_ivfpq_probe` runs — so results
+    must reproduce `knn_cosine_ivfpq` exactly (same seeds, same KMeans
+    input, same probe plan; equality-asserted). Completes the durable
+    index story: both ANN families (IVF, PQ) and their composition now
+    have a stored-artifact twin that survives the session."""
+    import numpy as np
+
+    out_schema = "query_id long, neighbor_id long, cosine_sim double, rank int"
+    base = build_ivfpq_index(spark, sf_dir, n_clusters=n_clusters)
+    if base is None:
+        return spark.createDataFrame([], out_schema)
+    cent_rows = spark.read.parquet(f"{base}/centroids").collect()
+    centroids = np.empty((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        centroids[r["cluster"]] = r["centroid"]
+    book_rows = spark.read.parquet(f"{base}/codebooks").collect()
+    m = max(r["s"] for r in book_rows) + 1
+    k = max(r["c"] for r in book_rows) + 1
+    d_s = len(book_rows[0]["centroid"])
+    books = np.empty((m, k, d_s))
+    for r in book_rows:
+        books[r["s"], r["c"]] = r["centroid"]
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("e"))
+        .withColumn("nrm", _l2norm(F.col("e")))
+        .where(F.col("nrm") > 0)
+        .select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("e"))
+    )
+    sample_rows = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()
+    queries = [
+        np.asarray(r["e"], dtype=np.float64)
+        for r in sample_rows
+        if r["vec_id"] < n_queries
+    ]
+    if not queries:
+        return spark.createDataFrame([], out_schema)
+    # union of probe clusters -> partition filter (directory pruning); the
+    # per-query probe assignment happens again inside _ivfpq_probe with the
+    # identical centroid ranking
+    probed = sorted(
+        {
+            int(c)
+            for qv in queries
+            for c in np.argsort(-(centroids @ qv))[:nprobe]
+        }
+    )
+    codes_df = spark.read.parquet(f"{base}/codes").where(
+        F.col("cluster").isin(probed)
+    )
+    return _ivfpq_probe(
+        spark, emb, books, centroids, codes_df, sample_rows, nprobe, out_schema,
+        n_queries=n_queries,
+    )

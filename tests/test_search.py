@@ -267,3 +267,29 @@ def test_ann_recall_ivfpq(spark):
     for r in knn_cosine_ivfpq(spark, SF_ORACLE, nprobe=16).collect():
         full.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     assert _recall(exact, full) >= _recall(exact, got)
+
+
+def test_ivfpq_stored_index_matches_memoized(spark):
+    """The stored-parquet IVF+PQ index (centroids + codebooks + cluster-
+    partitioned code table read from disk) must return exactly the
+    memoized `knn_cosine_ivfpq` results, and probing it must show cluster
+    partition filters in the scan — the directory-pruning property."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.operators.similarity import (
+        build_ivfpq_index,
+        knn_cosine_ivfpq,
+        knn_cosine_ivfpq_stored,
+    )
+    from .conftest import SF_ORACLE
+
+    live = {tuple(r) for r in knn_cosine_ivfpq(spark, SF_ORACLE).collect()}
+    stored = {tuple(r) for r in knn_cosine_ivfpq_stored(spark, SF_ORACLE).collect()}
+    assert stored == live
+
+    base = build_ivfpq_index(spark, SF_ORACLE)
+    probe = spark.read.parquet(f"{base}/codes").where(F.col("cluster").isin([1, 3]))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cluster" in plan
