@@ -427,3 +427,201 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 2)
         .select("key_a", "key_b", "name_a", "name_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dedup (round 5): MinHash signature store
+# ---------------------------------------------------------------------------
+
+_IMH_K = 64  # signature components
+_IMH_BANDS = 16  # bands of r = K/BANDS = 4 rows -> P(collide | j=0.6) ~ 0.89
+_IMH_PRIME = 4294967311  # first prime > 2^32
+
+
+def _imh_hash_params(seed: int = 42):
+    """(a, b) pairs for the k universal-hash permutations
+    h_i(x) = (a_i*x + b_i) mod p over the 32-bit shingle-hash domain.
+    a < 2^29 keeps a*x + b inside signed-64 (x < 2^32 -> a*x < 2^61)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 29, _IMH_K)
+    b = rng.integers(0, _IMH_PRIME, _IMH_K)
+    return a.tolist(), b.tolist()
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>[k], band rows exploded separately) — k=64
+    min-wise signatures over 3-gram shingles, entirely JVM-side: shingle →
+    xxhash64 → 32-bit fold → k universal hashes → per-component MIN agg
+    (map-side partial, so the shuffle carries 64 longs per doc per
+    partition, never shingles). The standard MinHash estimator:
+    P[sig_i(A) == sig_i(B)] = Jaccard(A, B)."""
+    a_s, b_s = _imh_hash_params()
+    sh = shingle_arrays(docs).where(F.size("shingles") > 0)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id",
+        F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF)).alias("x"),
+    )
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a_s[i]) * F.col("x") + F.lit(b_s[i])) % F.lit(_IMH_PRIME)).alias(
+                f"s{i}"
+            )
+            for i in range(_IMH_K)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"s{i}" for i in range(_IMH_K)]).alias("sig")
+    )
+
+
+def _band_rows(sig_df: DataFrame) -> DataFrame:
+    """Explode a signature frame into (band, key, doc_id) LSH bucket rows:
+    key = xxhash64 of the band's r signature components."""
+    r = _IMH_K // _IMH_BANDS
+    return sig_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.lit(i), *[F.col("sig")[i * r + j] for j in range(r)]
+                        ).alias("key"),
+                    )
+                    for i in range(_IMH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("bk.band", "bk.key", "doc_id")
+
+
+def _est_jaccard(sig_a, sig_b) -> F.Column:
+    """Signature-estimated Jaccard: fraction of equal components."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(_IMH_K)
+
+
+def incremental_dedup_minhash(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_path: str,
+    batch_id: str | None = None,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Incremental NEAR-dedup against a persistent MinHash signature store —
+    the near-dup twin of ``incremental_dedup``: each ingest batch drops
+    documents whose estimated Jaccard similarity to ANY earlier document
+    (or to a smaller-id document in the same batch) is >= ``threshold``,
+    WITHOUT rereading historical text.
+
+    Store layout under ``store_path``, both partitioned by ``batch_id``:
+      * ``signatures/`` — (doc_id, sig array<long>[64]): ~512 B/doc, so a
+        100 TB corpus's signature store is ~0.5 TB — the only state the
+        history side ever ships;
+      * ``bands/`` — (band, key, doc_id): 16 LSH bucket rows per doc. The
+        new batch's band rows join these on (band, key), so candidate
+        generation shuffles bucket keys, never signatures — signatures are
+        joined in candidate-sized, afterward.
+
+    Pipeline per batch: signatures → band rows → (1) intra-batch
+    candidates via band self-join, drop any doc with a smaller-id
+    candidate at est-Jaccard >= threshold (greedy min-id survivor, the
+    same rule family as the exact path's min-per-hash-group); (2) history
+    candidates via band join against every OTHER batch's bands, est-Jaccard
+    vs the stored signatures, drop matches; (3) commit survivors' bands +
+    signatures by OVERWRITING only this batch's partitions — the same
+    retry-idempotence contract as ``incremental_dedup`` (a crashed or
+    replayed batch with the same ``batch_id`` recomputes identical
+    survivors and replaces, not duplicates, its partitions).
+
+    With 16 bands × 4 rows, P(candidate | jaccard=0.6) ≈ 0.89 and ≈ 0.999
+    at 0.8 — recall vs exact Jaccard is measured in
+    tests/test_incremental_dedup.py. Only SURVIVORS' signatures enter the
+    store (dups point to an already-stored near-identical signature)."""
+    import os
+
+    def _existing_batches() -> list[str]:
+        d = f"{store_path}/bands"
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            p.split("=", 1)[1] for p in os.listdir(d) if p.startswith("batch_id=")
+        )
+
+    batches = _existing_batches()
+    if batch_id is None:
+        batch_id = f"b{len(batches):06d}"
+        while batch_id in batches:
+            batch_id = f"b{int(batch_id[1:]) + 1:06d}"
+    if "/" in batch_id or "=" in batch_id:
+        raise ValueError(f"batch_id must not contain '/' or '=': {batch_id!r}")
+
+    sigs = minhash_signatures(new_docs).localCheckpoint(eager=True)
+    bands = _band_rows(sigs)
+
+    # (1) intra-batch: min-id greedy survivor over banded candidates
+    cand_self = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "key"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    intra_dups = (
+        cand_self.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(_est_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    alive = sigs.join(intra_dups, "doc_id", "left_anti")
+
+    # (2) history: band join against all OTHER batches, signature verify
+    history = [b for b in batches if b != batch_id]
+    if history:
+        prior_bands = (
+            spark.read.parquet(f"{store_path}/bands")
+            .where(F.col("batch_id") != batch_id)
+            .select("band", "key", F.col("doc_id").alias("old_id"))
+        )
+        prior_sigs = (
+            spark.read.parquet(f"{store_path}/signatures")
+            .where(F.col("batch_id") != batch_id)
+            .select(F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old"))
+        )
+        cand_hist = (
+            _band_rows(alive)
+            .join(prior_bands, ["band", "key"])
+            .select("doc_id", "old_id")
+            .distinct()
+        )
+        hist_dups = (
+            cand_hist.join(alive.select("doc_id", "sig"), "doc_id")
+            .join(prior_sigs, "old_id")
+            .where(_est_jaccard(F.col("sig"), F.col("sig_old")) >= threshold)
+            .select("doc_id")
+            .distinct()
+        )
+        survivors = alive.join(hist_dups, "doc_id", "left_anti")
+    else:
+        survivors = alive
+    survivors = survivors.localCheckpoint(eager=True)
+
+    # (3) commit: overwrite ONLY this batch's partition directories
+    survivors.write.mode("overwrite").parquet(
+        f"{store_path}/signatures/batch_id={batch_id}"
+    )
+    _band_rows(survivors).write.mode("overwrite").parquet(
+        f"{store_path}/bands/batch_id={batch_id}"
+    )
+    return survivors.select("doc_id")

@@ -64,3 +64,116 @@ def test_incremental_dedup_retry_idempotent(spark, tmp_path):
     # (the old append store returned [] here: the write made the batch's
     # own fingerprints part of its history)
     assert out_retry.count() == n1
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _word_doc(rng, vocab, n=40):
+    return " ".join(vocab[i] for i in rng.integers(0, len(vocab), n))
+
+
+def test_incremental_minhash_two_batches_and_retry(spark, tmp_path):
+    """Near-dedup twin (round 5): batch 2 drops documents whose estimated
+    Jaccard vs batch-1 SIGNATURES crosses the threshold — historical text
+    is never reread — and a retried batch_id is idempotent."""
+    import numpy as np
+
+    from spark_text_clustering_spark.operators.dedup import (
+        incremental_dedup_minhash,
+    )
+
+    store = str(tmp_path / "mh_store")
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(500)]
+    base = {i: _word_doc(rng, vocab) for i in range(6)}
+
+    def perturb(text, k=1, seed=0):
+        words = text.split()
+        r = np.random.default_rng(seed)
+        for pos in r.integers(5, len(words) - 5, k):
+            words[pos] = "zz" + words[pos]
+        return " ".join(words)
+
+    # batch 1: docs 0..5 plus doc 100 = near-dup of doc 0 (intra-batch)
+    b1 = _mk_docs(
+        spark,
+        [(i, t) for i, t in base.items()] + [(100, perturb(base[0], seed=1))],
+    )
+    out1 = {r["doc_id"] for r in incremental_dedup_minhash(spark, b1, store).collect()}
+    assert out1 == set(range(6))  # 100 dropped against smaller-id 0
+
+    # batch 2: near-dups of history (docs 1, 3) + two genuinely new docs
+    b2 = _mk_docs(
+        spark,
+        [
+            (201, perturb(base[1], seed=2)),
+            (203, perturb(base[3], seed=3)),
+            (210, _word_doc(rng, vocab)),
+            (211, _word_doc(rng, vocab)),
+        ],
+    )
+    out2 = {
+        r["doc_id"]
+        for r in incremental_dedup_minhash(spark, b2, store, batch_id="r2").collect()
+    }
+    assert out2 == {210, 211}
+
+    # retry with the SAME batch_id: identical survivors, no store double-count
+    out2b = {
+        r["doc_id"]
+        for r in incremental_dedup_minhash(spark, b2, store, batch_id="r2").collect()
+    }
+    assert out2b == out2
+    sig_store = spark.read.parquet(f"{store}/signatures")
+    assert sig_store.count() == sig_store.select("doc_id").distinct().count()
+    # and the store holds exactly the survivors of both batches
+    assert {r["doc_id"] for r in sig_store.collect()} == out1 | out2
+
+
+def test_incremental_minhash_matches_exact_jaccard(spark, tmp_path):
+    """Quality: on a corpus with engineered near-dups, the docs dropped by
+    the signature pipeline must cover every pair whose EXACT 3-gram
+    shingle Jaccard is >= 0.7 (comfortably above the 0.6 threshold, so
+    banding recall ~0.99 and estimator noise can't straddle the cut), and
+    must never drop a doc whose best exact Jaccard is < 0.5."""
+    import numpy as np
+
+    from spark_text_clustering_spark.operators.dedup import (
+        incremental_dedup_minhash,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(20):
+        rows.append((i, _word_doc(rng, vocab)))
+    for j in range(8):  # near-dup of doc j: replace one word
+        words = rows[j][1].split()
+        words[10 + j] = "qq"
+        rows.append((100 + j, " ".join(words)))
+    docs = _mk_docs(spark, rows)
+    store = str(tmp_path / "mh_q_store")
+    survivors = {
+        r["doc_id"] for r in incremental_dedup_minhash(spark, docs, store).collect()
+    }
+    dropped = {i for i, _ in rows} - survivors
+
+    def sh(text):
+        w = text.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: sh(t) for i, t in rows}
+    exact_hi = set()
+    best = {i: 0.0 for i, _ in rows}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                best[j] = max(best[j], jac)
+                if jac >= 0.7:
+                    exact_hi.add(j)  # larger id of the pair must be dropped
+    assert exact_hi <= dropped, f"missed near-dups: {exact_hi - dropped}"
+    for d in dropped:
+        assert best[d] >= 0.5, f"false drop: doc {d} best exact jaccard {best[d]:.2f}"
