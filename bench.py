@@ -79,6 +79,9 @@ HEADLINE = [
     "layout_zorder_key",
     "layout_hilbert_key",
     "stream_stream_join",
+    "knn_cosine_pq_stored",
+    "knn_cosine_ivfpq_stored",
+    "stream_heavy_hitters",
 ]
 
 
