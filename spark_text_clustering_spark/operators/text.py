@@ -760,3 +760,61 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_for_udtf d, LATERAL sentence_split(d.text) s
         """
     )
+
+
+@REG.register(
+    "quality_filter_per_lang",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lang,
+             CAST(list_aggregate(list_transform(
+                    regexp_split_to_array(lower(text), '\\s+'), x -> len(x)),
+                  'sum') AS DOUBLE)
+               / len(regexp_split_to_array(lower(text), '\\s+')) AS avg_token_len
+      FROM documents),
+    q AS (
+      SELECT lang, quantile_cont(avg_token_len, 0.25) AS q_lo
+      FROM m GROUP BY lang)
+    SELECT m.doc_id, m.lang, m.avg_token_len
+    FROM m JOIN q USING (lang)
+    WHERE m.avg_token_len >= q.q_lo
+    """,
+)
+def quality_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile quality gate (round 5): keep documents whose
+    average token length is at or above their OWN language's 25th
+    percentile — the production pre-training filter shape, where absolute
+    thresholds are wrong because languages differ structurally (German
+    compounds vs English function words) and the cut must be relative to
+    the language's distribution.
+
+    Plan: one narrow metric map, a per-lang exact-percentile aggregate
+    (languages are few — the quantile state is tiny and the agg is
+    map-side partial), then a BROADCAST join of the per-lang thresholds
+    back onto the metric frame. At 100 TB nothing here shuffles document
+    payloads: the metric map is projection-pruned to (doc_id, lang, one
+    double) and the threshold table is KB-sized. Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear
+    (n-1)*p interpolation, so the oracle reproduces the cut exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    m = docs.select(
+        "doc_id",
+        "lang",
+        (
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+    q = m.groupBy("lang").agg(
+        F.percentile("avg_token_len", F.lit(0.25)).alias("q_lo")
+    )
+    return (
+        m.join(F.broadcast(q), "lang")
+        .where(F.col("avg_token_len") >= F.col("q_lo"))
+        .select("doc_id", "lang", "avg_token_len")
+    )

@@ -374,3 +374,87 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(_BPE_TOP_K)
     )
+
+
+_BPE_N_MERGES = 10
+
+
+@REG.register("bpe_train_merges")  # rows-only: iterative algorithm (driver loop);
+# no single-statement SQL oracle exists — golden-tested against a pure-Python
+# BPE reference over the identical word-frequency table in tests/test_lm.py
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = _BPE_N_MERGES
+) -> DataFrame:
+    """BPE tokenizer training, the FULL merge loop (round 5): repeat
+    ``n_merges`` times — count corpus-weighted adjacent symbol pairs over
+    the DISTINCT-word table, pick the most frequent pair (deterministic
+    cnt-desc / pair-asc tiebreak), and apply it greedily left-to-right to
+    every word's symbol sequence. Returns the learned merge table
+    (step, left, right, pair_count) — the artifact a tokenizer ships.
+
+    Scale shape (the classic BPE trick, cf. ``bpe_pair_counts``): after
+    the one corpus-wide word-count aggregation, EVERY iteration touches
+    only the vocabulary-sized (word, freq, symbols) frame — pair counts
+    are weighted by word frequency, so the 100 TB corpus is never
+    rescanned. The per-iteration work is JVM-side throughout: the pair
+    explode is a ``transform(sequence(...))`` over the symbol array, the
+    merge application is an ``aggregate`` fold with a lookbehind
+    (``F.get`` so an empty accumulator yields null, not an ANSI
+    out-of-bounds error), and the only driver traffic is ONE winning pair
+    per iteration. The frame is localCheckpointed each round to keep the
+    plan flat across iterations."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select(
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    out_schema = "step int, left string, right string, pair_count long"
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS a,"
+                    "             element_at(syms, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # every word fully merged: nothing left to learn
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((step, a, b, cnt))
+        merged = a + b
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+        apply_merge = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.get(acc, F.size(acc) - 1) == la) & (x == lb),
+                F.concat(
+                    F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+                    F.array(lm),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.select("freq", apply_merge.alias("syms")).localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(merges, out_schema)

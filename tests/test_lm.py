@@ -61,3 +61,55 @@ def test_bm25_scores_sane(spark):
     assert all(r["bm25"] > 0 for r in got.values())
     assert all(r["n_terms_hit"] <= len(_BM25_TERMS) for r in got.values())
     assert got[1]["bm25"] > got[2]["bm25"]
+
+
+def test_bpe_train_merges_matches_python_reference(spark):
+    """The full BPE merge loop (round 5) must learn the exact merge table a
+    pure-Python reference BPE learns from the identical word-frequency
+    table: same corpus-weighted pair counts, same cnt-desc/pair-asc
+    tiebreak, same greedy left-to-right merge application."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from spark_text_clustering_spark.operators.textprep import bpe_train_merges
+
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(spark, SF_SMALL, n_merges=8)
+        .orderBy("step")
+        .collect()
+    ]
+
+    pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["text"])
+    freqs = Counter()
+    for t in pdf["text"].dropna():
+        for w in re.split(r"\s+", t.lower()):
+            if len(w) >= 2:
+                freqs[w] += 1
+    syms = {w: list(w) for w in freqs}
+
+    want = []
+    for step in range(8):
+        counts = Counter()
+        for w, f in freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((step, a, b, cnt))
+        for w in syms:
+            s, out = syms[w], []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert got == want
