@@ -82,6 +82,8 @@ HEADLINE = [
     "knn_cosine_pq_stored",
     "knn_cosine_ivfpq_stored",
     "stream_heavy_hitters",
+    "quality_filter_per_lang",
+    "bpe_train_merges",
 ]
 
 

@@ -128,17 +128,21 @@ def test_full_chain_agreement_vs_reference_vocab():
     the same corpus).
 
     Measured (round 4): occurrence-weighted agreement 0.9886, distinct
-    0.9661 — pinned at 0.98 / 0.95. The run uses the reference's OWN
+    0.9661. Round 5 (Porter-1b-style silent-e/undouble repair in the
+    'ed'/'ing' rules, 'eed' handling, next irregular tier, contraction
+    fragments): 0.9964 / 0.9893 — pinned at 0.995 / 0.985. The run uses
+    the reference's OWN
     stopWords_EN.txt (the S2 side input a real user would supply) and
     CLEAN_PATTERN_EXTENDED (left curly quotes etc., which the reference's
     CoreNLP tokenizer separates rather than strips). Case-folded compare:
     the reference keeps case ('Holm'), our chain lowercases.
 
-    The residual ~1% of occurrences is the documented RuleLemmatizer
-    divergence class: 'ed/ing'-strip rules that lose a final silent 'e'
-    CoreNLP restores ('accumulated' → 'accumulat' vs CoreNLP 'accumulate'
-    → Porter 'accumul'), bracketed stage directions ('[applause'), and
-    vocabulary-truncated ordinals ('10th')."""
+    The residual ~0.4% of occurrences is now dominated by CASE artifacts
+    (the reference stems with original case, so OpenNLP-Porter treats the
+    uppercase initial as a consonant and keeps 'Alice' intact where our
+    lowercased chain yields 'alic'), dialect contractions
+    ('lemme'/'gimme'), currency tokens, and 'er'-vs-'ere' verbs
+    ('interfered') that no caseless rule can disambiguate."""
     import re
 
     from spark_text_clustering_spark.functions.textnorm import (
@@ -167,8 +171,8 @@ def test_full_chain_agreement_vs_reference_vocab():
 
     occurrence_agreement = hit / tot
     distinct_agreement = sum(dist.values()) / len(dist)
-    assert occurrence_agreement >= 0.98, f"occurrence {occurrence_agreement:.4f}"
-    assert distinct_agreement >= 0.95, f"distinct {distinct_agreement:.4f}"
+    assert occurrence_agreement >= 0.995, f"occurrence {occurrence_agreement:.4f}"
+    assert distinct_agreement >= 0.985, f"distinct {distinct_agreement:.4f}"
 
 
 _BOOKS_GE = "/root/reference/TextClustering/src/main/resources/books/German"
