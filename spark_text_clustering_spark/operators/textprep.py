@@ -420,7 +420,10 @@ def bpe_train_merges(
     out_schema = "step int, left string, right string, pair_count long"
     merges: list[tuple[int, str, str, int]] = []
     for step in range(n_merges):
-        pairs = syms.select(
+        # a fully-merged word (one symbol left) contributes no pairs — and
+        # must be excluded BEFORE the sequence() call: sequence(1, 0) is a
+        # DESCENDING [1, 0] in Spark, which would index past the array
+        pairs = syms.where(F.size("syms") >= 2).select(
             "freq",
             F.explode(
                 F.expr(
