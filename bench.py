@@ -84,6 +84,7 @@ HEADLINE = [
     "stream_heavy_hitters",
     "quality_filter_per_lang",
     "bpe_train_merges",
+    "dedup_duplicate_spans",
 ]
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -625,3 +625,108 @@ def incremental_dedup_minhash(
         f"{store_path}/bands/batch_id={batch_id}"
     )
     return survivors.select("doc_id")
+
+
+_SPAN_L = 30  # duplicated-substring window length (chars)
+
+_DUP_SPANS_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id,
+         CAST(gs.pos AS BIGINT) AS pos,
+         substr(text, CAST(gs.pos AS INTEGER), {_SPAN_L}) AS gram
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - {_SPAN_L} + 1))
+                AS pos) gs
+  WHERE len(text) >= {_SPAN_L}),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_SPAN_L} OR
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_SPAN_L} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {_SPAN_L} - MIN(pos) AS BIGINT) AS span_len
+FROM islands
+GROUP BY doc_id, island
+"""
+
+
+@REG.register("dedup_duplicate_spans", oracle=_DUP_SPANS_ORACLE)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SUBSTRING detection (round 5) — the span-level
+    dedup of Lee et al.'s "Deduplicating Training Data Makes Language
+    Models Better", relationally: find every maximal region of a document
+    whose every 30-char window also appears in ANOTHER document
+    (boilerplate headers, license blocks, syndicated passages — the
+    duplication document-level hashes can't see).
+
+    Plan: one ``sequence``/``substring`` explode per doc (JVM, no
+    Python), a gram aggregate keeping grams with >= 2 distinct docs, a
+    semi-join back onto the gram positions, then gaps-and-islands (lag +
+    running sum) merges overlapping windows into maximal spans
+    (adjacent/overlapping = next_pos <= prev_pos + L). Output
+    (doc_id, span_start, span_end, span_len), 1-based inclusive.
+
+    Scale: the gram explode is the cost — ~len(text) rows/doc. At 100 TB
+    run it with (a) a stride >1 for candidate discovery + exact re-scan
+    of candidate neighborhoods, and (b) a Bloom/CMS prefilter of
+    singleton grams (cf. bloom_semi_join_prune) so the shuffle carries
+    only repeated grams; both drop in without changing these semantics.
+    The groupBy ships (hash, doc_id) pairs, never text."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _SPAN_L
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - _SPAN_L + 1)
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        # shuffle the 8-byte hash, never the 30-char gram string (~4x less
+        # shuffle; a cross-doc xxhash64 collision would need ~2^32 grams
+        # to become likely — negligible against the DuckDB string-exact
+        # oracle at test scales, and at 100 TB the hash key is the only
+        # viable choice anyway)
+        F.xxhash64(F.substring("text", F.col("pos"), F.lit(_SPAN_L))).alias("gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "leftsemi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > _SPAN_L),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + _SPAN_L - 1).alias("span_end"),
+        (F.max("pos") + _SPAN_L - F.min("pos")).alias("span_len"),
+    ).select("doc_id", "span_start", "span_end", "span_len")

@@ -74,3 +74,48 @@ def test_simhash_banding_equals_bruteforce(spark):
 
     found = {(r["id_a"], r["id_b"]) for r in dedup_simhash(spark, SF_ORACLE).collect()}
     assert found == true_pairs
+
+
+def test_duplicate_spans_exact_boundaries(spark, tmp_path):
+    """dedup_duplicate_spans semantics pinned on a crafted corpus: two docs
+    share one 45-char passage at known offsets; the detector must report
+    exactly the maximal shared window span in each doc (every 30-gram of
+    the shared passage, merged into one island), and a doc with no
+    cross-doc 30-gram must report nothing."""
+    import os
+
+    from spark_text_clustering_spark.catalog import SCHEMAS
+    from spark_text_clustering_spark.operators.dedup import (
+        _SPAN_L,
+        dedup_duplicate_spans,
+    )
+
+    assert _SPAN_L == 30
+    shared = "the quick brown fox jumps over the lazy dog x"  # 45 chars
+    assert len(shared) == 45
+    pre_a, pre_b = "A" * 10, "B" * 25
+    doc_a = pre_a + shared + "C" * 12
+    doc_b = pre_b + shared + "D" * 7
+    doc_c = "E" * 80  # repeated within itself only -> not cross-doc... but
+    # 30-grams of 'E'*80 appear in doc_c ONLY -> distinct-doc count 1 -> none
+    rows = [
+        (1, doc_a, "en", "t", len(doc_a)),
+        (2, doc_b, "en", "t", len(doc_b)),
+        (3, doc_c, "en", "t", len(doc_c)),
+    ]
+    d = str(tmp_path / "span_sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in dedup_duplicate_spans(spark, d).collect()
+    }
+    # shared passage occupies [len(pre)+1, len(pre)+45] (1-based inclusive);
+    # its 30-gram start positions are len(pre)+1 .. len(pre)+16, so the
+    # merged island is exactly the passage
+    assert got[1] == (11, 55, 45)
+    assert got[2] == (26, 70, 45)
+    assert 3 not in got
