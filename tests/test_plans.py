@@ -307,3 +307,30 @@ def test_weighted_reservoir_is_take_ordered(spark):
     plan = plan_of(spark, "sample_weighted_reservoir")
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_quality_filter_thresholds_broadcast(spark):
+    """Round 5: the per-lang percentile thresholds must come back as a
+    BROADCAST join (the threshold table is languages-sized), with the
+    metric map's partial aggregation feeding the percentile."""
+    plan = plan_of(spark, "quality_filter_per_lang")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_percentile" in plan  # map-side partial for the quantile agg
+
+
+def test_stream_heavy_hitters_single_count_shuffle(spark):
+    """Round 5: the batch form of the windowed heavy-hitters transform is
+    counts + a broadcast-joined per-window total — the per-key count
+    aggregation must be map-side partial."""
+    plan = plan_of(spark, "stream_heavy_hitters")
+    assert "partial_count" in plan
+
+
+def test_duplicate_spans_shuffles_hashes_not_grams(spark):
+    """Round 5: the duplicated-span detector's dup-gram aggregate must key
+    on the 8-byte xxhash64, not the 30-char gram string — the exchange
+    carries (gh, doc_id), never text."""
+    plan = plan_of(spark, "dedup_duplicate_spans")
+    assert "xxhash64" in plan
+    # the first exchange (gram dedup agg) partitions on the hash column
+    assert "hashpartitioning(gh" in plan
