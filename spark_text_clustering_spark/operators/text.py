@@ -818,3 +818,82 @@ def quality_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("avg_token_len") >= F.col("q_lo"))
         .select("doc_id", "lang", "avg_token_len")
     )
+
+
+@REG.register(
+    "quality_dup_line_fraction",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      FROM documents WHERE text IS NOT NULL),
+    nonempty AS (
+      SELECT doc_id, line FROM lines WHERE len(trim(line)) > 0),
+    per_line AS (
+      SELECT doc_id, line, COUNT(*) AS n FROM nonempty GROUP BY doc_id, line),
+    per_doc AS (
+      SELECT doc_id,
+             SUM(n) AS n_lines,
+             SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS n_dup
+      FROM per_line GROUP BY doc_id)
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_dup AS DOUBLE) / n_lines AS dup_line_fraction
+    FROM per_doc
+    """,
+)
+def quality_dup_line_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-line fraction per document (round 5) — the intra-doc
+    boilerplate signal the FineWeb/RefinedWeb-style quality filters use:
+    the share of a doc's non-empty lines that occur more than once within
+    that same doc (nav menus, repeated headers, scraped pagination).
+
+    Plan: split on newline → explode → per-(doc, line) counts → per-doc
+    ratio. Both aggregations are map-side partial and keyed by doc_id, so
+    with documents already hash-distributed by doc_id the second agg
+    reuses the first's partitioning (one exchange). Exactly oracled —
+    integer numerators, one final division."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    lines = docs.select(
+        "doc_id", F.explode(F.split("text", "\n", -1)).alias("line")
+    ).where(F.length(F.trim("line")) > 0)
+    per_line = lines.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("n"))
+    return per_line.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_lines"),
+        (
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("n")
+        ).alias("dup_line_fraction"),
+    )
+
+
+@REG.register("quality_compression_ratio")  # rows-only: zlib is not ANSI SQL;
+# golden-tested against driver-side zlib on identical bytes in test_lm.py
+def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (round 5): zlib-compressed size /
+    raw UTF-8 size per document — the classic near-free junk detector
+    (highly repetitive or templated text compresses far below ~0.4;
+    natural prose sits ~0.4-0.7). Used by production pre-training
+    pipelines as a cheap first-pass filter.
+
+    Arrow-batched pandas UDF (zlib is C-speed; per-doc cost is linear in
+    text size) — a pure narrow map, no shuffle; deterministic for fixed
+    zlib level so the driver's rows-only re-run is stable."""
+    import zlib
+
+    @pandas_udf("double")
+    def comp_ratio(texts: pd.Series) -> pd.Series:
+        def ratio(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(ratio)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", comp_ratio(F.col("text")).alias("compression_ratio")
+    ).where(F.col("compression_ratio").isNotNull())

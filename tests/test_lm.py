@@ -4,6 +4,7 @@ DuckDB parity test (which pins exactness)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from spark_text_clustering_spark.registry import QUERIES
 
@@ -113,3 +114,32 @@ def test_bpe_train_merges_matches_python_reference(spark):
                     i += 1
             syms[w] = out
     assert got == want
+
+
+def test_compression_ratio_matches_driver_zlib(spark):
+    """quality_compression_ratio golden: the operator's per-doc ratio must
+    equal driver-side zlib (level 6) on the identical UTF-8 bytes, and
+    repetitive text must compress far below natural prose."""
+    import zlib
+
+    import pandas as pd
+
+    got = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in QUERIES["quality_compression_ratio"](spark, SF_SMALL).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+    checked = 0
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        if text is None or not text.encode("utf-8"):
+            assert doc_id not in got
+            continue
+        raw = text.encode("utf-8")
+        want = len(zlib.compress(raw, 6)) / len(raw)
+        assert got[doc_id] == pytest.approx(want, rel=1e-12)
+        checked += 1
+    assert checked > 0
+
+    # property: a pathological repeat compresses below any real doc
+    rep = "spam ham " * 500
+    assert len(zlib.compress(rep.encode(), 6)) / len(rep.encode()) < min(got.values())
