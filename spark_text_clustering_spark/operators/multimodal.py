@@ -626,3 +626,83 @@ def pipeline_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("total_chars"),
         )
     )
+
+
+# Deterministic resize geometry: a row-gradient (d+y)%256 image of
+# H=4*bh × W=4*bw (bh=d%5+1, bw=d%7+1) box-downsampled to 4×4 with
+# integer-floor means. Each source row is constant, so a box's pixel sum
+# is bw*Σrows and floor(bw*Σrows / (bh*bw)) = floor(Σrows / bh) — the
+# closed form the oracle replays without ever building pixels.
+_RESIZE_ORACLE = """
+SELECT doc_id,
+       CAST((doc_id % 5 + 1) * 4 AS INT) AS in_h,
+       CAST((doc_id % 7 + 1) * 4 AS INT) AS in_w,
+       CAST(4 AS INT) AS out_h,
+       CAST(4 AS INT) AS out_w,
+       array_to_string(
+         flatten(list_transform(generate_series(0, 3), by ->
+           list_transform(generate_series(1, 4), bx ->
+             CAST(list_aggregate(list_transform(
+                    generate_series(by * (doc_id % 5 + 1),
+                                    (by + 1) * (doc_id % 5 + 1) - 1),
+                    y -> (doc_id + y) % 256), 'sum')
+                  // (doc_id % 5 + 1) AS BIGINT)))), ',') AS resized
+FROM documents WHERE doc_id IS NOT NULL
+"""
+
+
+def _resize_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode a real PNG per doc, decode it, and box-downsample the DECODED
+    pixels to 4×4 with integer-floor area means."""
+    import numpy as np
+
+    from ..functions import imagecodec as ic
+
+    for pdf in batches:
+        out = {"doc_id": [], "in_h": [], "in_w": [], "out_h": [], "out_w": [],
+               "resized": []}
+        for doc_id in pdf["doc_id"].dropna():
+            d = int(doc_id)
+            bh, bw = d % 5 + 1, d % 7 + 1
+            h, w = 4 * bh, 4 * bw
+            png = ic.encode_png_gray(w, h, [(d + y) % 256 for y in range(h)])
+            px = np.asarray(ic.decode_png_gray_pixels(png), dtype=np.int64)
+            boxes = px.reshape(4, bh, 4, bw).sum(axis=(1, 3))  # (4, 4) sums
+            resized = ",".join(
+                str(v) for v in (boxes // (bh * bw)).ravel().tolist()
+            )
+            out["doc_id"].append(d)
+            out["in_h"].append(h)
+            out["in_w"].append(w)
+            out["out_h"].append(4)
+            out["out_w"].append(4)
+            out["resized"].append(resized)
+        yield pd.DataFrame(out)
+
+
+@REG.register("multimodal_resize", oracle=_RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize over ``mapInPandas`` (round 5 — the missing
+    member of the decode / feature-extract / RESIZE / frame-sample
+    quartet): decode genuine PNG bytes and area-downsample the decoded
+    pixel matrix to a fixed 4×4 thumbnail with integer-floor box means
+    (one reshape + sum in numpy — the vectorized form of average
+    pooling). Integer outputs keep the oracle hash exact; the 16
+    thumbnail values serialize as one comma-joined string (the
+    registry's atomic-schema contract) and the closed-form SQL oracle
+    replays the same floor(Σ/area) arithmetic from the deterministic
+    image construction.
+
+    Scale: a pure narrow map like the other multimodal ops — binary in,
+    small fixed-size array out, Arrow-bounded memory; at 100 TB the only
+    change is swapping the Python codec for a native one behind the same
+    ``decode_real`` dispatch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id").isNotNull()
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.mapInPandas(
+        _resize_roundtrip,
+        schema="doc_id long, in_h int, in_w int, out_h int, out_w int,"
+        " resized string",
+    )
