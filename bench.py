@@ -85,6 +85,10 @@ HEADLINE = [
     "quality_filter_per_lang",
     "bpe_train_merges",
     "dedup_duplicate_spans",
+    "quality_dup_line_fraction",
+    "quality_compression_ratio",
+    "pipeline_quality_gate",
+    "multimodal_resize",
 ]
 
 

@@ -897,3 +897,113 @@ def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", comp_ratio(F.col("text")).alias("compression_ratio")
     ).where(F.col("compression_ratio").isNotNull())
+
+
+_QUALITY_GATE_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> list_contains({stopwords_sql_list()}, x))) AS BIGINT)
+           AS n_stop,
+         CAST(list_aggregate(list_transform(
+                regexp_split_to_array(lower(text), '\\s+'), x -> len(x)),
+              'sum') AS BIGINT) AS sum_len
+  FROM documents WHERE text IS NOT NULL),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents WHERE text IS NOT NULL),
+per_line AS (
+  SELECT doc_id, line, COUNT(*) AS n FROM lines
+  WHERE len(trim(line)) > 0 GROUP BY doc_id, line),
+dl AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / SUM(n)
+           AS dup_frac
+  FROM per_line GROUP BY doc_id),
+mm AS (
+  SELECT m.doc_id, m.lang, m.n_tokens,
+         CAST(m.n_stop AS DOUBLE) / m.n_tokens AS stop_ratio,
+         CAST(m.sum_len AS DOUBLE) / m.n_tokens AS avg_len,
+         COALESCE(dl.dup_frac, 0.0) AS dup_frac
+  FROM m LEFT JOIN dl USING (doc_id)),
+q AS (
+  SELECT lang, quantile_cont(avg_len, 0.25) AS q_lo FROM mm GROUP BY lang)
+SELECT mm.doc_id, mm.lang, mm.n_tokens, mm.stop_ratio, mm.avg_len,
+       mm.dup_frac
+FROM mm JOIN q USING (lang)
+WHERE mm.n_tokens >= 10 AND mm.stop_ratio <= 0.5
+  AND mm.dup_frac <= 0.3 AND mm.avg_len >= q.q_lo
+"""
+
+
+@REG.register("pipeline_quality_gate", oracle=_QUALITY_GATE_ORACLE)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE document quality gate as ONE Catalyst plan (round 5):
+    length + stopword-ratio + duplicated-line-fraction + per-language
+    percentile threshold, fused. A real pre-training filter runs all its
+    signals in one pass over the corpus — not one job per signal.
+
+    The engine story is the shuffle count: every per-doc metric,
+    INCLUDING the duplicated-line fraction, is computed in-row with
+    higher-order functions (the dup fraction via array_sort + a
+    sorted-adjacency index scan — an element is unique iff it differs
+    from both sorted neighbors — instead of the explode + groupBy the
+    standalone `quality_dup_line_fraction` uses), so the only exchanges
+    are the languages-sized percentile aggregate and its broadcast join
+    back. One corpus scan, ~zero data-sized shuffles; plan-asserted in
+    tests/test_plans.py. The `sequence(1, 0)`-descending trap is guarded
+    with a size() > 0 gate."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    stop = list(STOPWORDS)
+    toks = _tokens_col()
+    nonempty_lines = F.filter(
+        F.split("text", "\n", -1), lambda x: F.length(F.trim(x)) > 0
+    )
+    # sorted-adjacency singles count: in the sorted line array, element i
+    # (1-based) is unique iff it differs from both neighbors
+    singles = F.expr(
+        """
+        CASE WHEN size(sl) = 0 THEN 0 ELSE
+          aggregate(
+            transform(sequence(1, size(sl)), i ->
+              CASE WHEN (i = 1 OR element_at(sl, i) != element_at(sl, i - 1))
+                    AND (i = size(sl) OR element_at(sl, i) != element_at(sl, i + 1))
+                   THEN 1 ELSE 0 END),
+            0, (acc, x) -> acc + x)
+        END
+        """
+    )
+    m = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin(stop))).cast("long").alias("n_stop"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.array_sort(nonempty_lines).alias("sl"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stop_ratio"),
+        (F.col("sum_len").cast("double") / F.col("n_tokens")).alias("avg_len"),
+        F.when(F.size("sl") > 0, (F.size("sl") - singles).cast("double") / F.size("sl"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+    q = m.groupBy("lang").agg(F.percentile("avg_len", F.lit(0.25)).alias("q_lo"))
+    return (
+        m.join(F.broadcast(q), "lang")
+        .where(
+            (F.col("n_tokens") >= 10)
+            & (F.col("stop_ratio") <= 0.5)
+            & (F.col("dup_frac") <= 0.3)
+            & (F.col("avg_len") >= F.col("q_lo"))
+        )
+        .select("doc_id", "lang", "n_tokens", "stop_ratio", "avg_len", "dup_frac")
+    )

@@ -334,3 +334,13 @@ def test_duplicate_spans_shuffles_hashes_not_grams(spark):
     assert "xxhash64" in plan
     # the first exchange (gram dedup agg) partitions on the hash column
     assert "hashpartitioning(gh" in plan
+
+
+def test_quality_gate_single_tiny_shuffle(spark):
+    """Round 5: the fused quality gate computes every per-doc signal
+    in-row (incl. the dup-line fraction via sorted adjacency), so the
+    ONLY repartitioning exchange is the languages-keyed percentile agg;
+    the thresholds come back broadcast."""
+    plan = plan_of(spark, "pipeline_quality_gate")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
