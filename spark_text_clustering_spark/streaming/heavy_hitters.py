@@ -288,3 +288,118 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     events = load_table(spark, sf_dir, "events").select("user_id", "ts")
     return heavy_hitters_window_batch(events, window_seconds=86400, support=0.01)
+
+
+def heavy_hitters_sliding_stream(
+    spark: SparkSession,
+    src_dir: str,
+    window_seconds: int = 172800,
+    slide_seconds: int = 86400,
+    support: float = 0.01,
+    delay_seconds: int = 60,
+    table_name: str = "hh_slide_out",
+) -> DataFrame:
+    """Sliding-window variant (round 5): each event joins window_seconds /
+    slide_seconds OVERLAPPING windows (Spark's ``F.window(ts, len, slide)``
+    expands the assignment rows), and the SAME per-window CMS+MG fold runs
+    — state is one row per OPEN window, so overlap multiplies the open-
+    window count by len/slide, not by the key cardinality; the timeout
+    still fires at window_start + len. Exact verify over the archive with
+    the identical expansion."""
+    ensure_utc(spark)
+    capacity = max(1, math.ceil(1.0 / support))
+    win = F.window(
+        "ts", f"{window_seconds} seconds", f"{slide_seconds} seconds"
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withWatermark("ts", f"{delay_seconds} seconds")
+        .select("user_id", "ts", win.start.alias("window_start"))
+    )
+    cand = stream.groupBy("window_start").applyInPandasWithState(
+        _make_hh_fold(window_seconds, support, capacity),
+        outputStructType=CAND_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        cand.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    candidates = spark.table(table_name).select("window_start", "user_id")
+
+    archive = (
+        spark.read.schema("user_id long, ts timestamp")
+        .parquet(src_dir)
+        .select("user_id", "ts", win.start.alias("window_start"))
+    )
+    totals = archive.groupBy("window_start").agg(F.count(F.lit(1)).alias("total"))
+    exact = (
+        archive.join(F.broadcast(candidates), ["window_start", "user_id"], "leftsemi")
+        .groupBy("window_start", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exact.join(totals, "window_start").where(
+        F.col("cnt") >= F.ceil(F.lit(support) * F.col("total"))
+    ).select("window_start", "user_id", "cnt")
+
+
+def heavy_hitters_sliding_batch(
+    events: DataFrame,
+    window_seconds: int = 172800,
+    slide_seconds: int = 86400,
+    support: float = 0.01,
+) -> DataFrame:
+    """Batch twin of the sliding-window heavy hitters."""
+    win = events.select(
+        "user_id",
+        F.window("ts", f"{window_seconds} seconds", f"{slide_seconds} seconds")
+        .start.alias("window_start"),
+    )
+    counts = win.groupBy("window_start", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = win.groupBy("window_start").agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.join(totals, "window_start")
+        .where(F.col("cnt") >= F.ceil(F.lit(support) * F.col("total")))
+        .select("window_start", "user_id", "cnt")
+    )
+
+
+_STREAM_HH_SLIDING_ORACLE = """
+WITH assigned AS (
+  SELECT user_id,
+         date_trunc('day', ts) - i.i * INTERVAL 1 DAY AS window_start
+  FROM events, (SELECT unnest(generate_series(0, 1)) AS i) i),
+wc AS (
+  SELECT window_start, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM assigned GROUP BY 1, 2),
+wt AS (
+  SELECT window_start, SUM(cnt) AS total FROM wc GROUP BY 1)
+SELECT wc.window_start, wc.user_id, wc.cnt
+FROM wc JOIN wt USING (window_start)
+WHERE wc.cnt >= CEIL(0.01 * wt.total)
+"""
+
+
+@REG.register("stream_heavy_hitters_sliding", oracle=_STREAM_HH_SLIDING_ORACLE)
+def stream_heavy_hitters_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mode of the SLIDING-window heavy-hitters transform (2-day
+    windows sliding 1 day, support 1%) — each event counts in two
+    overlapping windows; the DuckDB oracle replays the epoch-aligned
+    assignment with an explicit offset unnest. The true stateful run is
+    ``heavy_hitters_sliding_stream`` above, batch-equivalence-asserted in
+    tests/test_stateful.py."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return heavy_hitters_sliding_batch(
+        events, window_seconds=172800, slide_seconds=86400, support=0.01
+    )

@@ -200,3 +200,58 @@ def test_stream_heavy_hitters_match_batch(spark, tmp_path):
     )
     assert got == want
     assert [u for _, u, _ in got] == [1, 7, 9]  # the hand-computed hitters
+
+
+def test_stream_heavy_hitters_sliding_match_batch(spark, tmp_path):
+    """Sliding-window streaming heavy hitters (round 5): events join
+    overlapping windows (120s length, 60s slide — every event in two),
+    one CMS+MG state row per OPEN window, timeout at window_start+length;
+    full-replay output must equal the batch twin on every closed window."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from spark_text_clustering_spark.streaming.heavy_hitters import (
+        heavy_hitters_sliding_batch,
+        heavy_hitters_sliding_stream,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    S = lambda s: t0 + pd.Timedelta(seconds=s)  # noqa: E731
+    src = str(tmp_path / "hh_slide_src")
+    os.makedirs(src)
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        path = os.path.join(src, name)
+        pdf.to_parquet(path)
+        os.utime(path, (mtime, mtime))
+
+    base = time.time()
+    write("f1.parquet", [(1, S(10)), (1, S(20)), (1, S(40)), (1, S(50)),
+                         (2, S(30))], base)
+    write("f2.parquet", [(1, S(65)), (3, S(70)), (3, S(90)), (3, S(110))], base + 10)
+    write("f3.parquet", [(999, S(1000))], base + 20)
+    write("f4.parquet", [(999, S(10000))], base + 30)
+
+    out = heavy_hitters_sliding_stream(
+        spark, src, window_seconds=120, slide_seconds=60, support=0.25,
+        delay_seconds=60, table_name="t_hh_slide",
+    )
+    cutoff = pd.Timestamp("2024-01-01 00:08:00")
+    got = sorted(
+        (r["window_start"], r["user_id"], r["cnt"])
+        for r in out.collect()
+        if r["window_start"] < cutoff
+    )
+    events = spark.createDataFrame(pd.read_parquet(src), "user_id long, ts timestamp")
+    want = sorted(
+        (r["window_start"], r["user_id"], r["cnt"])
+        for r in heavy_hitters_sliding_batch(events, 120, 60, 0.25).collect()
+        if r["window_start"] < cutoff
+    )
+    assert got == want
+    # the overlap is real: user1 must appear in more than one window
+    assert len({w for w, u, _ in got if u == 1}) >= 2
