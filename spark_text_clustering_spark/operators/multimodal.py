@@ -105,9 +105,11 @@ def decode_real(payload: bytes, codec: str):
     PNG → list of pixel rows (full zlib + filter reconstruction), WAV →
     (channels, sampwidth, rate, nframes), JPEG → uint8 pixel array via the
     pure-numpy T.81 baseline decoder, GIF → RGB pixel grids per frame
-    (variable-width LZW), AVI → list of MJPEG frame payloads. Formats
-    with no in-repo codec (e.g. BMP, non-MJPEG video) raise."""
+    (variable-width LZW), AVI → list of MJPEG frame payloads, BMP →
+    (h, w, 3) RGB array (24-bit BI_RGB DIB). Formats with no in-repo
+    codec (e.g. TIFF, non-MJPEG video) raise."""
     from ..functions import avicodec as av
+    from ..functions import bmpcodec as bc
     from ..functions import gifcodec as gc
     from ..functions import imagecodec as ic
     from ..functions import jpegcodec as jc
@@ -123,6 +125,8 @@ def decode_real(payload: bytes, codec: str):
         return gc.decode_gif_frames(payload)
     if fmt == "avi":
         return av.decode_avi_mjpeg_frames(payload)
+    if fmt == "bmp":
+        return bc.decode_bmp24(payload)
     raise NotImplementedError(f"decode for {fmt!r} requires external codec libs")
 
 
@@ -705,4 +709,76 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _resize_roundtrip,
         schema="doc_id long, in_h int, in_w int, out_h int, out_w int,"
         " resized string",
+    )
+
+
+# Deterministic BMP geometry: a 24-bit RGB image whose channel planes are
+# row-gradients (d+y)%256, (2d+y)%256, (3d+y)%256 — BMP is lossless, so
+# decoded channel sums have the closed forms below.
+_BMP_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 16 + 1 AS width, doc_id % 9 + 1 AS height
+  FROM documents WHERE doc_id IS NOT NULL),
+rws AS (
+  SELECT doc_id, width, height,
+         unnest(generate_series(0, height - 1)) AS y
+  FROM dims)
+SELECT doc_id,
+       CAST(width  AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(SUM(((doc_id + y)     % 256) * width) AS BIGINT) AS sum_r,
+       CAST(SUM(((2 * doc_id + y) % 256) * width) AS BIGINT) AS sum_g,
+       CAST(SUM(((3 * doc_id + y) % 256) * width) AS BIGINT) AS sum_b
+FROM rws
+GROUP BY doc_id, width, height
+"""
+
+
+def _bmp_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode a real 24-bit BMP per doc, decode it back through the shared
+    dispatch, and emit facts computed ONLY from the decoded RGB pixels."""
+    import numpy as np
+
+    from ..functions import bmpcodec as bc
+
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [],
+               "sum_r": [], "sum_g": [], "sum_b": []}
+        for doc_id in pdf["doc_id"].dropna():
+            d = int(doc_id)
+            w, h = d % 16 + 1, d % 9 + 1
+            y = np.arange(h)[:, None, None]
+            img = np.concatenate(
+                [
+                    np.broadcast_to((d + y) % 256, (h, w, 1)),
+                    np.broadcast_to((2 * d + y) % 256, (h, w, 1)),
+                    np.broadcast_to((3 * d + y) % 256, (h, w, 1)),
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            dec = np.asarray(decode_real(bc.encode_bmp24(img), "bmp"), dtype=np.int64)
+            out["doc_id"].append(d)
+            out["height"].append(dec.shape[0])
+            out["width"].append(dec.shape[1])
+            out["sum_r"].append(int(dec[:, :, 0].sum()))
+            out["sum_g"].append(int(dec[:, :, 1].sum()))
+            out["sum_b"].append(int(dec[:, :, 2].sum()))
+        yield pd.DataFrame(out)
+
+
+@REG.register("multimodal_bmp_decode", oracle=_BMP_ORACLE)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 24-bit BMP decode over ``mapInPandas`` (round 5): writes
+    genuine BI_RGB DIB bytes (bottom-up padded BGR rows) and decodes them
+    back through the shared ``decode_real`` dispatch, emitting per-channel
+    pixel sums computed only from the decoded array. BMP is lossless, so
+    the closed-form oracle is exact. Narrow map like its siblings."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id").isNotNull()
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.mapInPandas(
+        _bmp_roundtrip,
+        schema="doc_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long",
     )

@@ -95,9 +95,13 @@ def test_decode_real_dispatch():
     assert decode_real(gif, "") == [  # one frame of RGB rows
         [[(9, 9, 9), (9, 9, 9)], [(4, 4, 4), (4, 4, 4)]]
     ]
-    # formats with no in-repo codec still raise
-    with pytest.raises(NotImplementedError):
+    # BMP now dispatches to the in-repo DIB codec (a malformed payload is
+    # a ValueError, not an unsupported format)
+    with pytest.raises(ValueError):
         decode_real(b"BM......", "")
+    # formats with no in-repo codec still raise (TIFF magic -> unknown)
+    with pytest.raises(NotImplementedError):
+        decode_real(b"II*\x00........", "")
 
 
 def test_sniff_formats():
@@ -496,3 +500,53 @@ def test_gif_lzw_table_capped_at_4096():
     data = rng.integers(0, 256, 300_000).tolist()
     enc = gc.lzw_compress(data, 8)
     assert gc.lzw_decompress(enc, 8) == data
+
+
+def test_bmp_codec_roundtrip_and_robustness():
+    """24-bit BMP codec (round 5): lossless round-trip across padded and
+    unpadded widths, top-down variant decode, ValueError on truncation."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from spark_text_clustering_spark.functions.bmpcodec import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    rng = np.random.default_rng(21)
+    for h, w in [(1, 1), (3, 5), (9, 16), (7, 2)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp24(encode_bmp24(img)), img)
+    enc = encode_bmp24(rng.integers(0, 256, (5, 5, 3), dtype=np.uint8))
+    for cut in (2, 13, 40, len(enc) - 1):
+        with _pytest.raises(ValueError):
+            decode_bmp24(enc[:cut])
+    # top-down (negative height) variant decodes to the same pixels
+    w_, h_ = _struct.unpack("<ii", enc[18:26])
+    stride = w_ * 3 + (-w_ * 3) % 4
+    body = enc[54:]
+    rows = [body[i * stride : (i + 1) * stride] for i in range(h_)]
+    td = bytearray(enc)
+    td[18:26] = _struct.pack("<ii", w_, -h_)
+    td = bytes(td[:54]) + b"".join(reversed(rows))
+    assert np.array_equal(decode_bmp24(td), decode_bmp24(enc))
+
+
+def test_multimodal_bmp_decode_spark(spark):
+    """The registered BMP key decodes genuine DIB bytes executor-side and
+    the per-channel sums match the closed-form construction."""
+    from spark_text_clustering_spark.operators.multimodal import (
+        multimodal_bmp_decode,
+    )
+    from .conftest import SF_SMALL
+
+    rows = multimodal_bmp_decode(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows[:20]:
+        d = r["doc_id"]
+        w, h = d % 16 + 1, d % 9 + 1
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["sum_r"] == sum(((d + y) % 256) * w for y in range(h))
+        assert r["sum_b"] == sum(((3 * d + y) % 256) * w for y in range(h))
