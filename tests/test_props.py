@@ -443,3 +443,109 @@ def test_hilbert_spark_fold_matches_reference(spark):
     assert rows
     for r in rows:
         assert r["hkey"] == _hilbert_xy2d(15, r["x"], r["y"]), (r["x"], r["y"])
+
+
+# --- round 5: streaming heavy-hitter kernel invariants (pure python) ---
+
+_hh_stream = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(1, 50)), min_size=1, max_size=60
+)
+
+
+@given(_hh_stream, st.integers(1, 8))
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_superset_guarantee(stream, capacity):
+    """MG with k counters must retain EVERY key whose true count exceeds
+    total/(k+1) — the bound the streaming heavy-hitter operator's
+    candidate-superset claim rests on — and its stored counts never
+    overestimate the truth."""
+    from collections import Counter
+
+    from spark_text_clustering_spark.streaming.heavy_hitters import _mg_fold
+
+    mg: dict[int, int] = {}
+    true = Counter()
+    for key, c in stream:
+        true[key] += c
+        _mg_fold(mg, key, c, capacity)
+    total = sum(true.values())
+    assert len(mg) <= capacity
+    for key, cnt in true.items():
+        if cnt > total / (capacity + 1):
+            assert key in mg, (key, cnt, total, capacity)
+    for key, est in mg.items():
+        assert est <= true[key]  # MG only ever undercounts
+
+
+@given(_hh_stream)
+@settings(max_examples=100, deadline=None)
+def test_cms_upper_bound_never_undercounts(stream):
+    """The CMS estimate (min over depth rows) must upper-bound every key's
+    true count — the property that makes candidate pruning lossless."""
+    import numpy as np
+    from collections import Counter
+
+    from spark_text_clustering_spark.streaming.heavy_hitters import (
+        _CMS_DEPTH,
+        _CMS_WIDTH,
+        _cms_positions,
+    )
+
+    cms = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+    true = Counter()
+    for key, c in stream:
+        true[key] += c
+        pos = _cms_positions(np.array([key], dtype=np.int64))[0]
+        cms[np.arange(_CMS_DEPTH), pos] += c
+    for key, cnt in true.items():
+        pos = _cms_positions(np.array([key], dtype=np.int64))[0]
+        assert int(cms[np.arange(_CMS_DEPTH), pos].min()) >= cnt
+
+
+def test_bpe_merge_fold_matches_python_on_adversarial_words(spark):
+    """The aggregate-fold greedy merge application (F.get lookbehind) must
+    equal the canonical left-to-right python merge on words built to
+    stress overlap cases: runs of the merged letter, the pair at word
+    start/end, interleaved aa/ab patterns."""
+    from pyspark.sql import functions as F
+
+    words = [
+        "aaa", "aaaa", "aab", "baa", "abab", "aabb", "abba", "bab",
+        "aaab", "abaa", "bbaa", "aa", "ab", "ba", "bb", "a", "b",
+        "aabaab", "ababab", "baaab",
+    ]
+    a, b = "a", "b"
+    merged = a + b
+    df = spark.createDataFrame([(w,) for w in words], "word string").select(
+        "word",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+    la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+    fold = F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == la) & (x == lb),
+            F.concat(
+                F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+                F.array(lm),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    got = {r["word"]: r["m"] for r in df.select("word", fold.alias("m")).collect()}
+
+    def py_merge(w):
+        s, out, i = list(w), [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    for w in words:
+        assert got[w] == py_merge(w), w
