@@ -89,6 +89,8 @@ HEADLINE = [
     "quality_compression_ratio",
     "pipeline_quality_gate",
     "multimodal_resize",
+    "multimodal_bmp_decode",
+    "stream_heavy_hitters_sliding",
 ]
 
 
