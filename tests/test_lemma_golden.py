@@ -237,3 +237,113 @@ def test_porter_classic_vectors():
     }
     bad = {w: (porter_stem(w), want) for w, want in vecs.items() if porter_stem(w) != want}
     assert not bad, bad
+
+
+def _proper_noun_types(texts):
+    """Python twin of operators/text.truecase_proper_nouns' statistic, over
+    raw book text: a type is proper iff predominantly capitalized in
+    non-sentence-initial positions (>=2 such occurrences, majority cap)."""
+    import re
+    from collections import Counter
+
+    from spark_text_clustering_spark.functions.textnorm import (
+        CLEAN_PATTERN_EXTENDED,
+    )
+
+    clean_re = re.compile(CLEAN_PATTERN_EXTENDED)
+    cap_mid, tot_mid = Counter(), Counter()
+    for text in texts:
+        prev_end = True
+        for t in re.findall(r"\S+", text):
+            core = clean_re.sub(" ", t).strip()
+            first = core.split()[0] if core.split() else ""
+            if first and not prev_end:
+                key = first.lower()
+                tot_mid[key] += 1
+                if first[0].isupper():
+                    cap_mid[key] += 1
+            prev_end = t.rstrip('"”’)')[-1:] in ".!?"
+    return {w for w in tot_mid if tot_mid[w] >= 2 and 2 * cap_mid[w] > tot_mid[w]}
+
+
+@pytest.mark.skipif(
+    not (os.path.isdir(_BOOKS_EN) and os.path.exists(_VOCAB)),
+    reason="reference books/vocab absent",
+)
+def test_truecased_chain_agreement_vs_reference_vocab():
+    """Round 5: the CASE-AWARE chain — corpus-statistics truecasing
+    (proper-noun types stay cased and skip the lemma rules, everything
+    else lowercases) feeding the same P3→P7 tail — measured against the
+    reference's CASED vocabulary. The reference's CoreNLP chain keeps
+    'Alice'/'Holm' cased via POS tags; the truecasing statistic recovers
+    that class, lifting occurrence agreement from 0.9964 (lowercased
+    chain) to 0.9990. Pinned at 0.998. Residue: dialect contractions
+    ('lemme'), currency/ordinal tokens, 'er'-vs-'ere' verbs."""
+    import re
+
+    from spark_text_clustering_spark.functions.textnorm import (
+        CLEAN_PATTERN_EXTENDED,
+    )
+
+    vocab_cased = set(open(_VOCAB).read().strip().split(","))
+    vocab_lower = {t.lower() for t in vocab_cased}
+    stop = set(open(_STOPWORDS_EN).read().strip().split(","))
+    clean_re = re.compile(CLEAN_PATTERN_EXTENDED)
+    lem = RuleLemmatizer()
+
+    texts = [
+        open(os.path.join(_BOOKS_EN, b), encoding="utf-8", errors="replace").read()
+        for b in sorted(os.listdir(_BOOKS_EN))[:5]
+    ]
+    proper = _proper_noun_types(texts)
+    assert "alice" in proper and "the" not in proper  # the statistic works
+
+    tot = hit = 0
+    for text in texts:
+        for t in clean_re.sub(" ", text).split():  # NO pre-lowercase
+            lw = t.lower()
+            if lw in proper and t[:1].isupper():
+                lemma = t if len(t) > 3 else ""  # proper noun: cased, no rules
+            else:
+                lemma = lem.lemma(lw)
+            if not lemma or lemma.lower() in stop:
+                continue
+            s = porter_stem(lemma)
+            tot += 1
+            hit += s in vocab_cased or s.lower() in vocab_lower
+    agreement = hit / tot
+    assert agreement >= 0.998, f"truecased occurrence agreement {agreement:.4f}"
+
+
+@pytest.mark.skipif(not os.path.isdir(_BOOKS_EN), reason="reference books absent")
+def test_truecase_operator_on_real_text(spark, tmp_path):
+    """The Spark truecase_proper_nouns operator, run over real book text
+    loaded into a documents table, must nominate the books' protagonists
+    and never the sentence-start-only common words."""
+    import os as _os
+
+    from spark_text_clustering_spark.catalog import SCHEMAS
+    from spark_text_clustering_spark.operators.text import truecase_proper_nouns
+
+    book = sorted(_os.listdir(_BOOKS_EN))[0]
+    text = open(
+        _os.path.join(_BOOKS_EN, book), encoding="utf-8", errors="replace"
+    ).read()
+    # chunk the book into docs (the operator is per-corpus, not per-doc)
+    chunks = [text[i : i + 5000] for i in range(0, min(len(text), 200_000), 5000)]
+    rows = [(i, c, "en", "book", len(c)) for i, c in enumerate(chunks)]
+    d = str(tmp_path / "tc_sf")
+    _os.makedirs(d)
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(d, "documents.parquet"))
+
+    proper = {r["word"] for r in truecase_proper_nouns(spark, d).collect()}
+    # the first EN book is "Adventures of Captain Horn": the protagonist's
+    # NAME is nominated (65/65 capitalized mid-sentence), while 'captain'
+    # is correctly rejected — lowercase "the captain" dominates its
+    # mid-sentence occurrences (58/348) — and sentence-start-only common
+    # words never appear
+    assert "horn" in proper and "edna" in proper
+    assert "captain" not in proper
+    assert not {"the", "and", "of"} & proper
