@@ -91,6 +91,7 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_bmp_decode",
     "stream_heavy_hitters_sliding",
+    "truecase_proper_nouns",
 ]
 
 
