@@ -347,3 +347,40 @@ def test_truecase_operator_on_real_text(spark, tmp_path):
     assert "horn" in proper and "edna" in proper
     assert "captain" not in proper
     assert not {"the", "and", "of"} & proper
+
+
+@pytest.mark.skipif(not os.path.isdir(_BOOKS_EN), reason="reference books absent")
+def test_truecase_oracle_parity_on_real_text(spark, tmp_path):
+    """The driver's testdata documents are all-lowercase, so its oracle
+    check can't exercise the truecasing regexes; this pins the Spark
+    operator against its OWN DuckDB oracle on real capitalized book text
+    (full row/schema/value-hash compare — the same contract the driver
+    uses)."""
+    import os as _os
+
+    import duckdb
+
+    from spark_text_clustering_spark.catalog import SCHEMAS
+    from spark_text_clustering_spark.operators.text import (
+        _TRUECASE_ORACLE,
+        truecase_proper_nouns,
+    )
+    from .oracle_harness import compare
+
+    book = sorted(_os.listdir(_BOOKS_EN))[0]
+    text = open(
+        _os.path.join(_BOOKS_EN, book), encoding="utf-8", errors="replace"
+    ).read()
+    chunks = [text[i : i + 5000] for i in range(0, min(len(text), 200_000), 5000)]
+    rows = [(i, c, "en", "book", len(c)) for i, c in enumerate(chunks)]
+    d = str(tmp_path / "tc_oracle_sf")
+    _os.makedirs(d)
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    ok, msg = compare(truecase_proper_nouns(spark, d), con.sql(_TRUECASE_ORACLE))
+    assert ok, msg
