@@ -97,6 +97,10 @@ def decode_png_gray_pixels(data: bytes) -> list[list[int]]:
         pos += 12 + length
     raw = zlib.decompress(idat)
     stride = width  # 1 byte/pixel
+    if len(raw) != height * (stride + 1):
+        # a corrupt-but-inflatable IDAT can yield the wrong scanline total;
+        # the spec size is exact, so anything else is a damaged stream
+        raise ValueError("PNG scanline data size mismatch")
     rows: list[list[int]] = []
     prev = [0] * stride
     for y in range(height):
@@ -148,9 +152,20 @@ def encode_wav_mono16(n_samples: int, sample_rate: int) -> bytes:
 
 def decode_wav_meta(data: bytes) -> tuple[int, int, int, int]:
     """Parse WAV → (n_channels, sample_width_bytes, sample_rate, n_frames)
-    using the stdlib ``wave`` reader (real RIFF chunk parsing)."""
+    using the stdlib ``wave`` reader (real RIFF chunk parsing). The stdlib
+    raises a bare RuntimeError on some corrupt chunk seeks — translated to
+    ValueError here so malformed payloads fail with the codec-standard
+    error class."""
     import io
     import wave
 
-    with wave.open(io.BytesIO(data), "rb") as w:
-        return w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            return (
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getframerate(),
+                w.getnframes(),
+            )
+    except RuntimeError as e:
+        raise ValueError(f"corrupt WAV stream: {e or 'chunk seek failed'}") from e

@@ -135,12 +135,20 @@ def quant_table(quality: int | None) -> np.ndarray:
 
 
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length) via the canonical assignment of Annex C."""
+    """symbol -> (code, length) via the canonical assignment of Annex C.
+    Validates the table (a corrupt DHT must fail as ValueError, not index
+    past the value list or overflow the code space)."""
+    if len(bits) != 16:
+        raise ValueError("corrupt Huffman table: BITS must have 16 entries")
+    if sum(bits) != len(vals):
+        raise ValueError("corrupt Huffman table: BITS total != value count")
     codes: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("corrupt Huffman table: code space overflow")
             codes[vals[k]] = (code, length)
             code += 1
             k += 1
@@ -500,6 +508,8 @@ def _decode_baseline(data: bytes):
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at offset {pos}")
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: marker byte cut off")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -549,6 +559,16 @@ def _decode_baseline(data: bytes):
         pos += 2 + seg_len
     if sos_pos < 0 or h == 0 or not comps:
         raise ValueError("truncated JPEG: no SOS/SOF")
+    for c in comps:
+        # corrupt DHT/DQT/SOS segments must fail loudly before the MCU loop
+        if "dc" not in c or "ac" not in c:
+            raise ValueError("JPEG component missing scan table assignment")
+        if (0, c["dc"]) not in htables or (1, c["ac"]) not in htables:
+            raise ValueError("JPEG scan references an undefined Huffman table")
+        if c["qt"] not in qtables:
+            raise ValueError("JPEG component references an undefined quant table")
+        if c["hs"] < 1 or c["vs"] < 1 or c["hs"] > 4 or c["vs"] > 4:
+            raise ValueError("invalid JPEG sampling factors")
     restart_interval = dri_interval
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)

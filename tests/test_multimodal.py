@@ -550,3 +550,68 @@ def test_multimodal_bmp_decode_spark(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["sum_r"] == sum(((d + y) % 256) * w for y in range(h))
         assert r["sum_b"] == sum(((3 * d + y) % 256) * w for y in range(h))
+
+
+def test_decoders_fuzz_fail_cleanly():
+    """Adversarial-bytes sweep over every decoder: random garbage, bit-
+    flipped valid streams, and header-only prefixes must raise controlled
+    errors (ValueError / NotImplementedError / struct.error / zlib.error /
+    EOFError / wave.Error) — never IndexError/KeyError/UnboundLocalError
+    or a silent wrong result crash class. 300 seeded cases per codec."""
+    import struct as _struct
+    import wave
+    import zlib
+
+    import numpy as np
+
+    from spark_text_clustering_spark.functions import (
+        avicodec as av,
+        bmpcodec as bc,
+        gifcodec as gc,
+        imagecodec as ic,
+        jpegcodec as jc,
+    )
+
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    rgbimg = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    valid = {
+        "png": ic.encode_png_gray(16, 16, [int(v) for v in img[:, 0]]),
+        "jpeg": jc.encode_jpeg_gray(img),
+        "gif": gc.encode_gif_gray([[int(v) for v in row] for row in img[:4, :4]]),
+        "bmp": bc.encode_bmp24(rgbimg),
+        "wav": ic.encode_wav_mono16(32, 8000),
+    }
+    valid["avi"] = av.encode_avi_mjpeg([valid["jpeg"]], 16, 16)
+    decoders = {
+        "png": ic.decode_png_gray_pixels,
+        "jpeg": jc.decode_jpeg_gray,
+        "gif": gc.decode_gif_frames,
+        "bmp": bc.decode_bmp24,
+        "wav": ic.decode_wav_meta,
+        "avi": av.decode_avi_mjpeg_frames,
+    }
+    allowed = (ValueError, NotImplementedError, _struct.error, zlib.error,
+               EOFError, wave.Error)
+    for name, dec in decoders.items():
+        base = bytearray(valid[name])
+        for trial in range(300):
+            kind = trial % 3
+            if kind == 0:  # pure garbage with the right magic prefix
+                n = int(rng.integers(8, 200))
+                data = bytes(base[:8]) + bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            elif kind == 1:  # single random byte corruption
+                data = bytearray(base)
+                data[int(rng.integers(0, len(data)))] ^= int(rng.integers(1, 256))
+                data = bytes(data)
+            else:  # random truncation
+                data = bytes(base[: int(rng.integers(0, len(base)))])
+            try:
+                dec(data)
+            except allowed:
+                pass
+            except Exception as e:  # pragma: no cover - the failure we hunt
+                raise AssertionError(
+                    f"{name} decoder raised {type(e).__name__} on fuzzed input "
+                    f"(trial {trial}, kind {kind}): {e}"
+                ) from e
