@@ -547,12 +547,18 @@ def _decode_baseline(data: bytes):
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             dri_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS
+            if not payload:
+                raise ValueError("truncated SOS segment")
             ns = payload[0]
             if ns != len(comps):
                 raise ValueError("non-interleaved scans not supported")
+            if len(payload) < 1 + 2 * ns:
+                raise ValueError("truncated SOS segment")
             by_id = {c["id"]: c for c in comps}
             for s in range(ns):
                 cid, tabs = payload[1 + 2 * s], payload[2 + 2 * s]
+                if cid not in by_id:
+                    raise ValueError("SOS references a component not in SOF")
                 by_id[cid]["dc"], by_id[cid]["ac"] = tabs >> 4, tabs & 0x0F
             sos_pos = pos + 2 + seg_len
             break

@@ -583,9 +583,11 @@ def test_decoders_fuzz_fail_cleanly():
         "wav": ic.encode_wav_mono16(32, 8000),
     }
     valid["avi"] = av.encode_avi_mjpeg([valid["jpeg"]], 16, 16)
+    valid["jpeg_rgb"] = jc.encode_jpeg_rgb(rgbimg)
     decoders = {
         "png": ic.decode_png_gray_pixels,
         "jpeg": jc.decode_jpeg_gray,
+        "jpeg_rgb": jc.decode_jpeg_rgb,
         "gif": gc.decode_gif_frames,
         "bmp": bc.decode_bmp24,
         "wav": ic.decode_wav_meta,
