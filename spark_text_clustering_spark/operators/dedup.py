@@ -665,6 +665,32 @@ GROUP BY doc_id, island
 """
 
 
+def _span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, gh) — every 30-char window's position and 8-byte
+    xxhash64. Split out so tests/test_plans.py can audit the
+    pre-checkpoint plan: the exchange must carry the hash, never the gram
+    string."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _SPAN_L
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - _SPAN_L + 1)
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        # shuffle the 8-byte hash, never the 30-char gram string (~4x less
+        # shuffle; a cross-doc xxhash64 collision would need ~2^32 grams
+        # to become likely — negligible against the DuckDB string-exact
+        # oracle at test scales, and at 100 TB the hash key is the only
+        # viable choice anyway)
+        F.xxhash64(F.substring("text", F.col("pos"), F.lit(_SPAN_L))).alias("gh"),
+    )
+
+
 @REG.register("dedup_duplicate_spans", oracle=_DUP_SPANS_ORACLE)
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-SUBSTRING detection (round 5) — the span-level
@@ -691,33 +717,12 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     if memo_key in _SPAN_GRAMS_MEMO:
         grams = _SPAN_GRAMS_MEMO[memo_key]
     else:
-        docs = load_table(spark, sf_dir, "documents").where(
-            F.length("text") >= _SPAN_L
-        )
-        grams = docs.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.length("text") - _SPAN_L + 1)
-            ).alias("pos"),
-            "text",
-        ).select(
-            "doc_id",
-            F.col("pos").cast("long").alias("pos"),
-            # shuffle the 8-byte hash, never the 30-char gram string (~4x
-            # less shuffle; a cross-doc xxhash64 collision would need ~2^32
-            # grams to become likely — negligible against the DuckDB
-            # string-exact oracle at test scales, and at 100 TB the hash
-            # key is the only viable choice anyway)
-            F.xxhash64(
-                F.substring("text", F.col("pos"), F.lit(_SPAN_L))
-            ).alias("gh"),
-        )
         # the gram frame feeds BOTH the dup aggregate and the semi-join
         # probe; one materialization avoids the double text explode
         # (measured 4.7 -> 3.3 s at sf0.1); memoized per (app, sf_dir) so
         # repeated driver calls don't leak checkpoint blocks — the same
         # pattern as the minhash feature memo above
-        grams = grams.localCheckpoint(eager=True)
+        grams = _span_grams(spark, sf_dir).localCheckpoint(eager=True)
         _SPAN_GRAMS_MEMO[memo_key] = grams
     dup = (
         grams.groupBy("gh")

@@ -329,11 +329,22 @@ def test_stream_heavy_hitters_single_count_shuffle(spark):
 def test_duplicate_spans_shuffles_hashes_not_grams(spark):
     """Round 5: the duplicated-span detector's dup-gram aggregate must key
     on the 8-byte xxhash64, not the 30-char gram string — the exchange
-    carries (gh, doc_id), never text."""
-    plan = plan_of(spark, "dedup_duplicate_spans")
+    carries (gh, doc_id), never text. Audited on the PRE-checkpoint gram
+    plan (the registered query memoizes the materialized frame, which
+    hides the expression behind an ExistingRDD scan)."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.operators.dedup import _span_grams
+    from .conftest import SF_ORACLE
+
+    grams = _span_grams(spark, SF_ORACLE)
+    agg = grams.groupBy("gh").agg(F.count_distinct("doc_id").alias("nd"))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        agg._jdf.queryExecution(), "formatted"
+    )
     assert "xxhash64" in plan
-    # the first exchange (gram dedup agg) partitions on the hash column
     assert "hashpartitioning(gh" in plan
+    assert "gram" not in plan  # no string gram column anywhere in the plan
 
 
 def test_quality_gate_single_tiny_shuffle(spark):
