@@ -549,3 +549,19 @@ def test_bpe_merge_fold_matches_python_on_adversarial_words(spark):
 
     for w in words:
         assert got[w] == py_merge(w), w
+
+
+@given(st.text(min_size=0, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_lemmatizer_total_on_arbitrary_unicode(w):
+    """RuleLemmatizer.lemma and porter_stem must be total functions on any
+    unicode input (emoji, combining marks, RTL, digits): no exception,
+    and lemma output is always lowercase-or-empty with the >3 gate."""
+    from spark_text_clustering_spark.functions.lemmatize import RuleLemmatizer
+    from spark_text_clustering_spark.functions.porter import porter_stem
+
+    lem = RuleLemmatizer()
+    out = lem.lemma(w)
+    assert out == "" or len(out) > 3
+    assert out == out.lower()
+    porter_stem(out or w.lower())  # must not raise either
