@@ -152,3 +152,60 @@ def test_jpeg_decode_at_10x(spark, inflated_docs):
     dt = time.perf_counter() - t0
     assert n == inflated_docs.count()
     assert dt < 90, f"10x JPEG round trips took {dt:.1f}s"
+
+
+def test_duplicate_spans_at_10x_total_duplication(spark, inflated_docs):
+    """Worst case for the span detector: EVERY doc has 9 exact copies, so
+    every 30-gram is cross-doc duplicated and every position is a hit —
+    the maximal hit volume the gaps-and-islands merge can face. The
+    pipeline must stay linear (measured ~5 s for 5k docs / ~10M grams on
+    local[32]) and the output must be exactly ONE maximal span per doc
+    covering the whole text (positions 1 .. len-29)."""
+    from pyspark.sql import Window
+
+    L = 30
+    grams = (
+        inflated_docs.where(F.length("text") >= L)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - L + 1)).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.xxhash64(F.substring("text", F.col("pos"), F.lit(L))).alias("gh"),
+            F.length("text").alias("tlen"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "leftsemi").select("doc_id", "pos", "tlen")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "ni",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > L),
+            1,
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + L - 1).alias("span_end"),
+        F.first("tlen").alias("tlen"),
+    )
+    n_docs = inflated_docs.where(F.length("text") >= L).count()
+    assert spans.count() == n_docs  # exactly one island per doc
+    # and each island covers the entire document
+    bad = spans.where(
+        (F.col("span_start") != 1) | (F.col("span_end") != F.col("tlen"))
+    ).count()
+    assert bad == 0
