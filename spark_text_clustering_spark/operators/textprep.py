@@ -461,3 +461,67 @@ def bpe_train_merges(
             eager=True
         )
     return spark.createDataFrame(merges, out_schema)
+
+
+def bpe_apply_merges(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a LEARNED merge table to a (word, freq) frame — the encode
+    side of the BPE lifecycle: replay each (left, right) merge in training
+    order with the same greedy left-to-right fold ``bpe_train_merges``
+    uses. Input column ``word``; output adds ``tokens array<string>``.
+    All-JVM; each merge is one narrow projection over the vocab-sized
+    frame (checkpoint every few steps keeps the plan flat)."""
+    syms = words.withColumn(
+        "tokens",
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+    )
+    for step, (a, b) in enumerate(merges):
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
+        apply_merge = F.aggregate(
+            F.col("tokens"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.get(acc, F.size(acc) - 1) == la) & (x == lb),
+                F.concat(
+                    F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+                    F.array(lm),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.withColumn("tokens", apply_merge)
+        if (step + 1) % 4 == 0:
+            syms = syms.localCheckpoint(eager=True)
+    return syms
+
+
+@REG.register("bpe_encode_corpus")  # rows-only: applies the iteratively-learned
+# merge table (driver loop in training); token frequencies golden-tested vs a
+# pure-Python BPE encode in tests/test_lm.py
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE tokenizer LIFECYCLE (round 5): train the merge table
+    with `bpe_train_merges`, then ENCODE the corpus with it and emit the
+    resulting subword-token frequency table — what a tokenizer build job
+    ships alongside the merges. Both phases work over the vocab-sized
+    distinct-word table (corpus scanned once, at word-count time); the
+    output aggregates corpus-weighted token frequencies, top-50 with a
+    deterministic (cnt desc, token asc) tiebreak."""
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(spark, sf_dir).orderBy("step").collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    encoded = bpe_apply_merges(words, merges)
+    return (
+        encoded.select(F.explode("tokens").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(50)
+    )

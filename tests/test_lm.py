@@ -143,3 +143,51 @@ def test_compression_ratio_matches_driver_zlib(spark):
     # property: a pathological repeat compresses below any real doc
     rep = "spam ham " * 500
     assert len(zlib.compress(rep.encode(), 6)) / len(rep.encode()) < min(got.values())
+
+
+def test_bpe_encode_corpus_matches_python_reference(spark):
+    """The encode side of the BPE lifecycle: applying the learned merge
+    table must produce exactly the subword-token frequency table a
+    pure-Python train+encode produces from the identical word counts."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    got = [
+        (r["token"], r["cnt"])
+        for r in QUERIES["bpe_encode_corpus"](spark, SF_SMALL).collect()
+    ]
+
+    pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["text"])
+    freqs = Counter()
+    for t in pdf["text"].dropna():
+        for w in re.split(r"\s+", t.lower()):
+            if len(w) >= 2:
+                freqs[w] += 1
+    syms = {w: list(w) for w in freqs}
+    for _step in range(10):  # _BPE_N_MERGES
+        counts = Counter()
+        for w, f in freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (a, b), _ = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    tok_counts = Counter()
+    for w, f in freqs.items():
+        for t in syms[w]:
+            tok_counts[t] += f
+    want = sorted(tok_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert got == want
