@@ -1247,3 +1247,113 @@ def knn_cosine_ivfpq_stored(
         spark, emb, books, centroids, codes_df, sample_rows, nprobe, out_schema,
         n_queries=n_queries,
     )
+
+
+def build_lsh_index(
+    spark: SparkSession, sf_dir: str, *, num_hash_tables: int = 4
+) -> str | None:
+    """One-time LSH index build (round 5 — completes the stored-index
+    matrix: LSH, IVF, PQ, IVF+PQ all have durable parquet twins): fit the
+    seeded random-projection model once, hash every normalized vector,
+    and WRITE the bucket assignment as parquet partitioned by
+    (hash-table, bucket) plus the normalized vectors alongside — queries
+    then read only their own buckets at the directory level. Memoized per
+    (sf_dir, tables). Returns None on an empty corpus."""
+    import tempfile
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    memo_key = (sf_dir, "lsh-stored-path", num_hash_tables)
+    if memo_key in _PQ_MEMO:
+        return _PQ_MEMO[memo_key]
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("e"))
+        .where(_l2norm(F.col("e")) > 0)
+    )
+    if emb.isEmpty():
+        return None
+    normed = emb.select(
+        "vec_id",
+        F.transform("e", lambda x: x / _l2norm(F.col("e"))).alias("ne"),
+    ).withColumn(
+        "features",
+        F.when(F.col("ne").isNotNull(), array_to_vector(F.col("ne"))),
+    ).where(F.col("features").isNotNull()).localCheckpoint(eager=True)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(normed)
+    hashed = model.transform(normed).select(
+        "vec_id",
+        "ne",
+        F.posexplode("hashes").alias("t", "hv"),
+    ).select(
+        "vec_id",
+        "ne",
+        "t",
+        vector_to_array("hv").getItem(0).cast("long").alias("bucket"),
+    )
+    base = tempfile.mkdtemp(prefix="lsh_index_")
+    hashed.write.mode("overwrite").partitionBy("t", "bucket").parquet(
+        f"{base}/buckets"
+    )
+    _PQ_MEMO[memo_key] = base
+    return base
+
+
+@REG.register("knn_cosine_lsh_stored")  # rows-only: approximate (seeded, deterministic)
+def knn_cosine_lsh_stored(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    euclid_threshold: float = 1.0,
+    num_hash_tables: int = 4,
+) -> DataFrame:
+    """LSH neighbor pairs against the STORED bucket index: candidates are
+    pairs sharing any (hash-table, bucket) partition of the stored
+    assignment — the identical candidate rule `approxSimilarityJoin` uses
+    (same model seed, same bucket length) — then the exact euclidean
+    post-filter on the stored normalized vectors. Results must reproduce
+    `knn_cosine_lsh` (asserted in tests/test_search.py; cosine values are
+    equal to 6 decimals, the operator's output precision). At 100 TB the
+    bucket join is partition-pruned parquet reads, and the index build is
+    a once-per-corpus batch job like its IVF/PQ siblings."""
+    base = build_lsh_index(spark, sf_dir, num_hash_tables=num_hash_tables)
+    out_schema = "id_a long, id_b long, cosine_sim double"
+    if base is None:
+        return spark.createDataFrame([], out_schema)
+    idx = spark.read.parquet(f"{base}/buckets")
+    a = idx.select(
+        "t", "bucket", F.col("vec_id").alias("id_a"), F.col("ne").alias("na")
+    )
+    b = idx.select(
+        "t", "bucket", F.col("vec_id").alias("id_b"), F.col("ne").alias("nb")
+    )
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "na", "nb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("na"), F.col("nb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    euclid = F.sqrt(d2)
+    return (
+        cand.withColumn("euclid", euclid)
+        .where(F.col("euclid") <= F.lit(euclid_threshold))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(1 - F.col("euclid") * F.col("euclid") / 2, 6).alias("cosine_sim"),
+        )
+    )

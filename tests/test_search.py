@@ -293,3 +293,40 @@ def test_ivfpq_stored_index_matches_memoized(spark):
         probe._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in plan and "cluster" in plan
+
+
+def test_lsh_stored_index_matches_live(spark):
+    """The stored LSH bucket index (same model seed/bucket length, read
+    back from partitioned parquet) must return the same neighbor-pair set
+    as the live approxSimilarityJoin, with cosine values equal at the
+    operator's 6-decimal output precision; probing it must show
+    partition filters (the directory-pruning property)."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.operators.similarity import (
+        build_lsh_index,
+        knn_cosine_lsh,
+        knn_cosine_lsh_stored,
+    )
+    from .conftest import SF_ORACLE
+
+    live = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in knn_cosine_lsh(spark, SF_ORACLE).collect()
+    }
+    stored = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in knn_cosine_lsh_stored(spark, SF_ORACLE).collect()
+    }
+    assert stored.keys() == live.keys()
+    for k in live:
+        assert abs(stored[k] - live[k]) <= 1e-6, (k, stored[k], live[k])
+
+    base = build_lsh_index(spark, SF_ORACLE)
+    probe = spark.read.parquet(f"{base}/buckets").where(
+        (F.col("t") == 0) & (F.col("bucket") == 0)
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
