@@ -90,6 +90,7 @@ HEADLINE = [
     "pipeline_quality_gate",
     "multimodal_resize",
     "multimodal_bmp_decode",
+    "multimodal_tiff_decode",
     "stream_heavy_hitters_sliding",
     "truecase_proper_nouns",
 ]

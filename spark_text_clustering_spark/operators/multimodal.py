@@ -107,12 +107,13 @@ def decode_real(payload: bytes, codec: str):
     pure-numpy T.81 baseline decoder, GIF → RGB pixel grids per frame
     (variable-width LZW), AVI → list of MJPEG frame payloads, BMP →
     (h, w, 3) RGB array (24-bit BI_RGB DIB). Formats with no in-repo
-    codec (e.g. TIFF, non-MJPEG video) raise."""
+    codec (e.g. non-MJPEG video) raise."""
     from ..functions import avicodec as av
     from ..functions import bmpcodec as bc
     from ..functions import gifcodec as gc
     from ..functions import imagecodec as ic
     from ..functions import jpegcodec as jc
+    from ..functions import tiffcodec as tfc
 
     fmt = codec or ic.sniff_format(payload)
     if fmt == "png":
@@ -127,6 +128,8 @@ def decode_real(payload: bytes, codec: str):
         return av.decode_avi_mjpeg_frames(payload)
     if fmt == "bmp":
         return bc.decode_bmp24(payload)
+    if fmt == "tiff":
+        return tfc.decode_tiff(payload)
     raise NotImplementedError(f"decode for {fmt!r} requires external codec libs")
 
 
@@ -781,4 +784,73 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bmp_roundtrip,
         schema="doc_id long, width int, height int,"
         " sum_r long, sum_g long, sum_b long",
+    )
+
+
+# Deterministic TIFF geometry: 8-bit gray, row-constant value
+# (doc_id + 3y) % 256, PackBits + RowsPerStrip=2 — so the decode must
+# stitch multiple RLE strips to land the exact closed-form pixel sum.
+_TIFF_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 1 AS width, doc_id % 7 + 1 AS height
+  FROM documents WHERE doc_id IS NOT NULL),
+rws AS (
+  SELECT doc_id, width, height,
+         unnest(generate_series(0, height - 1)) AS y
+  FROM dims)
+SELECT doc_id,
+       CAST(width  AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST((height + 1) // 2 AS INT) AS n_strips,
+       CAST(SUM(((doc_id + 3 * y) % 256) * width) AS BIGINT) AS sum_px
+FROM rws
+GROUP BY doc_id, width, height
+"""
+
+
+def _tiff_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode a real strip-based PackBits TIFF per doc, decode it back
+    through the shared dispatch, and emit facts computed ONLY from the
+    decoded pixel array."""
+    import numpy as np
+
+    from ..functions import tiffcodec as tfc
+
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "n_strips": [],
+               "sum_px": []}
+        for doc_id in pdf["doc_id"].dropna():
+            d = int(doc_id)
+            w, h = d % 13 + 1, d % 7 + 1
+            rows = (np.arange(h) * 3 + d) % 256
+            img = np.broadcast_to(rows[:, None], (h, w)).astype(np.uint8)
+            enc = tfc.encode_tiff(img, packbits=True, rows_per_strip=2)
+            dec = np.asarray(decode_real(enc, "tiff"), dtype=np.int64)
+            out["doc_id"].append(d)
+            out["height"].append(dec.shape[0])
+            out["width"].append(dec.shape[1])
+            out["n_strips"].append((dec.shape[0] + 1) // 2)
+            out["sum_px"].append(int(dec.sum()))
+        yield pd.DataFrame(out)
+
+
+@REG.register("multimodal_tiff_decode", oracle=_TIFF_ORACLE)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF 6.0 decode over ``mapInPandas`` (round 5, seventh codec):
+    writes genuine little-endian strip-based PackBits TIFF bytes
+    (functions/tiffcodec.py — IFD walk, RLE strips, RowsPerStrip=2) and
+    decodes them back through the shared ``decode_real`` dispatch,
+    emitting pixel sums computed only from the decoded array. TIFF is
+    lossless, so the closed-form oracle is exact; multi-strip stitching
+    is what the sum actually exercises. Narrow map like its siblings —
+    binary in, fixed-size facts out, Arrow-bounded memory; at 100 TB the
+    Python codec swaps for a native one behind the same dispatch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id").isNotNull()
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.mapInPandas(
+        _tiff_roundtrip,
+        schema="doc_id long, width int, height int, n_strips int,"
+        " sum_px long",
     )

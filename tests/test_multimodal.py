@@ -99,9 +99,22 @@ def test_decode_real_dispatch():
     # a ValueError, not an unsupported format)
     with pytest.raises(ValueError):
         decode_real(b"BM......", "")
-    # formats with no in-repo codec still raise (TIFF magic -> unknown)
-    with pytest.raises(NotImplementedError):
+    # TIFF now dispatches to the in-repo strip codec (malformed payload is
+    # a ValueError, not an unsupported format)
+    with pytest.raises(ValueError):
         decode_real(b"II*\x00........", "")
+    import numpy as np2  # noqa: F401
+
+    from spark_text_clustering_spark.functions import tiffcodec as tfc
+
+    timg = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert np.array_equal(
+        decode_real(tfc.encode_tiff(timg, packbits=True, rows_per_strip=2), ""),
+        timg,
+    )
+    # formats with no in-repo codec still raise (e.g. mp4 video)
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x00\x00\x00\x18ftypmp42", "mp4")
 
 
 def test_sniff_formats():
@@ -570,6 +583,7 @@ def test_decoders_fuzz_fail_cleanly():
         gifcodec as gc,
         imagecodec as ic,
         jpegcodec as jc,
+        tiffcodec as tfc,
     )
 
     rng = np.random.default_rng(99)
@@ -581,6 +595,7 @@ def test_decoders_fuzz_fail_cleanly():
         "gif": gc.encode_gif_gray([[int(v) for v in row] for row in img[:4, :4]]),
         "bmp": bc.encode_bmp24(rgbimg),
         "wav": ic.encode_wav_mono16(32, 8000),
+        "tiff": tfc.encode_tiff(img, packbits=True, rows_per_strip=3),
     }
     valid["avi"] = av.encode_avi_mjpeg([valid["jpeg"]], 16, 16)
     valid["jpeg_rgb"] = jc.encode_jpeg_rgb(rgbimg)
@@ -592,6 +607,7 @@ def test_decoders_fuzz_fail_cleanly():
         "bmp": bc.decode_bmp24,
         "wav": ic.decode_wav_meta,
         "avi": av.decode_avi_mjpeg_frames,
+        "tiff": tfc.decode_tiff,
     }
     allowed = (ValueError, NotImplementedError, _struct.error, zlib.error,
                EOFError, wave.Error)
@@ -617,3 +633,22 @@ def test_decoders_fuzz_fail_cleanly():
                     f"{name} decoder raised {type(e).__name__} on fuzzed input "
                     f"(trial {trial}, kind {kind}): {e}"
                 ) from e
+
+
+def test_multimodal_tiff_decode_spark(spark):
+    """The registered TIFF key decodes genuine strip-based PackBits TIFF
+    bytes executor-side and the pixel sums match the closed-form
+    construction (multi-strip stitching included)."""
+    from spark_text_clustering_spark.operators.multimodal import (
+        multimodal_tiff_decode,
+    )
+    from .conftest import SF_SMALL
+
+    rows = multimodal_tiff_decode(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows[:20]:
+        d = r["doc_id"]
+        w, h = d % 13 + 1, d % 7 + 1
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_strips"] == (h + 1) // 2
+        assert r["sum_px"] == sum(((d + 3 * y) % 256) * w for y in range(h))
