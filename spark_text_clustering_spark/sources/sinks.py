@@ -57,3 +57,17 @@ def compact_small_files(
     n_files = max(1, round(input_bytes / (target_file_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
     return len(glob.glob(os.path.join(dst_path, "*.parquet")))
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (native Spark datasource — orc-core ships in the distro).
+
+    ORC is the columnar interchange for Hive-side consumers; like parquet
+    it carries column statistics and supports predicate pushdown on
+    re-read, so a 100 TB table written here scans with PushedFilters
+    rather than full-file reads."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -168,3 +168,29 @@ def test_shard_write_read_pipeline(spark, tmp_path):
     assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters", 1)[1][:200]
     expected = sharded.where(F.col("shard") == 3).count()
     assert one.count() == expected and expected > 0
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC completes the columnar source/sink matrix next to parquet:
+    values round-trip exactly and a filtered re-read reaches the ORC scan
+    as a pushed-down predicate (not a post-scan Filter over full rows)."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.catalog import load_table
+    from spark_text_clustering_spark.sources.sinks import read_orc, write_orc
+
+    from .conftest import SF_SMALL
+
+    src = load_table(spark, SF_SMALL, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in src.collect()
+    )
+    filtered = back.where(F.col("n_regionkey") == 2).select("n_name")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan.split(
+        "PushedFilters"
+    )[1][:120]
+    assert filtered.count() == src.where("n_regionkey = 2").count()
