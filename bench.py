@@ -216,6 +216,17 @@ def main() -> None:
     from spark_text_clustering_spark.ml.vectorize import vectorize
 
     try:
+        # The ~75 query keys above leave accumulated SparkContext state
+        # (listener/UI history, shuffle registrations) that slows EM's 50
+        # tight iterations ~1.7x (0.87 vs 0.51 s/iter measured on a quiet
+        # machine; clearCache + System.gc alone does NOT recover it, and
+        # the localCheckpoint memos were ruled out by A/B). Restart the
+        # context so the reference-comparable number measures LDA, not
+        # the battery's residue — on a real cluster the training job is
+        # its own application anyway.
+        spark.stop()
+        spark = get_session("bench-lda", master=f"local[{CPUS}]")
+        spark.sparkContext.setLogLevel("ERROR")
         docs = load_table(spark, SF_DIR, "documents")
         vec, _ = vectorize(docs, vocab_size=2_900_000, min_doc_freq=2)
         # size the EM graph's partitions to the DATA (~512 docs each,
