@@ -104,13 +104,24 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
+    # Keys whose registered callable does the work at PLAN-CONSTRUCTION
+    # time (driver-side iterative loops with per-iteration actions), so
+    # timing only the final materialization would miss ~95% of the cost
+    # (round-5 finding: bpe_train_merges benched 0.24 s vs ~3.8 s real).
+    # For these, the timer wraps construction + execution.
+    EAGER_KEYS = {"bpe_train_merges"}
     for key in HEADLINE:
         try:
             # one warmup run (codegen/JIT), one measured run
             QUERIES[key](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            df = QUERIES[key](spark, SF_DIR)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            if key in EAGER_KEYS:
+                t0 = time.perf_counter()
+                df = QUERIES[key](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df = QUERIES[key](spark, SF_DIR)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
             timings[key] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # one broken key must not void the round's metric
             failed[key] = f"{type(e).__name__}: {e}"[:200]
@@ -280,7 +291,44 @@ def main() -> None:
         out["failed"] = failed
         out["n_failed"] = len(failed)
         out["value_complete"] = False
-    print(json.dumps(out))
+
+    # --- Output, sized for the driver's capture (round-5 finding) ---
+    # The driver keeps only a fixed ~2000-char TAIL of stdout and parses
+    # the summary JSON from it. Round 4's line was 1979 chars (barely
+    # fit); round 5's query set pushed it past 2000 and the official
+    # artifact recorded parsed:null. So:
+    #   1. the COMPLETE summary goes to BENCH_FULL.json next to this
+    #      script (judge-readable, canonical);
+    #   2. per-query timings print as short sorted lines (tail-greppable);
+    #   3. the FINAL stdout line is the contract JSON, with "queries"
+    #      filled slowest-first until the serialized line fits the tail
+    #      budget — the headline total always covers ALL keys.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            json.dump(out, f)
+            f.write("\n")
+    except OSError:
+        pass
+    for k in sorted(timings):
+        print(f"BENCHQ {k} {timings[k]}")
+
+    TAIL_BUDGET = 1880  # driver tail is 2000; leave margin for newline/wrap
+    bounded = dict(out)
+    bounded["detail"] = "BENCH_FULL.json"
+    by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    picked: dict[str, float] = {}
+    for k, v in by_cost:
+        trial = dict(bounded)
+        trial["queries"] = {**picked, k: v}
+        trial["queries_omitted"] = len(timings) - len(trial["queries"])
+        if len(json.dumps(trial, separators=(",", ":"))) > TAIL_BUDGET:
+            break
+        picked[k] = v
+    bounded["queries"] = picked
+    bounded["queries_omitted"] = len(timings) - len(picked)
+    sys.stdout.flush()
+    print(json.dumps(bounded, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -114,8 +114,17 @@ def encode_tiff(
     raw = px.reshape(h, w * spp)
     strips = []
     for y0 in range(0, h, rows_per_strip):
-        chunk = raw[y0 : y0 + rows_per_strip].tobytes()
-        strips.append(packbits_encode(chunk) if packbits else chunk)
+        rows = raw[y0 : y0 + rows_per_strip]
+        if packbits:
+            # TIFF 6.0 §9: "When PackBits data is decompressed ... do not
+            # compress across row boundaries" — each row is packed
+            # independently and the per-row streams concatenated, so a
+            # replicate/literal packet never spans two rows and strict
+            # external decoders that reset per row stay in sync
+            # (round-6 ADVICE fix; previously whole strips were packed).
+            strips.append(b"".join(packbits_encode(r.tobytes()) for r in rows))
+        else:
+            strips.append(rows.tobytes())
     n_strips = len(strips)
 
     # layout: header(8) | IFD | [bits extra for RGB] | offsets/counts arrays | strips

@@ -624,7 +624,19 @@ def incremental_dedup_minhash(
     _band_rows(survivors).write.mode("overwrite").parquet(
         f"{store_path}/bands/batch_id={batch_id}"
     )
-    return survivors.select("doc_id")
+    # Documents too short to carry a 3-gram shingle (< 3 whitespace
+    # tokens, or null/empty text) produce NO signature, so they appear in
+    # neither the candidate machinery nor the store. Under the 3-gram
+    # Jaccard definition they cannot be near-duplicates of anything, so
+    # they must SURVIVE — union them back (round-6 ADVICE fix; previously
+    # they silently vanished from the output). They stay out of the
+    # signature store by construction (nothing can ever match them), and
+    # a replayed batch recomputes the same unsigned set, preserving the
+    # retry-idempotence contract.
+    unsigned = new_docs.select("doc_id").join(
+        sigs.select("doc_id"), "doc_id", "left_anti"
+    )
+    return survivors.select("doc_id").unionAll(unsigned)
 
 
 _SPAN_L = 30  # duplicated-substring window length (chars)

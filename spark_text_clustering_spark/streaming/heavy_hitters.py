@@ -19,8 +19,17 @@ Per tumbling event-time window, find every key (user_id) that accounts for
   2. verify pass: exact per-(window, candidate) counts over the archived
      events (the bronze table every streaming pipeline lands anyway),
      restricted by a broadcast semi-join to the candidate set — the
-     shuffle carries candidate rows only, never the keyspace. Output is
-     therefore exact, same as the batch twin.
+     shuffle carries candidate rows only, never the keyspace.
+
+Exactness caveat (round-6 ADVICE): the stream pass drops rows later than
+the watermark (same policy as Spark's built-in windowed aggregations),
+while the verify pass counts the FULL archive. So the output is exact
+when no data arrives late — the tested replay regime. A key heavy only
+because of late-arriving events may never become a candidate; with late
+data the guarantee degrades to "exact over every key the on-time stream
+nominated". Production options: widen ``delay_seconds`` so the watermark
+admits the expected lateness, or run the batch twin
+(``heavy_hitters_cms``) over the archive as a reconciliation pass.
 
 Reference scope: the reference is batch-only (SURVEY §2.9 streaming gap
 list); this is the streaming member of the sketch family its pipeline
@@ -30,9 +39,6 @@ would need at production scale.
 from __future__ import annotations
 
 import math
-import os
-import shutil
-import tempfile
 from collections.abc import Iterable
 
 import numpy as np

@@ -177,3 +177,48 @@ def test_incremental_minhash_matches_exact_jaccard(spark, tmp_path):
     assert exact_hi <= dropped, f"missed near-dups: {exact_hi - dropped}"
     for d in dropped:
         assert best[d] >= 0.5, f"false drop: doc {d} best exact jaccard {best[d]:.2f}"
+
+
+def test_incremental_minhash_keeps_unshingleable_docs(spark, tmp_path):
+    """Round-6 ADVICE fix: documents with < 3 whitespace tokens (or null
+    text) carry no 3-gram shingle, hence no signature. They cannot be
+    near-dups under the shingle definition, so they must SURVIVE — the
+    r5 code silently dropped them from both output and store."""
+    import numpy as np
+
+    from spark_text_clustering_spark.operators.dedup import (
+        incremental_dedup_minhash,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = [(1, _word_doc(rng, vocab)), (2, _word_doc(rng, vocab))]
+    short = [(50, "two tokens"), (51, "one"), (52, ""), (53, None)]
+    docs = _mk_docs(spark, rows + short)
+    store = str(tmp_path / "mh_short_store")
+
+    out1 = {
+        r["doc_id"]
+        for r in incremental_dedup_minhash(spark, docs, store, batch_id="b1").collect()
+    }
+    assert out1 == {1, 2, 50, 51, 52, 53}
+
+    # unsigned docs never enter the signature store (nothing can match them)
+    sig_store = spark.read.parquet(f"{store}/signatures")
+    assert {r["doc_id"] for r in sig_store.collect()} == {1, 2}
+
+    # retry idempotence holds with unsigned docs in the batch
+    out1b = {
+        r["doc_id"]
+        for r in incremental_dedup_minhash(spark, docs, store, batch_id="b1").collect()
+    }
+    assert out1b == out1
+
+    # a later batch re-sending a short doc still keeps it (no signature
+    # history to match), while a real near-dup of doc 1 is dropped
+    b2 = _mk_docs(spark, [(60, "two tokens"), (61, rows[0][1] + " tail")])
+    out2 = {
+        r["doc_id"]
+        for r in incremental_dedup_minhash(spark, b2, store, batch_id="b2").collect()
+    }
+    assert out2 == {60}
