@@ -85,6 +85,7 @@ HEADLINE = [
     "quality_filter_per_lang",
     "bpe_train_merges",
     "dedup_duplicate_spans",
+    "dedup_duplicate_spans_strided",
     "quality_dup_line_fraction",
     "quality_compression_ratio",
     "pipeline_quality_gate",

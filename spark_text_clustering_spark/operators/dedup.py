@@ -743,6 +743,14 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gh")
     )
     hits = grams.join(dup, "gh", "leftsemi").select("doc_id", "pos")
+    return _span_islands(hits)
+
+
+def _span_islands(hits: DataFrame) -> DataFrame:
+    """Gaps-and-islands over exact duplicated-window hit positions: lag +
+    running sum merges overlapping/adjacent windows (next <= prev + L)
+    into maximal (doc_id, span_start, span_end, span_len) spans — shared
+    by the full-scan and strided operators, whose hit sets are equal."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     flagged = hits.withColumn(
         "new_island",
@@ -761,3 +769,151 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + _SPAN_L - 1).alias("span_end"),
         (F.max("pos") + _SPAN_L - F.min("pos")).alias("span_len"),
     ).select("doc_id", "span_start", "span_end", "span_len")
+
+
+_SPAN_STRIDE = 4
+
+# memoized discovery frames per (applicationId, sf_dir, stride) — the same
+# pattern (and rationale) as _SPAN_GRAMS_MEMO on the full-scan twin: the
+# checkpointed seed/bloom/rescan build feeds every downstream call, so
+# repeated invocations pay only the final dup-agg + islands stages
+_SPAN_STRIDED_MEMO: dict = {}
+
+
+def dup_spans_strided_frames(
+    spark: SparkSession, sf_dir: str, stride: int = _SPAN_STRIDE
+) -> dict[str, DataFrame]:
+    """Intermediate frames of the strided span-dedup pipeline (round 6) —
+    exposed so tests can count the rows each shuffle carries and assert
+    the scale claim (the prefiltered join inputs are a fraction of the
+    full gram table the plain operator shuffles).
+
+    Discovery uses SHORTER seeds of length m = L - stride + 1 so the
+    stride cannot miss an alignment: if an L-window at position p in doc
+    A also occurs at p' in doc B, then B's strided seed at the unique
+    q_B ≡ 1 (mod stride) in [p', p'+stride) lies inside B's window, and
+    the SAME m-substring occurs in A at a = p + (q_B - p') ∈ [p, p+stride)
+    — a full-side seed row. So every occurrence of every duplicated
+    L-window produces at least one (full-seed ⋈ strided-seed, different
+    doc) match within stride of its start, and the exact re-scan of
+    [a - stride + 1, a] neighborhoods recovers the true hit set exactly:
+    all occurrences of a duplicated L-gram land in the re-scan frame, so
+    its ≥2-distinct-doc counts equal the global counts.
+    """
+    from .sketches import bloom_contains_udf, build_bloom
+
+    if not 2 <= stride <= _SPAN_L:
+        raise ValueError(f"stride must be in [2, {_SPAN_L}], got {stride}")
+    memo_key = (spark.sparkContext.applicationId, sf_dir, stride)
+    if memo_key in _SPAN_STRIDED_MEMO:
+        return _SPAN_STRIDED_MEMO[memo_key]
+    m = _SPAN_L - stride + 1
+    # the seed explode amplifies ~len(text) rows per doc; spread the docs
+    # across all slots FIRST so the (cheap, pre-amplification) shuffle of
+    # raw text buys parallel explode/hash/bloom stages — a 1-file corpus
+    # otherwise runs the whole pipeline on one core
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= _SPAN_L)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)  # scanned by discovery AND re-scan
+    )
+    seeds = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - m + 1)).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64(F.substring("text", F.col("pos"), F.lit(m))).alias("mh"),
+    )
+    # 1/stride of the seed rows; checkpointed because it feeds BOTH the
+    # Bloom build and the discovery join
+    strided = seeds.where(F.col("pos") % stride == 1).localCheckpoint(eager=True)
+
+    # Bloom over the strided seed hashes, sized to the corpus: ~16 bits
+    # per expected strided seed (3 hashes -> FP well under 1%). The build
+    # is the distributed mergeable bitset from operators/sketches.py; at
+    # 100 TB the bitset is corpus-proportional, so run the operator per
+    # ingest shard / date partition (where the strided-seed count keeps
+    # the bitset broadcastable) — the output is per-corpus-segment spans
+    # either way, and segments can be unioned.
+    n_est = max(1, strided.count())  # cheap: counts the checkpointed frame
+    n_bits = 1 << 17
+    while n_bits < 16 * n_est:
+        n_bits <<= 1
+    # cap the build fan-in: driver traffic is P x n_bits/8 bytes, so fold
+    # the checkpointed seeds into few partitions before sketching (the
+    # bitsets OR-merge, parallelism of the ~n/stride-row scan matters
+    # less than a bounded collect)
+    bloom = build_bloom(strided.coalesce(8), "mh", n_bits=n_bits)
+    maybe_strided = bloom_contains_udf(bloom, n_bits=n_bits)
+
+    # map-side prefilter: only full-side seeds whose hash might be a
+    # strided seed somewhere reach the discovery join's exchange
+    prefiltered = seeds.where(maybe_strided(F.col("mh")))
+    candidates = (
+        prefiltered.alias("f")
+        .join(
+            strided.select(F.col("doc_id").alias("sdoc"), "mh").alias("s"), "mh"
+        )
+        .where(F.col("f.doc_id") != F.col("sdoc"))
+        .select(F.col("f.doc_id").alias("doc_id"), F.col("f.pos").alias("pos"))
+    )
+
+    # exact re-scan: every true L-window hit starts within stride of a
+    # candidate seed, so re-hash only [pos - stride + 1, pos] per
+    # candidate (per-doc position sets are at most doc-length sized)
+    nbr = candidates.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.greatest(F.col("pos") - stride + 1, F.lit(1)), F.col("pos"))
+        ).alias("p"),
+    ).distinct()
+    nbr_by_doc = nbr.groupBy("doc_id").agg(F.collect_set("p").alias("ps"))
+    rescan = (
+        docs.join(nbr_by_doc, "doc_id")
+        .select("doc_id", F.explode("ps").alias("p"), "text")
+        .where(F.col("p") <= F.length("text") - _SPAN_L + 1)
+        .select(
+            "doc_id",
+            F.col("p").cast("long").alias("pos"),
+            F.xxhash64(F.substring("text", F.col("p"), F.lit(_SPAN_L))).alias("gh"),
+        )
+        .localCheckpoint(eager=True)  # feeds the dup agg AND the semi-join
+    )
+    dup = (
+        rescan.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = rescan.join(dup, "gh", "leftsemi").select("doc_id", "pos")
+    frames = {
+        "seeds": seeds,
+        "strided": strided,
+        "prefiltered": prefiltered,
+        "candidates": candidates,
+        "rescan": rescan,
+        "result": _span_islands(hits),
+    }
+    _SPAN_STRIDED_MEMO[memo_key] = frames
+    return frames
+
+
+@REG.register("dedup_duplicate_spans_strided", oracle=_DUP_SPANS_ORACLE)
+def dedup_duplicate_spans_strided(
+    spark: SparkSession, sf_dir: str, stride: int = _SPAN_STRIDE
+) -> DataFrame:
+    """The 100 TB mode of ``dedup_duplicate_spans`` (round 6, closing the
+    r5 docstring promise): stride-s candidate discovery + Bloom singleton
+    prefilter + exact re-scan of candidate neighborhoods. Same output,
+    same oracle — the full-scan twin shuffles EVERY gram row into its
+    duplicate aggregate, while this plan shuffles (a) the 1/stride
+    strided-seed rows and (b) only the Bloom-surviving full-side seed
+    rows (duplicated seeds + bounded false positives), then re-hashes
+    L-grams only inside candidate neighborhoods — candidate-sized, not
+    corpus-sized. Equality vs the full scan and the shuffled-row ratio
+    are asserted in tests/test_dedup_quality.py; the alignment-safety
+    proof is in ``dup_spans_strided_frames``."""
+    return dup_spans_strided_frames(spark, sf_dir, stride)["result"]

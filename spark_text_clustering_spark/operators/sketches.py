@@ -279,3 +279,80 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact semi join kills Bloom false positives; its probe side is the
     # prefiltered (tiny) stream, not the full fact table
     return prefiltered.join(cust, prefiltered.o_custkey == cust.c_custkey, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Generic distributed Bloom build/probe (round 6) — the
+# bloom_semi_join_prune mechanism above, parameterized so other operators
+# (dedup_duplicate_spans_strided) can prefilter on arbitrary long columns
+# with a bitset sized to THEIR key count, not the 16 KiB demo default.
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(keys, n_bits: int, n_hashes: int):
+    """(n, n_hashes) bit positions; same splitmix64 + Kirsch-Mitzenmacher
+    double hashing as `_bloom_positions_vec`, with the geometry as
+    arguments."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        x = np.asarray(keys, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        h1 = x & np.uint64(0xFFFFFFFF)
+        h2 = (x >> np.uint64(32)) | np.uint64(1)
+        i = np.arange(n_hashes, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)
+
+
+def build_bloom(df: DataFrame, col: str, n_bits: int, n_hashes: int = 3):
+    """Distributed mergeable Bloom build over a long column: one bitset
+    per partition via mapInPandas, OR-merged driver-side. Driver traffic
+    is P x (n_bits/8) bytes — sketch-sized, never data-sized. Returns the
+    merged uint64 word array (length n_bits/64)."""
+    import numpy as np
+
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+
+    def _build(batches: Iterator[pd.DataFrame]):
+        words = np.zeros(n_bits // 64, dtype=np.uint64)
+        for pdf in batches:
+            keys = pdf[col].dropna().to_numpy(dtype=np.int64)
+            if not len(keys):
+                continue
+            pos = bloom_positions(keys, n_bits, n_hashes).ravel()
+            np.bitwise_or.at(
+                words, (pos // 64).astype(np.int64), np.uint64(1) << (pos % 64)
+            )
+        yield pd.DataFrame({"words": [words.astype(np.int64).tolist()]})
+
+    merged = np.zeros(n_bits // 64, dtype=np.int64)
+    for row in df.select(col).mapInPandas(_build, schema="words array<long>").collect():
+        merged |= np.asarray(row["words"], dtype=np.int64)
+    return merged.astype(np.uint64)
+
+
+def bloom_contains_udf(words, n_bits: int, n_hashes: int = 3):
+    """Pandas UDF closure testing membership of a long column against a
+    broadcast-captured Bloom word array (map-side, Arrow-batched; nulls
+    test False)."""
+    import numpy as np
+
+    bloom = np.asarray(words, dtype=np.uint64)
+
+    @F.pandas_udf("boolean")
+    def maybe_member(keys: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: F811 — executor-side import
+
+        valid = keys.notna().to_numpy()
+        out = np.zeros(len(keys), dtype=bool)
+        if valid.any():
+            kv = keys[valid].to_numpy(dtype=np.int64)
+            pos = bloom_positions(kv, n_bits, n_hashes)
+            bits = (bloom[(pos // 64).astype(np.int64)] >> (pos % 64)) & np.uint64(1)
+            out[valid] = bits.all(axis=1)
+        return pd.Series(out, dtype="boolean")
+
+    return maybe_member

@@ -119,3 +119,72 @@ def test_duplicate_spans_exact_boundaries(spark, tmp_path):
     assert got[1] == (11, 55, 45)
     assert got[2] == (26, 70, 45)
     assert 3 not in got
+
+
+def test_duplicate_spans_strided_equals_full(spark, tmp_path):
+    """Round-6 scale mode: the strided+Bloom pipeline must emit EXACTLY
+    the full-scan operator's spans (the alignment-safety construction in
+    dup_spans_strided_frames guarantees recall; the exact re-scan
+    guarantees precision), on both the crafted corpus (misaligned shared
+    passage: prefixes of different length mod stride) and the real
+    sf0.01 corpus — and its discovery join must shuffle a strict
+    fraction of the gram rows the full scan aggregates."""
+    import os
+
+    from spark_text_clustering_spark.catalog import SCHEMAS
+    from spark_text_clustering_spark.operators.dedup import (
+        _span_grams,
+        dedup_duplicate_spans,
+        dedup_duplicate_spans_strided,
+        dup_spans_strided_frames,
+    )
+    from .conftest import SF_ORACLE
+
+    def spans(df):
+        return {
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+            for r in df.collect()
+        }
+
+    # crafted corpus with stride-misaligned duplicates (prefix lengths 10,
+    # 25: 10 % 4 != 25 % 4) plus a single-window (30-char) shared gram —
+    # the minimal island a naive position-stride would miss
+    shared = "the quick brown fox jumps over the lazy dog x"  # 45 chars
+    tiny = "0123456789abcdefghijklmnopqrs"  # 29 chars -> pad to exactly 30
+    tiny += "!"
+    assert len(tiny) == 30
+    rows = [
+        (1, "A" * 10 + shared + "C" * 12, "en", "t", 67),
+        (2, "B" * 25 + shared + "D" * 7, "en", "t", 77),
+        (3, "E" * 33 + tiny + "F" * 3, "en", "t", 66),
+        (4, "G" * 7 + tiny, "en", "t", 37),
+        (5, "H" * 40, "en", "t", 40),
+    ]
+    d = str(tmp_path / "span_strided_sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, SCHEMAS["documents"]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    full_crafted = spans(dedup_duplicate_spans(spark, d))
+    assert (4, 8, 37, 30) in full_crafted  # the single-window island exists
+    for stride in (2, 4, 7):
+        assert spans(dedup_duplicate_spans_strided(spark, d, stride)) == full_crafted
+
+    # real corpus equality at the oracle SF
+    assert spans(dedup_duplicate_spans_strided(spark, SF_ORACLE)) == spans(
+        dedup_duplicate_spans(spark, SF_ORACLE)
+    )
+
+    # shuffle accounting: the full operator's duplicate aggregate shuffles
+    # every gram row; the strided discovery join shuffles the strided
+    # seeds plus only the Bloom-surviving full-side seeds
+    frames = dup_spans_strided_frames(spark, SF_ORACLE)
+    n_full = _span_grams(spark, SF_ORACLE).count()
+    n_strided = frames["strided"].count()
+    n_pref = frames["prefiltered"].count()
+    n_rescan = frames["rescan"].count()
+    assert n_strided <= n_full // 3  # ~1/stride of the seed rows
+    assert n_strided + n_pref + n_rescan < n_full, (
+        f"strided mode shuffled {n_strided}+{n_pref}+{n_rescan} rows vs "
+        f"full scan's {n_full}"
+    )
