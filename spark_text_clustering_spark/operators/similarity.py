@@ -864,27 +864,41 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> str | None:
 
 
 @REG.register("knn_cosine_pq_stored")  # rows-only: approximate (seeded, deterministic)
-def knn_cosine_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_cosine_pq_stored(
+    spark: SparkSession, sf_dir: str, *, n_queries: int = N_QUERIES
+) -> DataFrame:
     """PQ ANN against the STORED parquet index: codebooks and the 8-byte
     code table are read back from disk (no retraining, no re-encode), then
     the shared `_pq_adc_rerank` probe runs — so results must reproduce
     `knn_cosine_pq` exactly (asserted in tests/test_search.py). This is the
     durable-artifact shape of the PQ story at 100 TB: the index outlives
     the session; a query session reads ~1.6 TB of codes instead of 100 TB
-    of vectors, plus a few MB of codebooks."""
+    of vectors, plus a few MB of codebooks.
+
+    Round 6: the LOADED driver-side artifacts (codebook array, query
+    sample) are cached per (session, index path), so repeated probes skip
+    the codebook parquet re-read + rebuild — only the code-table scan
+    (the by-design artifact read) repeats. Amortization at n_queries
+    10/100/400 is measured in COVERAGE.md next to the memoized twin's."""
     import numpy as np
 
     out_schema = "query_id long, neighbor_id long, cosine_sim double, rank int"
     base = build_pq_index(spark, sf_dir)
     if base is None:
         return spark.createDataFrame([], out_schema)
-    book_rows = spark.read.parquet(f"{base}/codebooks").collect()  # m×k rows
-    m = max(r["s"] for r in book_rows) + 1
-    k = max(r["c"] for r in book_rows) + 1
-    d_s = len(book_rows[0]["centroid"])
-    books = np.empty((m, k, d_s))
-    for r in book_rows:
-        books[r["s"], r["c"]] = r["centroid"]
+    app = spark.sparkContext.applicationId
+    art_key = (app, base, "pq-stored-art")
+    if art_key in _PQ_MEMO:
+        books = _PQ_MEMO[art_key]
+    else:
+        book_rows = spark.read.parquet(f"{base}/codebooks").collect()  # m×k rows
+        m = max(r["s"] for r in book_rows) + 1
+        k = max(r["c"] for r in book_rows) + 1
+        d_s = len(book_rows[0]["centroid"])
+        books = np.empty((m, k, d_s))
+        for r in book_rows:
+            books[r["s"], r["c"]] = r["centroid"]
+        _PQ_MEMO[art_key] = books
     codes_df = spark.read.parquet(f"{base}/codes")
     emb = (
         load_table(spark, sf_dir, "embeddings")
@@ -894,9 +908,16 @@ def knn_cosine_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nrm") > 0)
         .select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("e"))
     )
+    sample_key = (app, sf_dir, "pq-stored-sample")
+    if sample_key in _PQ_MEMO:
+        sample_rows = _PQ_MEMO[sample_key]
+    else:
+        sample_rows = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()
+        _PQ_MEMO[sample_key] = sample_rows
     queries = [
         (int(r["vec_id"]), np.asarray(r["e"], dtype=np.float64))
-        for r in emb.where(F.col("vec_id") < N_QUERIES).collect()
+        for r in sample_rows
+        if r["vec_id"] < n_queries
     ]
     if not queries:
         return spark.createDataFrame([], out_schema)
@@ -1203,17 +1224,23 @@ def knn_cosine_ivfpq_stored(
     base = build_ivfpq_index(spark, sf_dir, n_clusters=n_clusters)
     if base is None:
         return spark.createDataFrame([], out_schema)
-    cent_rows = spark.read.parquet(f"{base}/centroids").collect()
-    centroids = np.empty((len(cent_rows), len(cent_rows[0]["centroid"])))
-    for r in cent_rows:
-        centroids[r["cluster"]] = r["centroid"]
-    book_rows = spark.read.parquet(f"{base}/codebooks").collect()
-    m = max(r["s"] for r in book_rows) + 1
-    k = max(r["c"] for r in book_rows) + 1
-    d_s = len(book_rows[0]["centroid"])
-    books = np.empty((m, k, d_s))
-    for r in book_rows:
-        books[r["s"], r["c"]] = r["centroid"]
+    app = spark.sparkContext.applicationId
+    art_key = (app, base, "ivfpq-stored-art")
+    if art_key in _PQ_MEMO:
+        centroids, books = _PQ_MEMO[art_key]
+    else:
+        cent_rows = spark.read.parquet(f"{base}/centroids").collect()
+        centroids = np.empty((len(cent_rows), len(cent_rows[0]["centroid"])))
+        for r in cent_rows:
+            centroids[r["cluster"]] = r["centroid"]
+        book_rows = spark.read.parquet(f"{base}/codebooks").collect()
+        m = max(r["s"] for r in book_rows) + 1
+        k = max(r["c"] for r in book_rows) + 1
+        d_s = len(book_rows[0]["centroid"])
+        books = np.empty((m, k, d_s))
+        for r in book_rows:
+            books[r["s"], r["c"]] = r["centroid"]
+        _PQ_MEMO[art_key] = (centroids, books)
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .where(F.col("embedding").isNotNull())
@@ -1222,7 +1249,12 @@ def knn_cosine_ivfpq_stored(
         .where(F.col("nrm") > 0)
         .select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("e"))
     )
-    sample_rows = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()
+    sample_key = (app, sf_dir, "pq-stored-sample")
+    if sample_key in _PQ_MEMO:
+        sample_rows = _PQ_MEMO[sample_key]
+    else:
+        sample_rows = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()
+        _PQ_MEMO[sample_key] = sample_rows
     queries = [
         np.asarray(r["e"], dtype=np.float64)
         for r in sample_rows
