@@ -92,6 +92,7 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_bmp_decode",
     "multimodal_tiff_decode",
+    "multimodal_mp4_meta",
     "stream_heavy_hitters_sliding",
     "truecase_proper_nouns",
 ]

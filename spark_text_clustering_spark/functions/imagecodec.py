@@ -66,6 +66,8 @@ def sniff_format(data: bytes) -> str:
         return "avi"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
