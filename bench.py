@@ -72,6 +72,7 @@ HEADLINE = [
     "heavy_hitters_cms",
     "bloom_semi_join_prune",
     "merge_full_clauses",
+    "join_auto_strategy",
     "ngram_lm_score",
     "search_bm25_scores",
     "join_asof_keyless_bucketed",

@@ -12,6 +12,7 @@ from ._registry import Registry
 from .functions.textnorm import STOPWORDS, stopwords_sql_list
 from .operators import (
     analytics,
+    join_planner,
     collections as collections_ops,
     dedup,
     grouped,
@@ -59,6 +60,7 @@ ROOT.register("flagship_top_terms", oracle=_FLAGSHIP_ORACLE)(flagship_top_terms_
 
 ROOT.merge(
     analytics.REG,
+    join_planner.REG,
     relational.REG,
     relational_ext.REG,
     relational_more.REG,

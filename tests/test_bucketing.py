@@ -61,3 +61,78 @@ def test_bucketed_join_elides_shuffle(spark, bucketed):
         assert j.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def _plan(spark, df):
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_join_planner_three_regimes(spark, bucketed):
+    """Round-6 stats gate: the cost probe must pick the right physical
+    strategy in each size/layout regime, and the resulting plan must
+    actually carry it (hint honored / exchange elided / exchange present)."""
+    from spark_text_clustering_spark.operators.join_planner import (
+        choose_join_strategy,
+        join_with_strategy,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    lineitem = load_table(spark, SF_SMALL, "lineitem")
+    nation = load_table(spark, SF_SMALL, "nation")
+
+    # regime 1: one side under the broadcast budget -> broadcast, the
+    # small side is the one shipped, and the plan is a BroadcastHashJoin
+    j, d = join_with_strategy(
+        spark, orders, nation, ["o_custkey"], ["n_nationkey"]
+    )
+    assert d["strategy"] == "broadcast" and d["broadcast_side"] == "right"
+    assert d["right_bytes"] < d["left_bytes"]
+    assert "BroadcastHashJoin" in _plan(spark, j)
+
+    # regime 2: both sides over budget, both bucketed on the join keys
+    # with equal counts -> bucketed SMJ with NO exchange on either side
+    j, d = join_with_strategy(
+        spark, "buckets.orders_b", "buckets.lineitem_b",
+        ["o_orderkey"], ["l_orderkey"], broadcast_threshold=1024,
+    )
+    assert d["strategy"] == "bucketed", d
+    plan = _plan(spark, j.select("o_orderkey", "l_quantity"))
+    assert "SortMergeJoin" in plan
+    assert "Arguments: hashpartitioning" not in plan
+    assert "Bucketed: true" in plan
+
+    # regime 3: both sides over budget, no layout -> shuffle SMJ, and the
+    # exchanges are really there
+    j, d = join_with_strategy(
+        spark, orders, lineitem, ["o_orderkey"], ["l_orderkey"],
+        broadcast_threshold=1024,
+    )
+    assert d["strategy"] == "shuffle", d
+    plan = _plan(spark, j.select("o_orderkey", "l_quantity"))
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning" in plan
+
+    # the probe alone (no join) returns an auditable record
+    d = choose_join_strategy(
+        spark, orders, nation, ["o_custkey"], ["n_nationkey"]
+    )
+    assert d["reason"] and d["left_bytes"] > 0
+
+    # a bucketed table joined on a NON-bucket key must not claim elision
+    d = choose_join_strategy(
+        spark, "buckets.orders_b", "buckets.lineitem_b",
+        ["o_custkey"], ["l_partkey"], broadcast_threshold=1024,
+    )
+    assert d["strategy"] == "shuffle"
+
+    # strategies never change answers: bucketed-path count == plain join
+    n_plain = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).count()
+    )
+    j, _ = join_with_strategy(
+        spark, "buckets.orders_b", "buckets.lineitem_b",
+        ["o_orderkey"], ["l_orderkey"], broadcast_threshold=1024,
+    )
+    assert j.count() == n_plain
