@@ -84,6 +84,7 @@ HEADLINE = [
     "knn_cosine_ivfpq_stored",
     "stream_heavy_hitters",
     "quality_filter_per_lang",
+    "lang_id_trained",
     "bpe_train_merges",
     "dedup_duplicate_spans",
     "dedup_duplicate_spans_strided",
