@@ -80,6 +80,7 @@ HEADLINE = [
     "layout_zorder_key",
     "layout_hilbert_key",
     "stream_stream_join",
+    "stream_ingest_dedup",
     "knn_cosine_pq_stored",
     "knn_cosine_ivfpq_stored",
     "stream_heavy_hitters",
