@@ -92,6 +92,8 @@ HEADLINE = [
     "quality_dup_line_fraction",
     "quality_compression_ratio",
     "pipeline_quality_gate",
+    "quality_filter_lm_perplexity",
+    "mixture_temperature_weights",
     "multimodal_resize",
     "multimodal_bmp_decode",
     "multimodal_tiff_decode",

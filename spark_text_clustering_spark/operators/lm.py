@@ -127,3 +127,74 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+_LM_GATE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> len(x) >= 1) AS arr
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL),
+bigrams AS (
+  SELECT doc_id, lang,
+         struct_extract(u, 1) AS w1,
+         struct_extract(u, 2) AS w2
+  FROM toks,
+       unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS t(u)
+  WHERE len(arr) >= 2),
+uni AS (
+  SELECT lang, w1, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM (SELECT lang, unnest(arr) AS w1 FROM toks)
+  GROUP BY lang, w1),
+vocab AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS v FROM uni GROUP BY lang),
+big AS (
+  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bigrams GROUP BY lang, w1, w2),
+scores AS (
+  SELECT b.doc_id, b.lang,
+         round(AVG(ln((big.c12 + 1.0) / (uni.c1 + vocab.v))), 6) AS avg_logprob
+  FROM bigrams b
+  JOIN big   ON b.lang = big.lang AND b.w1 = big.w1 AND b.w2 = big.w2
+  JOIN uni   ON b.lang = uni.lang AND b.w1 = uni.w1
+  JOIN vocab ON b.lang = vocab.lang
+  GROUP BY b.doc_id, b.lang),
+cuts AS (
+  SELECT lang, quantile_cont(avg_logprob, 0.10) AS q_lo
+  FROM scores GROUP BY lang)
+SELECT s.doc_id, s.lang, s.avg_logprob
+FROM scores s JOIN cuts c ON s.lang = c.lang
+WHERE s.avg_logprob >= c.q_lo
+"""
+
+
+@REG.register("quality_filter_lm_perplexity", oracle=_LM_GATE_ORACLE)
+def quality_filter_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality gate (round 6): drop each language's
+    lowest-decile documents by mean bigram log-probability under the
+    corpus-trained LM — the model-based quality filter (a la CCNet's
+    LM-perplexity gate) that complements the surface-statistics gates in
+    operators/text.py. A doc whose bigrams the language's own LM finds
+    improbable is boilerplate soup, OCR noise, or mis-labeled language.
+
+    Plan: the exact `ngram_lm_score` scoring plan (bigram explode →
+    model counts → joins → per-doc average), then the
+    `quality_filter_per_lang` gate shape: a languages-sized exact
+    percentile aggregate broadcast-joined back. The percentile runs on
+    the ROUNDED score so Spark's `percentile` and DuckDB's
+    `quantile_cont` interpolate identical inputs (same (n-1)*p formula,
+    proven by the round-5 gate). At 100 TB the gate adds one KB-sized
+    aggregate + broadcast join on top of the LM scoring pass — document
+    payloads never shuffle."""
+    scores = ngram_lm_score(spark, sf_dir).select(
+        "doc_id", "lang", "avg_logprob"
+    )
+    cuts = scores.groupBy("lang").agg(
+        F.percentile("avg_logprob", F.lit(0.10)).alias("q_lo")
+    )
+    return (
+        scores.join(F.broadcast(cuts), "lang")
+        .where(F.col("avg_logprob") >= F.col("q_lo"))
+        .select("doc_id", "lang", "avg_logprob")
+    )

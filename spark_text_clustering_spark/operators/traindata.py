@@ -545,3 +545,60 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return keyed.select("event_id", "x", "y", F.expr(_HILBERT_SPARK).alias("hkey"))
+
+
+_TEMP_ALPHA = 0.3
+
+_TEMP_MIX_ORACLE = f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents WHERE source IS NOT NULL
+  GROUP BY source)
+SELECT source, n_docs,
+       round(pow(n_docs, {_TEMP_ALPHA}) / SUM(pow(n_docs, {_TEMP_ALPHA})) OVER (), 6)
+         AS weight,
+       round(LEAST(1.0,
+             pow(n_docs, {_TEMP_ALPHA}) / SUM(pow(n_docs, {_TEMP_ALPHA})) OVER ()
+             * SUM(n_docs) OVER () / n_docs), 6) AS sample_rate
+FROM s
+"""
+
+
+@REG.register("mixture_temperature_weights", oracle=_TEMP_MIX_ORACLE)
+def mixture_temperature_weights(
+    spark: SparkSession, sf_dir: str, alpha: float = _TEMP_ALPHA
+) -> DataFrame:
+    """Temperature-based source rebalancing weights (round 6) — the
+    policy-table producer for `mixture_sample_by_source`: w_s ∝ n_s^α
+    (α=0.3, the multilingual-pretraining temperature that upsamples
+    small sources without letting them dominate; α=1 is proportional,
+    α=0 uniform), plus the per-doc `sample_rate` (= w_s·N/n_s, capped at
+    1) a stateless row predicate then applies.
+
+    Plan: one per-source count aggregate (map-side combined), then the
+    normalization over the SOURCES-sized frame — the whole-frame window
+    runs on a handful of rows, which is exactly when an unpartitioned
+    window is correct (the policy table is KB-sized at any corpus
+    scale). Downstream, `mixture_sample_by_source`'s seeded-uniform
+    predicate consumes these rates with zero shuffle over the corpus."""
+    from pyspark.sql import Window
+
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w_all = Window.partitionBy()  # sources-sized frame: fine by design
+    pw = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    weight = pw / F.sum(pw).over(w_all)
+    rate = F.least(
+        F.lit(1.0),
+        weight * F.sum("n_docs").over(w_all) / F.col("n_docs"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        F.round(weight, 6).alias("weight"),
+        F.round(rate, 6).alias("sample_rate"),
+    )
