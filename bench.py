@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
     "dedup_minhash",
+    "dedup_minhash_fast",
     "dedup_simhash",
     "knn_cosine_exact",
     "knn_cosine_gemm",
@@ -66,6 +67,8 @@ HEADLINE = [
     "sample_weighted_reservoir",
     "knn_cosine_pq",
     "knn_cosine_ivfpq",
+    "kmeans_assign_exact",
+    "kmeans_cluster_embeddings",
     "multimodal_image_decode",
     "multimodal_features",
     "multimodal_color_decode",

@@ -917,3 +917,52 @@ def dedup_duplicate_spans_strided(
     are asserted in tests/test_dedup_quality.py; the alignment-safety
     proof is in ``dup_spans_strided_frames``."""
     return dup_spans_strided_frames(spark, sf_dir, stride)["result"]
+
+
+@REG.register("dedup_minhash_fast")  # rows-only: min-wise hashing is seeded/approximate
+def dedup_minhash_fast(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """All-JVM MinHash near-dup candidate pairs (round 6) — the
+    production twin of `dedup_minhash`: the same k=64 min-wise signature
+    + 16×4 LSH banding machinery the incremental store uses
+    (`minhash_signatures` / `_band_rows`), run as a batch self-join.
+    No Spark ML fit, no Python anywhere: shingle → xxhash64 → 64
+    universal-hash MIN aggregates (map-side combined, the shuffle
+    carries 64 longs per doc per partition), band-bucket self-join on
+    the 8-byte band key (candidate-sized, never n²), then
+    signature-estimated Jaccard ≥ threshold.
+
+    Same scale shape as the ML-backed twin but cheaper constants (the
+    signature agg replaces HashingTF + MinHashLSH model fit and the
+    2^18-dim sparse vectors never exist). Output (id_a, id_b,
+    est_jaccard); pair-recall vs exact shingle Jaccard pinned in
+    tests/test_dedup_quality.py next to the ML twin's."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "mh-fast-sigs")
+    if memo_key in _MINHASH_FEAT_MEMO:
+        sigs = _MINHASH_FEAT_MEMO[memo_key]
+    else:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        # checkpointed: the band join is a SELF-join and the signatures
+        # feed the est-Jaccard verify twice; memoized per (app, sf_dir)
+        # like the ML twin's feature memo above
+        sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+        _MINHASH_FEAT_MEMO[memo_key] = sigs
+    bands = _band_rows(sigs)
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "key"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = _est_jaccard(F.col("sig_a"), F.col("sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )

@@ -1389,3 +1389,112 @@ def knn_cosine_lsh_stored(
             F.round(1 - F.col("euclid") * F.col("euclid") / 2, 6).alias("cosine_sim"),
         )
     )
+
+
+_KM_K = 8
+
+_KMEANS_ASSIGN_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE embedding IS NOT NULL),
+cent AS (SELECT vec_id AS c_id, v, i FROM ex WHERE vec_id < {_KM_K}),
+dist AS (
+  SELECT e.vec_id, c.c_id, SUM((e.v - c.v) * (e.v - c.v)) AS d2
+  FROM ex e JOIN cent c ON e.i = c.i
+  GROUP BY e.vec_id, c.c_id)
+SELECT vec_id, CAST(c_id AS BIGINT) AS cluster, round(d2, 6) AS dist2
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, c_id) AS rn
+      FROM dist)
+WHERE rn = 1
+"""
+
+
+@REG.register("kmeans_assign_exact", oracle=_KMEANS_ASSIGN_ORACLE)
+def kmeans_assign_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd ASSIGNMENT step (round 6) — the deterministic,
+    oracle-able core of k-means: with the first k={_KM_K} vectors as
+    initial centroids, assign every vector to its nearest centroid by
+    squared euclidean distance (smallest-centroid-id tiebreak).
+
+    This is the relational shape every Lloyd iteration repeats at scale:
+    broadcast the k centroid rows, one JVM `zip_with`/`aggregate`
+    distance projection over the corpus (no Python), a per-vector argmin
+    — the only shuffle is the |vectors|-keyed rank, and the UPDATE step
+    is just `groupBy(cluster).agg(avg per dimension)` on this output.
+    The full seeded trainer is `kmeans_cluster_embeddings` (rows-only;
+    iterative). The reference clusters with LDA; k-means is the obvious
+    sibling its users would reach for (SURVEY §2.9 north-star scope)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("e"))
+    )
+    cent = emb.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("c")
+    )
+    d2 = F.aggregate(
+        F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "c_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("c_id").cast("long").alias("cluster"),
+            F.round("d2", 6).alias("dist2"),
+        )
+    )
+
+
+@REG.register("kmeans_cluster_embeddings")  # rows-only: iterative, seeded init
+def kmeans_cluster_embeddings(
+    spark: SparkSession, sf_dir: str, k: int = _KM_K, max_iter: int = 20
+) -> DataFrame:
+    """Full seeded k-means over the embeddings table (Spark ML, k-means||
+    init, seed=42): per-cluster sizes + within-cluster SSE — the
+    clustering summary a corpus-exploration pipeline reports. Rows-only
+    by nature (iterative, init-seeded); determinism, non-degenerate
+    clusters, and SSE-beats-single-cluster are pinned in
+    tests/test_search.py. Scale: Spark ML's KMeans is the standard
+    distributed Lloyd — broadcast centroids, map-side partial sums,
+    k×dim-sized driver traffic per iteration."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    out_schema = "cluster int, n_vecs long, sse double"
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("e"))
+    )
+    if emb.limit(k).count() < k:
+        return spark.createDataFrame([], out_schema)
+    feat = emb.select("vec_id", "e", array_to_vector("e").alias("features"))
+    model = KMeans(k=k, maxIter=max_iter, seed=42).fit(feat)
+    pred = model.transform(feat).select(
+        "vec_id", F.col("prediction").alias("cluster"), "e"
+    )
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, c array<double>",
+    )
+    joined = pred.join(F.broadcast(cent), "cluster").select(
+        "cluster",
+        F.aggregate(
+            F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    return joined.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.round(F.sum("d2"), 6).alias("sse")
+    )

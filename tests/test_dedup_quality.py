@@ -188,3 +188,51 @@ def test_duplicate_spans_strided_equals_full(spark, tmp_path):
         f"strided mode shuffled {n_strided}+{n_pref}+{n_rescan} rows vs "
         f"full scan's {n_full}"
     )
+
+
+def test_minhash_fast_recall_vs_exact_jaccard(spark, tmp_path):
+    """The all-JVM banding twin must catch every pair whose EXACT 3-gram
+    Jaccard is >= 0.55 (comfortably above threshold 0.4: with k=64 the
+    estimator sigma at j=0.55 is ~0.06, and 16x4 banding recall at
+    j>=0.55 is >= 0.996) and never emit a pair whose exact Jaccard is
+    < 0.2 (estimator noise bound)."""
+    import os
+
+    import numpy as np
+
+    from spark_text_clustering_spark.catalog import SCHEMAS
+    from spark_text_clustering_spark.operators.dedup import dedup_minhash_fast
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for i in range(25):
+        rows.append((i, " ".join(vocab[j] for j in rng.integers(0, 400, 40))))
+    for j in range(10):  # near-dup: one word changed
+        words = rows[j][1].split()
+        words[8 + j] = "qq"
+        rows.append((100 + j, " ".join(words)))
+    d = str(tmp_path / "mh_fast_sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows], SCHEMAS["documents"]
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_minhash_fast(spark, d).collect()
+    }
+
+    def sh(text):
+        w = text.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: sh(t) for i, t in rows}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                if jac >= 0.55:
+                    assert (i, j) in got, f"missed pair ({i},{j}) j={jac:.2f}"
+                if (i, j) in got:
+                    assert jac >= 0.2, f"false pair ({i},{j}) j={jac:.2f}"

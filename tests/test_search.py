@@ -330,3 +330,49 @@ def test_lsh_stored_index_matches_live(spark):
         probe._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_kmeans_cluster_embeddings_properties(spark):
+    """Seeded k-means summary: deterministic across runs, k non-empty
+    clusters covering every vector, and total within-cluster SSE strictly
+    below the k=1 (grand-centroid) SSE — the minimal 'it actually
+    clustered' bar for a seeded iterative op with no SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.catalog import load_table
+    from spark_text_clustering_spark.operators.similarity import (
+        _KM_K,
+        kmeans_cluster_embeddings,
+    )
+
+    from .conftest import SF_ORACLE
+
+    r1 = kmeans_cluster_embeddings(spark, SF_ORACLE).collect()
+    r2 = kmeans_cluster_embeddings(spark, SF_ORACLE).collect()
+    key = lambda rows: sorted((x["cluster"], x["n_vecs"], x["sse"]) for x in rows)
+    assert key(r1) == key(r2)  # same seed -> same model
+    assert len(r1) == _KM_K
+    assert all(x["n_vecs"] > 0 for x in r1)
+
+    emb = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    )
+    n_vec = emb.count()
+    assert sum(x["n_vecs"] for x in r1) == n_vec
+    # k=1 SSE: sum ||x - mean||^2 = sum ||x||^2 - n*||mean||^2
+    d = len(emb.first()["e"])
+    sums = emb.select(
+        *[F.sum(F.col("e")[i]).alias(f"s{i}") for i in range(d)],
+        F.sum(
+            F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("ss"),
+    ).collect()[0]
+    mean_sq = sum((sums[f"s{i}"] / n_vec) ** 2 for i in range(d))
+    sse_k1 = sums["ss"] - n_vec * mean_sq
+    sse_k = sum(x["sse"] for x in r1)
+    # near-random 64-dim testdata: k·d centroid params can only explain a
+    # few percent of pure noise variance (measured 0.928× at sf0.01), so
+    # pin a strict-but-honest improvement bound rather than a big one
+    assert sse_k < 0.97 * sse_k1, (sse_k, sse_k1)
