@@ -101,6 +101,7 @@ HEADLINE = [
     "multimodal_bmp_decode",
     "multimodal_tiff_decode",
     "multimodal_mp4_meta",
+    "multimodal_binary_ingest",
     "stream_heavy_hitters_sliding",
     "truecase_proper_nouns",
 ]

@@ -944,3 +944,85 @@ def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         " duration long, n_tracks int, video_codec string, video_w int,"
         " video_h int, audio_codec string",
     )
+
+
+_BINARY_INGEST_ORACLE = """
+SELECT doc_id,
+       'isom' AS major_brand,
+       CAST(1000 + (doc_id % 7) * 200 AS INTEGER) AS timescale,
+       CAST(1 + (doc_id % 2) AS INTEGER) AS n_tracks
+FROM documents
+WHERE doc_id IS NOT NULL AND doc_id < 64
+"""
+
+
+@REG.register("multimodal_binary_ingest", oracle=_BINARY_INGEST_ORACLE)
+def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real multimodal INGESTION path (round 6): media assets land as
+    loose files in object storage and enter Spark through the
+    ``binaryFile`` data source — (path, modificationTime, length,
+    content) — not through a pre-built parquet column. This key writes
+    one genuine mp4 skeleton FILE per doc (first 64 docs; closed-form
+    parameters, doc_id encoded in the file name), reads the directory
+    back with ``spark.read.format("binaryFile")``, and walks each
+    ``content`` payload through the shared dispatch.
+
+    Scale notes: binaryFile is a normal FileScan — partition-parallel,
+    with ``pathGlobFilter``/partitioned directories for pruning, and one
+    row per file bounded by ``spark.sql.files.maxPartitionBytes``; for
+    multi-GB assets you store pointers instead and fetch in the UDF. The
+    walk emits catalog fields only; the oracle recomputes them from the
+    doc_id parsed out of the file path — a wrong byte in the landing
+    file, a mis-walked box, or a path/content mismatch all break the
+    hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions import mp4codec as m4
+
+    ids = [
+        int(r["doc_id"])
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & (F.col("doc_id") < 64))
+        .select("doc_id")
+        .collect()
+    ]
+    land = tempfile.mkdtemp(prefix="binary_ingest_")
+    try:
+        for d in ids:
+            ts = 1000 + (d % 7) * 200
+            payload = m4.encode_mp4_skeleton(
+                timescale=ts,
+                duration=(d % 50 + 1) * (ts // 2),
+                video=("avc1", 16, 16),
+                audio_fourcc="mp4a" if d % 2 == 1 else None,
+            )
+            with open(os.path.join(land, f"asset_{d:08d}.mp4"), "wb") as f:
+                f.write(payload)
+
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.mp4")
+            .load(land)
+        )
+
+        def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"doc_id": [], "major_brand": [], "timescale": [],
+                       "n_tracks": []}
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    meta = decode_real(bytes(content), "mp4")
+                    name = os.path.basename(str(path))
+                    out["doc_id"].append(int(name[len("asset_"):-len(".mp4")]))
+                    out["major_brand"].append(meta["major_brand"])
+                    out["timescale"].append(meta["timescale"])
+                    out["n_tracks"].append(len(meta["tracks"]))
+                yield pd.DataFrame(out)
+
+        return files.mapInPandas(
+            walk,
+            schema="doc_id long, major_brand string, timescale int, n_tracks int",
+        ).localCheckpoint(eager=True)  # landing dir is deleted on return
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
