@@ -355,3 +355,47 @@ def test_quality_gate_single_tiny_shuffle(spark):
     plan = plan_of(spark, "pipeline_quality_gate")
     assert plan.count("Arguments: hashpartitioning") == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_lang_id_trained_scoring_is_one_pivot_shuffle(spark):
+    """Round-6 trained lang-ID: after the model memo, the scoring plan is
+    ONE broadcast model join + ONE map-side-combined per-doc pivot
+    aggregate — no doc×lang grid, no window, no second data shuffle
+    (the raw-text repartition before the amplifying explode is the only
+    other exchange)."""
+    plan = plan_of(spark, "lang_id_trained")
+    assert "BroadcastHashJoin" in plan  # model join is broadcast
+    assert "partial_sum" in plan  # pivot agg combines map-side
+    assert "Window" not in plan  # argmax is an inline CASE, not row_number
+    # exchanges: the pre-explode text spread (round-robin), the per-doc
+    # aggregate, and the doc-keyed join of scores back to docs
+    assert plan.count("Arguments: hashpartitioning") <= 2
+
+
+def test_minhash_fast_shuffles_longs_not_shingles(spark):
+    """The JVM banding twin's exchanges must carry hashed longs (band
+    keys, signature arrays), never shingle strings: no string column in
+    any hashpartitioning argument."""
+    import re
+
+    plan = plan_of(spark, "dedup_minhash_fast")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        args = m.group(1)
+        assert "shingle" not in args and " s#" not in args, args
+
+
+def test_lm_quality_gate_threshold_broadcast(spark):
+    """The perplexity gate's per-lang cuts join back via broadcast — the
+    languages-sized threshold frame must never shuffle the score frame
+    for the final filter."""
+    plan = plan_of(spark, "quality_filter_lm_perplexity")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """Lloyd assignment: the k centroid rows broadcast; the only
+    hash-exchange is the per-vector rank."""
+    plan = plan_of(spark, "kmeans_assign_exact")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Arguments: hashpartitioning") == 1  # the argmin window
