@@ -84,6 +84,7 @@ HEADLINE = [
     "layout_hilbert_key",
     "stream_stream_join",
     "stream_ingest_dedup",
+    "stream_lang_id_serving",
     "knn_cosine_pq_stored",
     "knn_cosine_ivfpq_stored",
     "stream_heavy_hitters",

@@ -1169,9 +1169,13 @@ def lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the L per-lang score columns (no window, no doc×lang grid). The
     model frame would be a stored artifact in production — same
     lifecycle as `bpe_train_merges`' merge table."""
-    import math
+    docs = _lang_nb_docs(spark, sf_dir)
+    artifacts = lang_nb_train(spark, sf_dir)
+    return lang_nb_score(docs, artifacts)
 
-    docs = (
+
+def _lang_nb_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull())
         .select("doc_id", "lang", F.lower("text").alias("t"))
@@ -1180,39 +1184,62 @@ def lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         # doesn't run the train/score chain on one core
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    occ = docs.where(F.col("t").isNotNull() & (F.length("t") >= 2)).select(
+
+
+def _lang_nb_occ(docs: DataFrame) -> DataFrame:
+    return docs.where(F.col("t").isNotNull() & (F.length("t") >= 2)).select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
         ).alias("bg"),
     )
-    labeled = docs.where(F.col("lang").isNotNull())
+
+
+def lang_nb_train(spark: SparkSession, sf_dir: str):
+    """Train the char-bigram NB model on the corpus: the V×L count frame
+    (checkpointed) + the L-row scoring constants, memoized per (app,
+    sf_dir) — the session form of the stored-parquet model artifact.
+    Split out from `lang_id_trained` so streaming model-serving
+    (streaming/model_serving.py) scores against the SAME artifacts."""
     memo_key = (spark.sparkContext.applicationId, sf_dir, "lang-nb-model")
     if memo_key in _LANG_NB_MODEL_MEMO:
-        model, v, tot, n_docs = _LANG_NB_MODEL_MEMO[memo_key]
-    else:
-        model = (
-            occ.join(labeled.select("doc_id", "lang"), "doc_id")
-            .groupBy("lang", "bg")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .localCheckpoint(eager=True)  # feeds constants AND the score join
-        )
-        # scoring constants: L rows + one vocab count — model-sized
-        # collects; memoized per (app, sf_dir) because the trained model
-        # is a session artifact (stored parquet in production)
-        v = model.select(F.count_distinct("bg")).collect()[0][0]
-        tot = {r["lang"]: r["n"] for r in
-               model.groupBy("lang").agg(F.sum("c").alias("n")).collect()}
-        n_docs = {r["lang"]: r["cnt"] for r in
-                  labeled.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-        _LANG_NB_MODEL_MEMO[memo_key] = (model, v, tot, n_docs)
+        return _LANG_NB_MODEL_MEMO[memo_key]
+    docs = _lang_nb_docs(spark, sf_dir)
+    occ = _lang_nb_occ(docs)
+    labeled = docs.where(F.col("lang").isNotNull())
+    model = (
+        occ.join(labeled.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # feeds constants AND the score join
+    )
+    # scoring constants: L rows + one vocab count — model-sized collects
+    v = model.select(F.count_distinct("bg")).collect()[0][0]
+    tot = {r["lang"]: r["n"] for r in
+           model.groupBy("lang").agg(F.sum("c").alias("n")).collect()}
+    n_docs = {r["lang"]: r["cnt"] for r in
+              labeled.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    artifacts = (model, v, tot, n_docs)
+    _LANG_NB_MODEL_MEMO[memo_key] = artifacts
+    return artifacts
+
+
+def lang_nb_score(docs: DataFrame, artifacts) -> DataFrame:
+    """Score a (doc_id, lang, t) frame against trained NB artifacts —
+    ONE broadcast model join + ONE map-side-combined per-doc pivot
+    aggregate + an inline-CASE argmax. Works identically on a batch
+    frame or a foreachBatch microbatch (no reference to the training
+    corpus)."""
+    import math
+
+    model, v, tot, n_docs = artifacts
     n_all = sum(n_docs.values())
     langs = sorted(tot)  # ascending = the deterministic tie order
     if not langs:
         return docs.select(
             "doc_id", "lang", F.lit(None).cast("string").alias("predicted_lang")
         )
-
+    occ = _lang_nb_occ(docs)
     # per-doc per-lang evidence in ONE pivot aggregate over the
     # occurrence ⋈ model join (broadcast: the model is V×L rows)
     term1 = (

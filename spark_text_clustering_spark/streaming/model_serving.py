@@ -1,0 +1,126 @@
+"""Streaming model serving (round 6): train once in batch, score a
+document STREAM with the same artifacts.
+
+The missing member of the train/serve lifecycle: `lang_nb_train`
+(operators/text.py) produces the session model artifacts — a broadcast-
+sized count frame plus driver-side constants — and each arriving
+microbatch scores through the identical `lang_nb_score` plan inside
+``foreachBatch``. Because the model is frozen and scoring is per-doc
+(every document is wholly contained in its microbatch), the streamed
+predictions are EXACTLY the batch predictions regardless of how the
+corpus is split into batches — which is why the registered key shares
+`lang_id_trained`'s DuckDB oracle.
+
+Scale: the served model is KB-sized and ships in the broadcast; each
+microbatch pays one explode + one pivot aggregate over ITS OWN rows
+only. No Spark state store is involved — the model is the only state,
+and it lives outside the stream (reloaded artifacts on restart).
+Reference scope: north-star LLM-pipeline serving shape (SURVEY §2.9);
+the reference's own serving path is the LDALoader batch loop this repo
+already rebuilt as one `model.transform`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .._registry import Registry
+from ..catalog import SCHEMAS, load_table
+
+REG = Registry()
+
+
+def serve_lang_id_stream(
+    spark: SparkSession,
+    src_dir: str,
+    sf_train_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 1,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Score a landed-files document stream against the NB model trained
+    on ``sf_train_dir``'s corpus; predictions append to ``out_dir``
+    parquet. Returns the scored frame read back."""
+    from ..operators.text import lang_nb_score, lang_nb_train
+
+    artifacts = lang_nb_train(spark, sf_train_dir)
+
+    def _score_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = batch_df.where(F.col("doc_id").isNotNull()).select(
+            "doc_id", "lang", F.lower("text").alias("t")
+        )
+        lang_nb_score(docs, artifacts).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_score_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.read.parquet(out_dir)
+
+
+@REG.register(
+    "stream_lang_id_serving",
+    oracle=None,  # set below: shares lang_id_trained's oracle verbatim
+)
+def stream_lang_id_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered driver key: the corpus lands as three files, streams
+    through ``serve_lang_id_stream`` with the model trained (in batch)
+    on the SAME corpus, and the appended predictions are returned. The
+    result must be row-identical to batch `lang_id_trained` — the model
+    is frozen and scoring is per-doc, so batch boundaries cannot change
+    any prediction — which is why this key reuses that oracle. A model
+    accidentally retrained per-microbatch, a dropped epoch, or a
+    double-scored batch all break the hash."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    cuts = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.0)
+    if not cuts:
+        return spark.createDataFrame(
+            [], "doc_id long, lang string, predicted_lang string"
+        )
+    base = tempfile.mkdtemp(prefix="serve_langid_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    try:
+        bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+        for i, (lo, hi) in enumerate(bounds):
+            part = docs
+            if lo is not None:
+                part = part.where(F.col("doc_id") > lo)
+            if hi is not None:
+                part = part.where(F.col("doc_id") <= hi)
+            tmp = os.path.join(base, f"stage{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            pf = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.copy(pf, os.path.join(src, f"f{i}.parquet"))
+        scored = serve_lang_id_stream(spark, src, sf_dir, out, ckpt)
+        return scored.localCheckpoint(eager=True)  # out_dir dies on return
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# share the batch key's oracle verbatim: identical output contract
+def _wire_shared_oracle() -> None:
+    from ..operators.text import _LANG_NB_ORACLE
+
+    REG.oracles["stream_lang_id_serving"] = _LANG_NB_ORACLE
+
+
+_wire_shared_oracle()
