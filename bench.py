@@ -103,6 +103,7 @@ HEADLINE = [
     "multimodal_tiff_decode",
     "multimodal_mp4_meta",
     "multimodal_binary_ingest",
+    "multimodal_audio_spectral",
     "stream_heavy_hitters_sliding",
     "truecase_proper_nouns",
 ]

@@ -173,3 +173,30 @@ def decode_wav_meta(data: bytes) -> tuple[int, int, int, int]:
             )
     except RuntimeError as e:
         raise ValueError(f"corrupt WAV stream: {e or 'chunk seek failed'}") from e
+
+
+def encode_wav_sine(
+    n_samples: int, sample_rate: int, cycles_per_window: int, window: int = 256
+) -> bytes:
+    """Real RIFF/WAVE mono 16-bit PCM carrying a pure sine with exactly
+    ``cycles_per_window`` periods per ``window`` samples — so an FFT of
+    one window puts (essentially) all energy in that bin. Deterministic:
+    samples are round(12000·sin(2π·k·i/window)) quantized to int16."""
+    import io
+    import math
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = b"".join(
+            struct.pack(
+                "<h",
+                int(round(12000 * math.sin(2 * math.pi * cycles_per_window * i / window))),
+            )
+            for i in range(n_samples)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
