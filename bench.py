@@ -123,7 +123,15 @@ def main() -> None:
     # timing only the final materialization would miss ~95% of the cost
     # (round-5 finding: bpe_train_merges benched 0.24 s vs ~3.8 s real).
     # For these, the timer wraps construction + execution.
-    EAGER_KEYS = {"bpe_train_merges"}
+    EAGER_KEYS = {
+        "bpe_train_merges",
+        # the streaming replays and the binaryFile landing run their
+        # queries at plan-construction time and return a checkpointed
+        # frame — the noop write alone would time ~20 ms of nothing
+        "stream_ingest_dedup",
+        "stream_lang_id_serving",
+        "multimodal_binary_ingest",
+    }
     for key in HEADLINE:
         try:
             # one warmup run (codegen/JIT), one measured run
