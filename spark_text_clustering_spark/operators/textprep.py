@@ -525,3 +525,18 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(50)
     )
+
+
+def bpe_save_merges(merges_df: DataFrame, path: str) -> None:
+    """Persist a learned BPE merge table (step, left, right, pair_count)
+    as parquet — the artifact a tokenizer ships; overwrite-idempotent."""
+    merges_df.write.mode("overwrite").parquet(path)
+
+
+def bpe_load_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    """Load a merge table back in training order, ready for
+    `bpe_apply_merges` — encoding with the loaded table must reproduce
+    encoding with the in-session table exactly (asserted in
+    tests/test_lm.py)."""
+    rows = spark.read.parquet(path).orderBy("step").collect()
+    return [(r["left"], r["right"]) for r in rows]
