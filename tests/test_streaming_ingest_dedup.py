@@ -151,3 +151,81 @@ def test_streaming_ingest_dedup_minhash(spark, tmp_path):
     assert set(range(8)) <= survivors
     assert survivors & {100, 101, 102, 103} == set()
     assert 200 in survivors
+
+
+def test_streaming_lda_serving_matches_batch(spark, tmp_path):
+    """LDA topic scoring served on a stream (the reference's own serving
+    path) must reproduce batch scoring exactly: every stage after
+    training is a frozen per-doc transform, so batch boundaries cannot
+    change a single topic distribution."""
+    import numpy as np
+
+    from spark_text_clustering_spark.catalog import load_table
+    from spark_text_clustering_spark.ml.lda import score_documents, train_lda
+    from spark_text_clustering_spark.ml.vectorize import (
+        _preprocess,
+        apply_idf_floor,
+        vectorize,
+    )
+    from spark_text_clustering_spark.streaming.model_serving import (
+        serve_lda_topics_stream,
+    )
+
+    docs = [
+        r
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+        if r["doc_id"] < 120
+    ]
+    src = str(tmp_path / "lda_landing")
+    out = str(tmp_path / "lda_out")
+    ckpt = str(tmp_path / "lda_ckpt")
+    os.makedirs(src)
+    # land the same corpus the model trains on, split into 3 files; use a
+    # TRAIN dir holding exactly these docs so batch scoring covers them
+    train_dir = str(tmp_path / "lda_train_sf")
+    os.makedirs(train_dir)
+    spark.createDataFrame(
+        _doc_rows(docs, 0, 120), SCHEMAS["documents"]
+    ).write.mode("overwrite").parquet(os.path.join(train_dir, "documents.parquet"))
+    _write_file(spark, src, "f0", _doc_rows(docs, 0, 40))
+    _write_file(spark, src, "f1", _doc_rows(docs, 40, 80))
+    _write_file(spark, src, "f2", _doc_rows(docs, 80, 120))
+
+    streamed = serve_lda_topics_stream(
+        spark, src, train_dir, out, ckpt, k=3, max_iter=5
+    )
+    got = {
+        r["doc_id"]: (r["main_topic"], tuple(r["topic_dist"]))
+        for r in streamed.collect()
+    }
+
+    # batch twin with the identical seeds/params
+    train_docs = load_table(spark, train_dir, "documents")
+    vec, model = vectorize(train_docs, vocab_size=50_000, min_doc_freq=2)
+    corpus = vec.select("doc_id", "tfidf")
+    lda = train_lda(corpus, k=3, max_iter=5, optimizer="em", seed=42)
+    idf_values = np.asarray(model.stages[-1].idf.toArray())
+    feat = model.transform(_preprocess(train_docs, False))
+    from pyspark.sql import functions as F
+
+    feat = apply_idf_floor(
+        feat.where(F.size("tokens") > 0), idf_values
+    ).select("doc_id", "tfidf")
+    want = {
+        r["doc_id"]: (r["main_topic"], tuple(r["topic_dist"]))
+        for r in score_documents(lda, feat).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    n_clear = 0
+    for d in got:
+        # LDAModel.transform's variational loop uses a randomized gamma
+        # init, so distributions are reproducible only to inference
+        # tolerance (~1e-5 observed) — the honest equivalence bound; the
+        # argmax must match wherever the batch top-2 gap clears that
+        # tolerance (a true near-tie may legitimately flip)
+        assert np.allclose(got[d][1], want[d][1], atol=1e-3)
+        top2 = sorted(want[d][1], reverse=True)[:2]
+        if top2[0] - top2[1] > 1e-3:
+            assert got[d][0] == want[d][0], (d, got[d], want[d])
+            n_clear += 1
+    assert n_clear > 0  # the assertion must have bitten somewhere
