@@ -95,6 +95,7 @@ HEADLINE = [
     "bpe_train_merges",
     "dedup_duplicate_spans",
     "dedup_duplicate_spans_strided",
+    "dedup_duplicate_spans_segmented",
     "quality_dup_line_fraction",
     "quality_compression_ratio",
     "pipeline_quality_gate",

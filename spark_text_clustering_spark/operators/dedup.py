@@ -781,7 +781,10 @@ _SPAN_STRIDED_MEMO: dict = {}
 
 
 def dup_spans_strided_frames(
-    spark: SparkSession, sf_dir: str, stride: int = _SPAN_STRIDE
+    spark: SparkSession,
+    sf_dir: str,
+    stride: int = _SPAN_STRIDE,
+    n_bloom_segments: int = 1,
 ) -> dict[str, DataFrame]:
     """Intermediate frames of the strided span-dedup pipeline (round 6) —
     exposed so tests can count the rows each shuffle carries and assert
@@ -804,7 +807,11 @@ def dup_spans_strided_frames(
 
     if not 2 <= stride <= _SPAN_L:
         raise ValueError(f"stride must be in [2, {_SPAN_L}], got {stride}")
-    memo_key = (spark.sparkContext.applicationId, sf_dir, stride)
+    if n_bloom_segments < 1:
+        raise ValueError("n_bloom_segments must be >= 1")
+    memo_key = (
+        spark.sparkContext.applicationId, sf_dir, stride, n_bloom_segments
+    )
     if memo_key in _SPAN_STRIDED_MEMO:
         return _SPAN_STRIDED_MEMO[memo_key]
     m = _SPAN_L - stride + 1
@@ -840,26 +847,49 @@ def dup_spans_strided_frames(
     # either way, and segments can be unioned.
     n_est = max(1, strided.count())  # cheap: counts the checkpointed frame
     n_bits = 1 << 17
-    while n_bits < 16 * n_est:
+    while n_bits * n_bloom_segments < 16 * n_est:
         n_bits <<= 1
-    # cap the build fan-in: driver traffic is P x n_bits/8 bytes, so fold
-    # the checkpointed seeds into few partitions before sketching (the
-    # bitsets OR-merge, parallelism of the ~n/stride-row scan matters
-    # less than a bounded collect)
-    bloom = build_bloom(strided.coalesce(8), "mh", n_bits=n_bits)
-    maybe_strided = bloom_contains_udf(bloom, n_bits=n_bits)
 
-    # map-side prefilter: only full-side seeds whose hash might be a
-    # strided seed somewhere reach the discovery join's exchange
-    prefiltered = seeds.where(maybe_strided(F.col("mh")))
-    candidates = (
-        prefiltered.alias("f")
-        .join(
-            strided.select(F.col("doc_id").alias("sdoc"), "mh").alias("s"), "mh"
+    # The Bloom bitset is corpus-proportional (16 bits per strided seed),
+    # so at petabyte scale one bitset stops being broadcastable. The fix
+    # is EXACT hash-space segmentation (round 6): a seed's matches share
+    # its mh by definition, so partitioning BOTH sides by mh % S and
+    # prefiltering each slice with its own 1/S-sized bitset loses
+    # nothing — choose S so n_bits fits the broadcast budget. S=1 is the
+    # single-bitset fast path; segmented-vs-unsegmented equality is
+    # asserted in tests/test_dedup_quality.py.
+    def _segment_candidates(seg: int) -> DataFrame:
+        s_strided = strided
+        s_seeds = seeds
+        if n_bloom_segments > 1:
+            s_strided = strided.where(
+                F.pmod(F.col("mh"), F.lit(n_bloom_segments)) == seg
+            )
+            s_seeds = seeds.where(
+                F.pmod(F.col("mh"), F.lit(n_bloom_segments)) == seg
+            )
+        # cap the build fan-in: driver traffic is P x n_bits/8 bytes, so
+        # fold the checkpointed seeds into few partitions before
+        # sketching (bitsets OR-merge; bounded collect beats scan
+        # parallelism at this size)
+        bloom = build_bloom(s_strided.coalesce(8), "mh", n_bits=n_bits)
+        maybe_strided = bloom_contains_udf(bloom, n_bits=n_bits)
+        # map-side prefilter: only full-side seeds whose hash might be a
+        # strided seed somewhere reach the discovery join's exchange
+        pref = s_seeds.where(maybe_strided(F.col("mh")))
+        cand = pref.alias("f").join(
+            s_strided.select(F.col("doc_id").alias("sdoc"), "mh").alias("s"),
+            "mh",
+        ).where(F.col("f.doc_id") != F.col("sdoc")).select(
+            F.col("f.doc_id").alias("doc_id"), F.col("f.pos").alias("pos")
         )
-        .where(F.col("f.doc_id") != F.col("sdoc"))
-        .select(F.col("f.doc_id").alias("doc_id"), F.col("f.pos").alias("pos"))
-    )
+        return pref, cand
+
+    prefiltered, candidates = _segment_candidates(0)
+    for seg in range(1, n_bloom_segments):
+        pref_s, cand_s = _segment_candidates(seg)
+        prefiltered = prefiltered.unionAll(pref_s)
+        candidates = candidates.unionAll(cand_s)
 
     # exact re-scan: every true L-window hit starts within stride of a
     # candidate seed, so re-hash only [pos - stride + 1, pos] per
@@ -966,3 +996,23 @@ def dedup_minhash_fast(
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+@REG.register("dedup_duplicate_spans_segmented", oracle=_DUP_SPANS_ORACLE)
+def dedup_duplicate_spans_segmented(
+    spark: SparkSession,
+    sf_dir: str,
+    stride: int = _SPAN_STRIDE,
+    n_bloom_segments: int = 3,
+) -> DataFrame:
+    """The petabyte form of the strided span dedup (round 6, closing the
+    bitset-size caveat): the Bloom prefilter is hash-space SEGMENTED —
+    both seed sides partition by mh % S and each slice gets its own
+    1/S-sized bitset, so the broadcast budget bounds S, not the corpus.
+    Exact by construction (a seed's matches share its hash, so no
+    cross-slice pair exists); same output, same oracle as the full scan
+    and the single-bitset strided mode — all three equality-asserted in
+    tests/test_dedup_quality.py."""
+    return dup_spans_strided_frames(
+        spark, sf_dir, stride, n_bloom_segments=n_bloom_segments
+    )["result"]

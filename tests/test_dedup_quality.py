@@ -236,3 +236,41 @@ def test_minhash_fast_recall_vs_exact_jaccard(spark, tmp_path):
                     assert (i, j) in got, f"missed pair ({i},{j}) j={jac:.2f}"
                 if (i, j) in got:
                     assert jac >= 0.2, f"false pair ({i},{j}) j={jac:.2f}"
+
+
+def test_duplicate_spans_segmented_equals_unsegmented(spark):
+    """Round-6 petabyte mode: hash-space-segmented Bloom prefilters (mh %
+    S slices, each with a 1/S bitset) must emit exactly the single-bitset
+    strided mode's spans, which equal the full scan's — and each
+    segment's prefilter must still pass only its own slice (the union of
+    prefiltered rows stays a strict fraction of the full gram table)."""
+    from spark_text_clustering_spark.operators.dedup import (
+        _span_grams,
+        dedup_duplicate_spans,
+        dedup_duplicate_spans_segmented,
+        dup_spans_strided_frames,
+    )
+
+    from .conftest import SF_ORACLE
+
+    def spans(df):
+        return {
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+            for r in df.collect()
+        }
+
+    full = spans(dedup_duplicate_spans(spark, SF_ORACLE))
+    assert spans(dedup_duplicate_spans_segmented(spark, SF_ORACLE)) == full
+    # a different segment count must not change anything either
+    assert (
+        spans(
+            dedup_duplicate_spans_segmented(spark, SF_ORACLE, n_bloom_segments=5)
+        )
+        == full
+    )
+
+    frames = dup_spans_strided_frames(spark, SF_ORACLE, n_bloom_segments=3)
+    n_full = _span_grams(spark, SF_ORACLE).count()
+    n_pref = frames["prefiltered"].count()
+    n_strided = frames["strided"].count()
+    assert n_strided + n_pref < n_full
