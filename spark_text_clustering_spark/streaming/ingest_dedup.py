@@ -87,10 +87,12 @@ from ..catalog import load_table  # noqa: E402
 
 REG = Registry()
 
-_STREAM_DEDUP_ORACLE = """
+_STREAM_INGEST_CAP = 1500  # registered-demo bound: ids below this stream
+
+_STREAM_DEDUP_ORACLE = f"""
 SELECT MIN(doc_id) AS doc_id
 FROM documents
-WHERE doc_id IS NOT NULL
+WHERE doc_id IS NOT NULL AND doc_id < {_STREAM_INGEST_CAP}
 GROUP BY text
 """
 
@@ -110,14 +112,18 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-committed epoch, or a broken history anti-join all break the
     hash match. (The streaming machinery itself — restart, crash-replay
     idempotence, the minhash twin — is exercised in
-    tests/test_streaming_ingest_dedup.py.)"""
+    tests/test_streaming_ingest_dedup.py.) The registered demo bounds
+    the replayed corpus to doc_id < _STREAM_INGEST_CAP so its cost is
+    stable across SFs — each registered call builds, streams, and tears
+    down a whole pipeline; the API (`streaming_ingest_dedup`) takes any
+    source."""
     import glob
     import os
     import shutil
     import tempfile
 
     docs = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id").isNotNull()
+        F.col("doc_id").isNotNull() & (F.col("doc_id") < _STREAM_INGEST_CAP)
     )
     cuts = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.0)
     if not cuts:  # empty corpus: no files to land, no survivors

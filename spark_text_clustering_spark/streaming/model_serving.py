@@ -87,8 +87,12 @@ def stream_lang_id_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    # the registered demo bounds the SCORED stream to doc_id < cap (the
+    # model still trains on the full corpus, matching the oracle's model
+    # CTEs); each call builds/streams/tears down a whole pipeline, so the
+    # bound keeps its cost stable across SFs — the API form is uncapped
     docs = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id").isNotNull()
+        F.col("doc_id").isNotNull() & (F.col("doc_id") < _SERVE_CAP)
     )
     cuts = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.0)
     if not cuts:
@@ -116,11 +120,16 @@ def stream_lang_id_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
-# share the batch key's oracle verbatim: identical output contract
+_SERVE_CAP = 1500  # registered-demo bound on the scored stream
+
+
+# share the batch key's oracle, restricted to the demo's scored subset
 def _wire_shared_oracle() -> None:
     from ..operators.text import _LANG_NB_ORACLE
 
-    REG.oracles["stream_lang_id_serving"] = _LANG_NB_ORACLE
+    REG.oracles["stream_lang_id_serving"] = (
+        f"SELECT * FROM ({_LANG_NB_ORACLE}) WHERE doc_id < {_SERVE_CAP}"
+    )
 
 
 _wire_shared_oracle()
