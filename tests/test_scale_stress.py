@@ -209,3 +209,34 @@ def test_duplicate_spans_at_10x_total_duplication(spark, inflated_docs):
         (F.col("span_start") != 1) | (F.col("span_end") != F.col("tlen"))
     ).count()
     assert bad == 0
+
+
+def test_strided_spans_at_10x_total_duplication(spark, inflated_docs, tmp_path):
+    """Worst case for the STRIDED detector (round 6): with every doc
+    9-way duplicated, every seed passes the Bloom (the prefilter saves
+    nothing) and the discovery join fans out by the duplication factor —
+    the regime where a quadratic term would explode. It must stay linear
+    in (docs x copies) (measured 14.7 s for 5k docs on local[32]) and
+    agree with the full scan's known answer: exactly one maximal span
+    per doc covering the whole text."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.operators.dedup import (
+        dup_spans_strided_frames,
+    )
+
+    d = str(tmp_path / "strided_stress_sf")
+    os.makedirs(d)
+    inflated_docs.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    t0 = time.perf_counter()
+    res = dup_spans_strided_frames(spark, d)["result"]
+    n_spans = res.count()
+    dt = time.perf_counter() - t0
+    n_docs = inflated_docs.where(F.length("text") >= 30).count()
+    assert n_spans == n_docs  # one maximal span per (fully duplicated) doc
+    assert res.where(F.col("span_start") != 1).count() == 0
+    assert dt < 45, f"strided spans at 10x took {dt:.1f}s — fan-out regressed?"
