@@ -520,3 +520,32 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("long").alias("span_us"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM {lineitem}
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@REG.register(
+    "sql_group_order_by_all",
+    oracle=_GROUP_BY_ALL_SQL.format(lineitem="lineitem"),
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL surface parity (round 6): GROUP BY ALL / ORDER BY ALL —
+    the analyst-ergonomics clauses both Spark 4 and DuckDB resolve to
+    "every non-aggregate select item". The SAME SQL text runs in both
+    engines (the oracle IS the query), so this key also guards against
+    the two engines diverging on the ALL-resolution rules. Plans
+    identically to an explicit GROUP BY — one partial/final hash
+    aggregate — so there is nothing scale-new here; the point is surface
+    coverage."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gba"
+    )
+    return spark.sql(_GROUP_BY_ALL_SQL.format(lineitem="lineitem_gba"))
