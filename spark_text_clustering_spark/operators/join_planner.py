@@ -38,6 +38,31 @@ from ..catalog import load_table
 REG = Registry()
 
 
+_BYTE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _parse_byte_string(conf: str) -> int:
+    """Spark size-conf strings carry optional unit suffixes ('10MB', '1g',
+    '10485760b', '-1'); mirror JavaUtils.byteStringAsBytes so a session
+    configured with any legal spelling doesn't crash the probe."""
+    import re
+
+    m = re.fullmatch(r"\s*(-?\d+)\s*([a-zA-Z]*)\s*", conf)
+    if not m:
+        raise ValueError(f"unparseable size string: {conf!r}")
+    suffix = m.group(2).lower()
+    if suffix not in _BYTE_SUFFIX:
+        raise ValueError(f"unknown size suffix in: {conf!r}")
+    return int(m.group(1)) * _BYTE_SUFFIX[suffix]
+
+
 def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's own size estimate for the frame (bytes): file-source
     relations report parquet footer sizes, catalog tables report ANALYZE
@@ -93,7 +118,7 @@ def choose_join_strategy(
     ldf, rdf = _resolve(spark, left), _resolve(spark, right)
     if broadcast_threshold is None:
         conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        broadcast_threshold = int(conf.rstrip("bB"))
+        broadcast_threshold = _parse_byte_string(conf)
     lsz, rsz = _plan_size_bytes(ldf), _plan_size_bytes(rdf)
 
     if 0 <= broadcast_threshold and min(lsz, rsz) <= broadcast_threshold:
@@ -177,7 +202,7 @@ def join_with_strategy(
 _AUTO_JOIN_ORACLE = """
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          AS total_price
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -210,5 +235,9 @@ def join_auto_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j2.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum("price").cast("decimal(38,2)").alias("total_price"),
+        # sum in decimal for exactness, emit DOUBLE: the repo-wide money
+        # convention (tpch_more.py:14-16) — the driver's value-hash
+        # canonicalizes Spark Decimal vs DuckDB float64 differently, so a
+        # DECIMAL-typed output column hash-mismatches even on exact values
+        F.sum("price").cast("double").alias("total_price"),
     )
