@@ -635,6 +635,16 @@ def incremental_dedup_minhash(
     # retry-idempotence contract.
     unsigned = new_docs.select("doc_id").join(
         sigs.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    # ...and persist them durably beside the signatures (round-7 ADVICE
+    # fix): the streaming composition's foreachBatch discards this
+    # function's return value and later reads THE STORE, so a survivor
+    # that exists only in the return value silently vanishes there (and
+    # from any fresh session reading the store). Same per-partition
+    # overwrite commit => same retry-idempotence contract. coalesce(1)
+    # guarantees a schema-bearing part file even for an empty batch.
+    unsigned.coalesce(1).write.mode("overwrite").parquet(
+        f"{store_path}/unsigned/batch_id={batch_id}"
     )
     return survivors.select("doc_id").unionAll(unsigned)
 

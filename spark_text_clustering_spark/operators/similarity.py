@@ -909,7 +909,12 @@ def knn_cosine_pq_stored(
         .select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("e"))
     )
     sample_key = (app, sf_dir, "pq-stored-sample")
-    if sample_key in _PQ_MEMO:
+    if n_queries > _PQ_SAMPLE:
+        # the memoized sample covers vec_id < _PQ_SAMPLE only — honor a
+        # larger query set with a fresh collect rather than silently
+        # truncating it to the cached bound (round-7 ADVICE fix)
+        sample_rows = emb.where(F.col("vec_id") < n_queries).collect()
+    elif sample_key in _PQ_MEMO:
         sample_rows = _PQ_MEMO[sample_key]
     else:
         sample_rows = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()
@@ -967,11 +972,19 @@ def knn_cosine_ivfpq(
     sample_rows = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()
     if len(sample_rows) < 2:
         return spark.createDataFrame([], out_schema)
+    # codebook TRAINING stays bounded at the model-sized _PQ_SAMPLE; the
+    # QUERY set honors n_queries even past that bound (round-7 fix — the
+    # training sample doubling as the query pool silently truncated it)
+    query_rows = (
+        sample_rows
+        if n_queries <= _PQ_SAMPLE
+        else emb.where(F.col("vec_id") < n_queries).collect()
+    )
     index_key = (spark.sparkContext.applicationId, sf_dir, "ivfpq", n_clusters)
     if index_key in _PQ_MEMO:
         books, centroids, codes_df = _PQ_MEMO[index_key]
         return _ivfpq_probe(
-            spark, emb, books, centroids, codes_df, sample_rows, nprobe, out_schema,
+            spark, emb, books, centroids, codes_df, query_rows, nprobe, out_schema,
             n_queries=n_queries,
         )
     books = _pq_train_codebooks([r["e"] for r in sample_rows])
@@ -1016,7 +1029,7 @@ def knn_cosine_ivfpq(
     )
     _PQ_MEMO[index_key] = (books, centroids, codes_df)
     return _ivfpq_probe(
-        spark, emb, books, centroids, codes_df, sample_rows, nprobe, out_schema,
+        spark, emb, books, centroids, codes_df, query_rows, nprobe, out_schema,
         n_queries=n_queries,
     )
 
@@ -1250,7 +1263,11 @@ def knn_cosine_ivfpq_stored(
         .select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("e"))
     )
     sample_key = (app, sf_dir, "pq-stored-sample")
-    if sample_key in _PQ_MEMO:
+    if n_queries > _PQ_SAMPLE:
+        # memoized sample is bounded at _PQ_SAMPLE — honor a larger query
+        # set with a fresh collect, never silently truncate (round-7 fix)
+        sample_rows = emb.where(F.col("vec_id") < n_queries).collect()
+    elif sample_key in _PQ_MEMO:
         sample_rows = _PQ_MEMO[sample_key]
     else:
         sample_rows = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()

@@ -58,6 +58,7 @@ from pyspark.sql.types import (
 from .._registry import Registry
 from ..catalog import load_table
 from ..session import ensure_utc
+from ._util import await_drain
 
 REG = Registry()
 
@@ -227,7 +228,7 @@ def heavy_hitters_window_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_drain(q, 180, "heavy-hitters stream")
     candidates = spark.table(table_name).select("window_start", "user_id")
 
     # exact verify over the archive: candidate-restricted windowed counts
@@ -338,7 +339,7 @@ def heavy_hitters_sliding_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_drain(q, 180, "heavy-hitters stream")
     candidates = spark.table(table_name).select("window_start", "user_id")
 
     archive = (

@@ -26,6 +26,8 @@ clustering; this is north-star LLM-pipeline scope (SURVEY §2.9).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import SCHEMAS
@@ -74,10 +76,29 @@ def streaming_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    sub = "signatures" if minhash else ""
-    path = f"{store_path}/{sub}" if sub else store_path
-    return spark.read.parquet(path)
+    if not q.awaitTermination(timeout_sec):
+        # timed out with the query still running: stop it and fail loudly
+        # rather than read a store a live writer may still be mutating
+        q.stop()
+        raise TimeoutError(
+            f"ingest-dedup stream did not drain within {timeout_sec}s"
+        )
+    if not minhash:
+        return spark.read.parquet(store_path)
+    survivors = (
+        spark.read.parquet(f"{store_path}/signatures")
+        .select("doc_id", "batch_id")
+    )
+    # unshingleable (short/null-text) docs live in their own sub-store —
+    # they carry no signature but ARE survivors (round-7 ADVICE fix:
+    # previously only this function's discarded foreachBatch return
+    # value knew about them, so they vanished from the streamed output)
+    unsigned_dir = os.path.join(store_path, "unsigned")
+    if os.path.isdir(unsigned_dir):
+        survivors = survivors.unionByName(
+            spark.read.parquet(unsigned_dir).select("doc_id", "batch_id")
+        )
+    return survivors
 
 
 from pyspark.sql import functions as F  # noqa: E402

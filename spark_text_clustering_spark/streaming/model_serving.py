@@ -52,7 +52,13 @@ def serve_lang_id_stream(
         docs = batch_df.where(F.col("doc_id").isNotNull()).select(
             "doc_id", "lang", F.lower("text").alias("t")
         )
-        lang_nb_score(docs, artifacts).write.mode("append").parquet(out_dir)
+        # foreachBatch is at-least-once: a crashed epoch REPLAYS with the
+        # same id, so each epoch overwrites its OWN partition — a replay
+        # replaces rather than double-appends its predictions (the same
+        # commit contract as incremental_dedup; round-7 ADVICE fix)
+        lang_nb_score(docs, artifacts).write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={int(epoch_id)}"
+        )
 
     stream = (
         spark.readStream.schema(SCHEMAS["documents"])
@@ -65,8 +71,14 @@ def serve_lang_id_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    return spark.read.parquet(out_dir)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"lang-id serving stream did not drain within {timeout_sec}s"
+        )
+    # partition discovery surfaces the epoch key as a column; the serving
+    # contract is prediction rows only
+    return spark.read.parquet(out_dir).drop("epoch")
 
 
 @REG.register(
@@ -173,7 +185,11 @@ def serve_lda_topics_stream(
         cleaned = _preprocess(batch_df, False)
         feat = pipeline_model.transform(cleaned).where(F.size("tokens") > 0)
         feat = apply_idf_floor(feat, idf_values).select("doc_id", "tfidf")
-        score_documents(lda_model, feat).write.mode("append").parquet(out_dir)
+        # per-epoch partition overwrite: a replayed (at-least-once) epoch
+        # replaces rather than double-appends its scores (round-7 fix)
+        score_documents(lda_model, feat).write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={int(epoch_id)}"
+        )
 
     stream = (
         spark.readStream.schema(SCHEMAS["documents"])
@@ -186,5 +202,9 @@ def serve_lda_topics_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    return spark.read.parquet(out_dir)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"LDA serving stream did not drain within {timeout_sec}s"
+        )
+    return spark.read.parquet(out_dir).drop("epoch")

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, stream_events
 from ..session import ensure_utc
+from ._util import await_drain
 
 
 def _latest_per_user(df: DataFrame) -> DataFrame:
@@ -97,7 +98,7 @@ def maintain_user_snapshot(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        await_drain(q, 180, "snapshot stream")
         return maintainer.read()
     finally:
         shutil.rmtree(src, ignore_errors=True)

@@ -27,6 +27,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ._util import await_drain
+
 from ..catalog import stream_events
 from ..session import ensure_utc
 
@@ -101,7 +103,7 @@ def running_user_counters_stream(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        await_drain(q, 180, "stateful stream")
         return spark.table(table_name)
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -241,7 +243,7 @@ def user_sessions_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_drain(q, 180, "stateful stream")
     return spark.table(table_name)
 
 
@@ -337,7 +339,7 @@ def running_user_counters_tws(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        await_drain(q, 180, "stateful stream")
         return spark.table(table_name)
     finally:
         shutil.rmtree(src, ignore_errors=True)

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from .._registry import Registry
 from ..catalog import load_table, stream_events
 from ..session import ensure_utc
+from ._util import await_drain
 
 REG = Registry()
 
@@ -116,7 +117,7 @@ def run_stream_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(120)
+        await_drain(query, 120, "windowed-agg stream")
         return spark.table(table_name)
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
@@ -143,7 +144,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str, table_name: str = "dedup_o
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(120)
+        await_drain(query, 120, "windowed-agg stream")
         return spark.table(table_name)
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
@@ -219,7 +220,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str, table_name: str = "
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        await_drain(q, 180, "windowed-agg stream")
         return spark.table(table_name)
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)

@@ -419,3 +419,42 @@ def test_pca_variance_and_projection_properties(spark):
     # projected coordinates are centered-ish and non-degenerate
     assert np.abs(mat).max() > 0
     assert np.linalg.matrix_rank(mat) == 8
+
+
+def test_stored_ann_honors_n_queries_past_sample_bound(spark, tmp_path):
+    """round-7 ADVICE regression: the stored PQ/IVF+PQ probes memoize a
+    driver query sample collected with vec_id < _PQ_SAMPLE (512); asking
+    for MORE queries than that must re-collect and honor the argument,
+    not silently truncate the query set to the cached bound. Exercised on
+    a synthetic 700-vector corpus (the shipped test SFs stop at 500
+    vectors, below the bound)."""
+    import os
+
+    from spark_text_clustering_spark.operators.similarity import (
+        _PQ_SAMPLE,
+        knn_cosine_ivfpq,
+        knn_cosine_ivfpq_stored,
+        knn_cosine_pq_stored,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d = 700, 16
+    want = _PQ_SAMPLE + 88  # 600: strictly between the bound and n
+    rows = [
+        (i, [float(x) for x in rng.normal(size=d)], int(i % 5))
+        for i in range(n)
+    ]
+    sf = str(tmp_path / "sf_bigvec")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    for fn in (knn_cosine_pq_stored, knn_cosine_ivfpq, knn_cosine_ivfpq_stored):
+        out = fn(spark, sf, n_queries=want)
+        got = out.select("query_id").distinct().count()
+        assert got == want, f"{fn.__name__}: {got} != {want}"
+    # and the small-query path still works after the big one (the memoized
+    # sample must not have been poisoned by the fresh oversized collect)
+    small = knn_cosine_pq_stored(spark, sf, n_queries=20)
+    assert small.select("query_id").distinct().count() == 20

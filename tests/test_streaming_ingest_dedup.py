@@ -146,11 +146,22 @@ def test_streaming_ingest_dedup_minhash(spark, tmp_path):
     sigs = streaming_ingest_dedup(spark, src, store, ckpt, minhash=True)
     survivors = {r["doc_id"] for r in sigs.select("doc_id").collect()}
     # file-1 perturbations (100..103) dropped; 200 fresh doc kept;
-    # 201 is unshingleable so it's not in the SIGNATURE store but was
-    # returned by its epoch (cannot be a near-dup)
+    # 201 is unshingleable so it carries no signature, but it IS a
+    # survivor: its epoch persists it to the unsigned/ sub-store and the
+    # streamed output unions it back (round-7 fix — previously only the
+    # discarded foreachBatch return value knew about it)
     assert set(range(8)) <= survivors
     assert survivors & {100, 101, 102, 103} == set()
     assert 200 in survivors
+    assert 201 in survivors
+    # and it is durable: a fresh read of the store (what a new session
+    # would do) sees it too, in the unsigned sub-store only
+    unsigned = spark.read.parquet(f"{store}/unsigned")
+    assert {r["doc_id"] for r in unsigned.collect()} == {201}
+    sig_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{store}/signatures").collect()
+    }
+    assert 201 not in sig_ids
 
 
 def test_streaming_lda_serving_matches_batch(spark, tmp_path):
@@ -229,3 +240,43 @@ def test_streaming_lda_serving_matches_batch(spark, tmp_path):
             assert got[d][0] == want[d][0], (d, got[d], want[d])
             n_clear += 1
     assert n_clear > 0  # the assertion must have bitten somewhere
+
+
+def test_streaming_lang_id_serving_replay_idempotent(spark, tmp_path):
+    """round-7 ADVICE regression: foreachBatch is at-least-once, so a
+    replayed epoch must REPLACE its predictions, not append beside them.
+    Simulate the worst-case replay — wipe the checkpoint and re-drain the
+    same landing dir into the SAME output dir: every epoch re-fires with
+    its original epoch id, and the per-epoch partition overwrite must
+    leave the prediction count unchanged (append mode doubled it)."""
+    import glob
+
+    from spark_text_clustering_spark.streaming.model_serving import (
+        serve_lang_id_stream,
+    )
+
+    docs = [
+        r
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+        if r["doc_id"] < 90
+    ]
+    src = str(tmp_path / "serve_landing")
+    out = str(tmp_path / "serve_out")
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate([(0, 30), (30, 60), (60, 90)]):
+        _write_file(spark, src, f"f{i}", _doc_rows(docs, lo, hi))
+        p = os.path.join(src, f"f{i}.parquet")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    n1 = serve_lang_id_stream(
+        spark, src, SF_SMALL, out, str(tmp_path / "ck1")
+    ).count()
+    assert n1 == len(docs)
+    n2 = serve_lang_id_stream(
+        spark, src, SF_SMALL, out, str(tmp_path / "ck2")
+    ).count()
+    assert n2 == n1
+    eps = {
+        os.path.basename(p) for p in glob.glob(os.path.join(out, "epoch=*"))
+    }
+    assert eps == {"epoch=0", "epoch=1", "epoch=2"}
