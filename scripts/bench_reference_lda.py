@@ -1,0 +1,79 @@
+"""Apples-to-apples LDA baseline (round 7, VERDICT r6 directive #3).
+
+BASELINE.md's only published reference numbers are EM-LDA seconds/iter on
+the reference's OWN corpora (51 EN books, 29 MB → 0.792 s/iter; GE books
+→ see BASELINE.md). The per-round bench measures s/iter on the synthetic
+sf0.1 documents table, which is a same-order but not same-corpus
+comparison. This script runs THIS engine's full training path
+(app.run_training preprocessing chain → train_lda) on the reference's own
+books directory with the reference's hyperparameters (k=5, maxIter=50,
+EM, α/β optimizer defaults) and prints a directly comparable s/iter.
+
+Reads the reference corpus READ-ONLY. Run on a quiet machine:
+
+    python scripts/bench_reference_lda.py [corpus_dir]
+
+Timing protocol mirrors bench.py's LDA section: fresh SparkContext
+(context residue inflates tight EM iterations ~1.7x), preprocessing
+materialized OUTSIDE the timed window, data-driven partition count.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_text_clustering_spark.ml.lda import train_lda
+from spark_text_clustering_spark.ml.vectorize import vectorize
+from spark_text_clustering_spark.session import get_session
+from spark_text_clustering_spark.sources.text_corpus import read_text_corpus
+
+DEFAULT_CORPUS = "/root/reference/TextClustering/src/main/resources/books/English"
+
+
+def main() -> None:
+    corpus_path = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_CORPUS
+    spark = get_session("bench-reference-lda", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    books = read_text_corpus(spark, corpus_path)
+    docs = books.withColumn(
+        "doc_id", F.row_number().over(Window.orderBy("path")).cast("long") - 1
+    ).select("doc_id", "text")
+    t_prep0 = time.perf_counter()
+    vec, _ = vectorize(docs, vocab_size=2_900_000, min_doc_freq=2)
+    n_docs = vec.count()
+    # 51 whole books are heavy rows; one book per task is the right grain
+    parts = max(1, min(32, n_docs))
+    corpus = vec.select("doc_id", "tfidf").coalesce(parts).cache()
+    corpus.count()  # materialize preprocessing outside the timed window
+    prep_sec = time.perf_counter() - t_prep0
+
+    t0 = time.perf_counter()
+    train_lda(corpus, k=5, max_iter=50, optimizer="em", seed=42)
+    total = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "corpus": corpus_path,
+                "n_docs": n_docs,
+                "prep_sec": round(prep_sec, 3),
+                "lda_em_train_50iter_sec": round(total, 3),
+                "lda_em_sec_per_iter": round(total / 50, 4),
+                "reference_sec_per_iter_en": 0.792,
+                "ratio_vs_reference": round(total / 50 / 0.792, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

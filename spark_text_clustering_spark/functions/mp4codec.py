@@ -275,3 +275,213 @@ def parse_mp4_meta(data: bytes) -> dict:
     if meta["timescale"] is None:
         raise ValueError("no mvhd box: not a movie file")
     return meta
+
+
+# ---------------------------------------------------------------------------
+# Round 7: real sample tables + MJPEG sample decode (ISO/IEC 14496-12 §8.5-8.7)
+# ---------------------------------------------------------------------------
+# The round-6 skeleton wrote EMPTY stts/stsc/stsz/stco, so the container
+# carried no samples and frame decode was an honest NotImplementedError.
+# These writers/readers fill the boundary for Motion-JPEG: each video
+# sample is a complete baseline JPEG image (the 'jpeg' VisualSampleEntry
+# convention, same payload family as avicodec's '00dc' chunks), located
+# via the real sample tables — stsz sizes, stco chunk offsets, stsc
+# sample-to-chunk runs. Non-MJPEG codecs (avc1/hev1: NAL units needing an
+# external decoder) remain NotImplementedError — the boundary moves from
+# "mp4 frame decode" to "non-MJPEG mp4 codecs".
+
+
+def _stbl_mjpeg(
+    width: int, height: int, sizes: list[int], offsets: list[int], delta: int
+) -> bytes:
+    entry = _visual_sample_entry(b"jpeg", width, height)
+    n = len(sizes)
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    # one chunk per sample: a single run (first_chunk=1, samples=1, sdi=1)
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = _full_box(
+        b"stsz", 0, 0, struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes)
+    )
+    stco = _full_box(
+        b"stco", 0, 0, struct.pack(">I", n) + struct.pack(f">{n}I", *offsets)
+    )
+    return _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+
+def encode_mp4_mjpeg(
+    frames: list[bytes], width: int, height: int, *, fps: int = 10,
+    timescale: int = 1000,
+) -> bytes:
+    """A real single-track Motion-JPEG mp4: ftyp + mdat (the concatenated
+    JPEG samples) + moov whose sample tables locate each sample by
+    absolute file offset. mdat precedes moov (a legal and common layout)
+    so offsets are known without a fixup pass."""
+    if not frames:
+        raise ValueError("mp4 needs at least one frame")
+    ftyp = _box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"iso2" + b"mp41"
+    )
+    payload = b"".join(frames)
+    mdat = _box(b"mdat", payload)
+    base = len(ftyp) + 8  # first sample starts right after mdat's header
+    sizes = [len(f) for f in frames]
+    offsets = []
+    off = base
+    for s in sizes:
+        offsets.append(off)
+        off += s
+    delta = max(1, timescale // fps)
+    duration = len(frames) * delta
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(
+        b"minf",
+        vmhd + _dinf() + _stbl_mjpeg(width, height, sizes, offsets, delta),
+    )
+    mdia = _box(
+        b"mdia",
+        _mdhd(timescale, duration)
+        + _hdlr(b"vide", b"VideoHandler")
+        + minf,
+    )
+    trak = _box(b"trak", _tkhd(1, duration, width, height) + mdia)
+    moov = _box(b"moov", _mvhd(timescale, duration) + trak)
+    return ftyp + mdat + moov
+
+
+def _first_child(data: bytes, start: int, end: int, typ: bytes, depth: int):
+    for t, ps, pe in _walk(data, start, end, depth):
+        if t == typ:
+            return ps, pe
+    return None
+
+
+def _read_u32s(data: bytes, off: int, end: int, n: int, width: int = 4):
+    raw = _read(data, off, end, n * width)
+    return [
+        int.from_bytes(raw[i * width : (i + 1) * width], "big") for i in range(n)
+    ]
+
+
+def extract_mp4_video_samples(data: bytes) -> tuple[str, list[bytes]]:
+    """Locate the first video track's samples via its real sample tables
+    and return (codec_fourcc, [sample bytes...]). Pure container work —
+    no sample is interpreted. Raises ValueError on malformed structure
+    (fuzz contract: never an IndexError/struct.error escape)."""
+    moov = _first_child(data, 0, len(data), b"moov", 0)
+    if moov is None:
+        raise ValueError("no moov box")
+    for t, ps, pe in _walk(data, moov[0], moov[1], 1):
+        if t != b"trak":
+            continue
+        mdia = _first_child(data, ps, pe, b"mdia", 2)
+        if mdia is None:
+            continue
+        hdlr = _first_child(data, mdia[0], mdia[1], b"hdlr", 3)
+        if hdlr is None:
+            continue
+        _, hoff = _full_header(data, *hdlr)
+        if _read(data, hoff + 4, hdlr[1], 4) != b"vide":
+            continue
+        minf = _first_child(data, mdia[0], mdia[1], b"minf", 3)
+        stbl = minf and _first_child(data, minf[0], minf[1], b"stbl", 4)
+        if not stbl:
+            raise ValueError("video track without stbl")
+        boxes = {
+            bt: (bs, be)
+            for bt, bs, be in _walk(data, stbl[0], stbl[1], 5)
+            if bt in (b"stsd", b"stsz", b"stsc", b"stco", b"co64")
+        }
+        for need in (b"stsd", b"stsz", b"stsc"):
+            if need not in boxes:
+                raise ValueError(f"video stbl missing {need.decode()}")
+        if b"stco" not in boxes and b"co64" not in boxes:
+            raise ValueError("video stbl missing chunk offsets")
+
+        s, e = boxes[b"stsd"]
+        _, off = _full_header(data, s, e)
+        n_entries = int.from_bytes(_read(data, off, e, 4), "big")
+        if n_entries < 1:
+            raise ValueError("empty stsd")
+        codec = None
+        for etyp, _es, _ee in _walk(data, off + 4, e, 6):
+            codec = etyp.decode("ascii", "replace")
+            break
+        if codec is None:
+            raise ValueError("stsd without a sample entry")
+
+        s, e = boxes[b"stsz"]
+        _, off = _full_header(data, s, e)
+        fixed, n_samples = _read_u32s(data, off, e, 2)
+        if n_samples > 1_000_000:
+            raise ValueError("implausible mp4 sample count")
+        sizes = (
+            [fixed] * n_samples
+            if fixed
+            else _read_u32s(data, off + 8, e, n_samples)
+        )
+
+        key = b"stco" if b"stco" in boxes else b"co64"
+        s, e = boxes[key]
+        _, off = _full_header(data, s, e)
+        n_chunks = int.from_bytes(_read(data, off, e, 4), "big")
+        if n_chunks > 1_000_000:
+            raise ValueError("implausible mp4 chunk count")
+        chunk_offsets = _read_u32s(
+            data, off + 4, e, n_chunks, width=4 if key == b"stco" else 8
+        )
+
+        s, e = boxes[b"stsc"]
+        _, off = _full_header(data, s, e)
+        n_runs = int.from_bytes(_read(data, off, e, 4), "big")
+        if n_runs > 1_000_000:
+            raise ValueError("implausible stsc run count")
+        runs = [
+            tuple(_read_u32s(data, off + 4 + 12 * i, e, 3))
+            for i in range(n_runs)
+        ]
+        if any(r[0] < 1 for r in runs) or [r[0] for r in runs] != sorted(
+            {r[0] for r in runs}
+        ):
+            raise ValueError("stsc first_chunk not strictly increasing")
+
+        # walk chunks in order; each chunk holds samples_per_chunk of the
+        # run covering it, laid out consecutively from the chunk offset
+        samples: list[bytes] = []
+        si = 0
+        ri = 0
+        for ci in range(1, n_chunks + 1):
+            while ri + 1 < len(runs) and runs[ri + 1][0] <= ci:
+                ri += 1
+            if not runs or runs[ri][0] > ci:
+                raise ValueError(f"no stsc run covers chunk {ci}")
+            spc = runs[ri][1]
+            pos = chunk_offsets[ci - 1]
+            for _ in range(spc):
+                if si >= n_samples:
+                    break
+                size = sizes[si]
+                if pos + size > len(data):
+                    raise ValueError("mp4 sample extends past end of file")
+                samples.append(data[pos : pos + size])
+                pos += size
+                si += 1
+        if si != n_samples:
+            raise ValueError(
+                f"sample tables inconsistent: placed {si} of {n_samples}"
+            )
+        return codec, samples
+    raise ValueError("no video track")
+
+
+def decode_mp4_mjpeg_frames(data: bytes) -> list[bytes]:
+    """Frame payloads of a Motion-JPEG mp4 (each a complete baseline JPEG
+    bitstream, ready for jpegcodec.decode_jpeg_gray). Non-MJPEG codecs
+    raise NotImplementedError — the honest external-decoder boundary."""
+    codec, samples = extract_mp4_video_samples(data)
+    if codec not in ("jpeg", "mjpg", "mjpa"):
+        raise NotImplementedError(
+            f"mp4 video codec {codec!r} requires external codec libs; "
+            "only Motion-JPEG sample entries decode in-repo"
+        )
+    return samples

@@ -137,10 +137,12 @@ def decode_real(payload: bytes, codec: str):
     if fmt == "mp4":
         return m4.parse_mp4_meta(payload)
     if fmt == "mp4_frames":
-        raise NotImplementedError(
-            "mp4 frame decode (avcC/NAL) requires external codec libs; "
-            "container metadata is fmt='mp4'"
-        )
+        # real since round 7 for the Motion-JPEG family: sample locations
+        # resolved from the stsd/stsc/stsz/stco tables, payloads returned
+        # as complete JPEG bitstreams. Non-MJPEG codecs (avc1/hev1 NAL
+        # streams) raise NotImplementedError inside — the honest boundary
+        # is now "non-MJPEG mp4 codecs".
+        return m4.decode_mp4_mjpeg_frames(payload)
     raise NotImplementedError(f"decode for {fmt!r} requires external codec libs")
 
 
@@ -932,8 +934,9 @@ def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     every field from doc_id in SQL, so a mis-parsed offset (the class of
     bug the fuzz sweep hunts) breaks the hash match. Narrow map like its
     codec siblings; at 100 TB the walker reads only moov-resident bytes
-    per asset — frame decode stays behind the honest
-    NotImplementedError boundary ("mp4 frame decode")."""
+    per asset. Frame decode is real since round 7 for Motion-JPEG
+    (``multimodal_mp4_frames``); non-MJPEG codecs stay behind the honest
+    NotImplementedError boundary."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
         F.col("doc_id").isNotNull()
     )
@@ -943,6 +946,110 @@ def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, major_brand string, timescale int,"
         " duration long, n_tracks int, video_codec string, video_w int,"
         " video_h int, audio_codec string",
+    )
+
+
+# Deterministic MJPEG-in-mp4 video derived from doc_id: nf=doc_id%5+2
+# frames of 16x8 constant pixels (doc_id*5+19*f)%256; the sampler walks
+# the REAL ISO BMFF sample tables (stsd/stsc/stsz/stco) to locate each
+# sample, keeps every other frame, and JPEG-decodes it — mean_pixel comes
+# from genuinely decoded pixels (exact under the unit quant table) with a
+# closed-form oracle, the same contract as the AVI twin above.
+_MP4_FRAME_ORACLE = """
+WITH meta AS (
+  SELECT doc_id, doc_id % 5 + 2 AS nf
+  FROM documents WHERE doc_id IS NOT NULL),
+fr AS (
+  SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS f FROM meta)
+SELECT doc_id,
+       CAST(f AS BIGINT)  AS frame_idx,
+       CAST(16 AS INT)    AS width,
+       CAST(8 AS INT)     AS height,
+       CAST((doc_id * 5 + 19 * f) % 256 AS BIGINT) AS mean_pixel,
+       CAST(nf AS BIGINT) AS n_frames_total
+FROM fr
+WHERE f % 2 = 0
+"""
+
+
+def _make_mp4_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode one genuine Motion-JPEG mp4 per doc into a BINARY column:
+    real baseline-JPEG samples located by real stsz/stco/stsc tables."""
+    import numpy as np
+
+    from ..functions import jpegcodec as jc
+    from ..functions import mp4codec as m4
+
+    for pdf in batches:
+        ids = [int(d) for d in pdf["doc_id"]]
+        payloads = []
+        for d in ids:
+            nf = d % 5 + 2
+            frames = [
+                jc.encode_jpeg_gray(
+                    np.full((8, 16), (d * 5 + 19 * f) % 256, dtype=np.uint8),
+                    quality=None,
+                )
+                for f in range(nf)
+            ]
+            payloads.append(m4.encode_mp4_mjpeg(frames, 16, 8, fps=10))
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def _sample_mp4_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL mp4 frame sampler: resolve sample locations from the ISO BMFF
+    sample tables, keep every other sample, entropy-decode each kept
+    JPEG, and emit facts computed from the decoded pixels."""
+    import numpy as np
+
+    from ..functions import jpegcodec as jc
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "frame_idx": [], "width": [],
+            "height": [], "mean_pixel": [], "n_frames_total": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = decode_real(bytes(payload), "mp4_frames")
+            for idx in range(0, len(frames), 2):
+                px = jc.decode_jpeg_gray(frames[idx])
+                rows["doc_id"].append(int(doc_id))
+                rows["frame_idx"].append(idx)
+                rows["width"].append(px.shape[1])
+                rows["height"].append(px.shape[0])
+                rows["mean_pixel"].append(int(np.round(np.mean(px))))
+                rows["n_frames_total"].append(len(frames))
+        yield pd.DataFrame(rows)
+
+
+@REG.register("multimodal_mp4_frames", oracle=_MP4_FRAME_ORACLE)
+def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL mp4 frame sampling (round 7 — closes the last
+    NotImplementedError boundary of the multimodal battery for the
+    Motion-JPEG codec family): stage 1 materializes genuine MJPEG mp4
+    payloads (ftyp + mdat + moov with REAL stsd/stts/stsc/stsz/stco
+    sample tables, ISO/IEC 14496-12); stage 2 resolves each sample's
+    absolute file offset from those tables, samples every other frame,
+    and JPEG-decodes the samples. Mirrors ``multimodal_frame_sample``'s
+    AVI shape — both codec stages are narrow maps, and the only exchange
+    is the id-only repartition that parallelizes the CPU-bound decode.
+    At 100 TB frame sampling reads moov + the sampled byte ranges only
+    (range reads on object storage), not whole assets. Non-MJPEG sample
+    entries (avc1/hev1 NAL streams) remain NotImplementedError — the
+    honest boundary is now "non-MJPEG mp4 codecs"."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = (
+        docs.where(F.col("doc_id").isNotNull())
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    payloads = ids.mapInPandas(
+        _make_mp4_payloads, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        _sample_mp4_frames,
+        schema="doc_id long, frame_idx long, width int, height int,"
+        " mean_pixel long, n_frames_total long",
     )
 
 

@@ -613,6 +613,9 @@ def test_decoders_fuzz_fail_cleanly():
         timescale=1200, duration=2400, video=("avc1", 32, 16),
         audio_fourcc="mp4a",
     )
+    valid["mp4_frames"] = m4.encode_mp4_mjpeg(
+        [valid["jpeg"], valid["jpeg"]], 16, 16
+    )
     decoders = {
         "png": ic.decode_png_gray_pixels,
         "jpeg": jc.decode_jpeg_gray,
@@ -623,6 +626,7 @@ def test_decoders_fuzz_fail_cleanly():
         "avi": av.decode_avi_mjpeg_frames,
         "tiff": tfc.decode_tiff,
         "mp4": m4.parse_mp4_meta,
+        "mp4_frames": m4.decode_mp4_mjpeg_frames,
     }
     allowed = (ValueError, NotImplementedError, _struct.error, zlib.error,
                EOFError, wave.Error)
@@ -746,3 +750,99 @@ def test_multimodal_mp4_meta_spark(spark):
         assert (r["video_codec"], r["video_w"], r["video_h"]) == (
             "avc1", 16 * (d % 5 + 1), 16 * (d % 4 + 1))
         assert r["audio_codec"] == ("mp4a" if d % 2 == 1 else None)
+
+
+def test_mp4_mjpeg_sample_tables_roundtrip():
+    """Round-7 codec: MJPEG samples located via REAL stsd/stsc/stsz/stco
+    tables round-trip exactly, and the sample-to-chunk walker handles
+    layouts the in-repo encoder never writes (multi-sample chunks, co64
+    offsets), plus the inconsistency error class."""
+    import struct
+
+    import numpy as np
+
+    from spark_text_clustering_spark.functions import jpegcodec as jc
+    from spark_text_clustering_spark.functions import mp4codec as m4
+
+    frames = [
+        jc.encode_jpeg_gray(
+            np.full((8, 16), (11 * f + 5) % 256, dtype=np.uint8), quality=None
+        )
+        for f in range(5)
+    ]
+    data = m4.encode_mp4_mjpeg(frames, 16, 8, fps=4)
+    codec, samples = m4.extract_mp4_video_samples(data)
+    assert codec == "jpeg"
+    assert samples == frames
+    # decoded pixels are exact (block-constant image, unit quant table)
+    for f, s in enumerate(m4.decode_mp4_mjpeg_frames(data)):
+        px = jc.decode_jpeg_gray(s)
+        assert px.shape == (8, 16)
+        assert int(px[0, 0]) == (11 * f + 5) % 256
+    # container metadata still parses on the sample-bearing file
+    meta = m4.parse_mp4_meta(data)
+    assert meta["tracks"][0]["codec"] == "jpeg"
+    assert (meta["tracks"][0]["width"], meta["tracks"][0]["height"]) == (16, 8)
+
+    # hand-build a 2-chunk layout: chunk1 holds 3 samples, chunk2 holds 2
+    # (stsc runs [(1,3,1),(2,2,1)]) — exercises run advancement + intra-
+    # chunk consecutive placement the 1:1 encoder layout never hits
+    def rebuild(stsc_runs, co64=False, drop_last_chunk=False):
+        payload = b"".join(frames)
+        mdat = struct.pack(">I", 8 + len(payload)) + b"mdat" + payload
+        ftyp = data[: data.index(b"mdat") - 4]
+        base = len(ftyp) + 8
+        sizes = [len(f) for f in frames]
+        chunk_offsets = [base, base + sum(sizes[:3])]
+        if drop_last_chunk:
+            chunk_offsets = chunk_offsets[:1]
+        entry = m4._visual_sample_entry(b"jpeg", 16, 8)
+        stsd = m4._full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+        stts = m4._full_box(b"stts", 0, 0, struct.pack(">III", 1, 5, 250))
+        stsc = m4._full_box(
+            b"stsc", 0, 0,
+            struct.pack(">I", len(stsc_runs))
+            + b"".join(struct.pack(">III", *r) for r in stsc_runs),
+        )
+        stsz = m4._full_box(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, 5) + struct.pack(">5I", *sizes),
+        )
+        if co64:
+            stco = m4._full_box(
+                b"co64", 0, 0,
+                struct.pack(">I", len(chunk_offsets))
+                + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
+            )
+        else:
+            stco = m4._full_box(
+                b"stco", 0, 0,
+                struct.pack(">I", len(chunk_offsets))
+                + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+            )
+        stbl = m4._box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = m4._full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        minf = m4._box(b"minf", vmhd + m4._dinf() + stbl)
+        mdia = m4._box(
+            b"mdia",
+            m4._mdhd(1000, 1250) + m4._hdlr(b"vide", b"VideoHandler") + minf,
+        )
+        trak = m4._box(b"trak", m4._tkhd(1, 1250, 16, 8) + mdia)
+        moov = m4._box(b"moov", m4._mvhd(1000, 1250) + trak)
+        return ftyp + mdat + moov
+
+    multi = rebuild([(1, 3, 1), (2, 2, 1)])
+    codec2, samples2 = m4.extract_mp4_video_samples(multi)
+    assert (codec2, samples2) == ("jpeg", frames)
+    big = rebuild([(1, 3, 1), (2, 2, 1)], co64=True)
+    assert m4.extract_mp4_video_samples(big)[1] == frames
+    # inconsistent tables must raise, not mis-place samples
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inconsistent|covers"):
+        m4.extract_mp4_video_samples(rebuild([(1, 3, 1)], drop_last_chunk=True))
+    # non-MJPEG codec: honest NotImplementedError from the frame decoder
+    skel = m4.encode_mp4_skeleton(timescale=1000, duration=10,
+                                  video=("avc1", 16, 8))
+    with _pytest.raises(NotImplementedError, match="avc1"):
+        m4.decode_mp4_mjpeg_frames(skel)
