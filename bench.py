@@ -109,6 +109,9 @@ HEADLINE = [
     "multimodal_audio_spectral",
     "stream_heavy_hitters_sliding",
     "truecase_proper_nouns",
+    "multimodal_mp4_frames",
+    "heavy_hitters_window_stream",
+    "incremental_dedup_minhash",
 ]
 
 
@@ -133,6 +136,10 @@ def main() -> None:
         "stream_ingest_dedup",
         "stream_lang_id_serving",
         "multimodal_binary_ingest",
+        # round-7 keys: a real stateful streaming replay and a 3-batch
+        # persistent-store ingest loop, both construction-eager
+        "heavy_hitters_window_stream",
+        "incremental_dedup_minhash",
     }
     for key in HEADLINE:
         try:

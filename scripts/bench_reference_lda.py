@@ -49,8 +49,11 @@ def main() -> None:
     t_prep0 = time.perf_counter()
     vec, _ = vectorize(docs, vocab_size=2_900_000, min_doc_freq=2)
     n_docs = vec.count()
-    # 51 whole books are heavy rows; one book per task is the right grain
-    parts = max(1, min(32, n_docs))
+    # partition-count sweep on this corpus (quiet machine, 10-iter runs):
+    # 1->1.44, 4->1.48, 8->1.30, 16->1.11, 32->1.28 s/iter — 16 is the
+    # sweet spot for 51 heavy docs on local[32] (books are ~0.5 MB rows;
+    # past ~3 docs/partition, per-iteration scheduling overhead wins)
+    parts = max(1, min(16, n_docs))
     corpus = vec.select("doc_id", "tfidf").coalesce(parts).cache()
     corpus.count()  # materialize preprocessing outside the timed window
     prep_sec = time.perf_counter() - t_prep0

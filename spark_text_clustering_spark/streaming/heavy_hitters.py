@@ -38,6 +38,7 @@ would need at production scale.
 
 from __future__ import annotations
 
+import datetime
 import math
 from collections.abc import Iterable
 
@@ -410,3 +411,104 @@ def stream_heavy_hitters_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_sliding_batch(
         events, window_seconds=172800, slide_seconds=86400, support=0.01
     )
+
+
+_HH_STREAM_CAP = 4000  # registered-demo bound: event_id below this streams
+
+_HH_STREAM_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, ts FROM events
+  WHERE event_id IS NOT NULL AND event_id < {_HH_STREAM_CAP}
+        AND user_id IS NOT NULL AND ts IS NOT NULL),
+wc AS (
+  SELECT date_trunc('day', ts) AS window_start, user_id,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2
+), wt AS (
+  SELECT window_start, SUM(cnt) AS total FROM wc GROUP BY 1
+)
+SELECT wc.window_start, wc.user_id, wc.cnt
+FROM wc JOIN wt USING (window_start)
+WHERE wc.cnt >= CEIL(0.01 * wt.total)
+"""
+
+
+@REG.register("heavy_hitters_window_stream", oracle=_HH_STREAM_ORACLE)
+def heavy_hitters_window_stream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered driver key for the TRUE stateful run (round 7 — the
+    batch form ``stream_heavy_hitters`` has carried the shared oracle
+    since round 5; this registers the streaming machinery itself): a
+    bounded slice of the events table lands as three ts-ordered files
+    plus a far-future watermark-pusher event, replays through the
+    windowed CMS + Misra-Gries ``applyInPandasWithState`` operator (one
+    microbatch per file), and every real window's event-time timeout
+    fires before the replay drains.
+
+    The oracle is exact SQL over the REAL events only: the candidate
+    superset (MG with capacity 1/support) + lossless exact verify equals
+    the batch per-window heavy hitters for every fired window, and the
+    pusher — whose own window never times out — contributes no candidate,
+    so it cannot appear in (or perturb) the output. A dropped timeout, a
+    mis-folded CMS, or an unfired window breaks the hash match."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    ensure_utc(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            F.col("event_id").isNotNull()
+            & (F.col("event_id") < _HH_STREAM_CAP)
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select("user_id", "ts")
+    )
+    # approxQuantile rejects TimestampType: split on epoch seconds
+    evs = ev.withColumn("ts_s", F.unix_timestamp("ts"))
+    cuts = evs.approxQuantile("ts_s", [1 / 3, 2 / 3], 0.0)
+    if not cuts:
+        return spark.createDataFrame(
+            [], "window_start timestamp, user_id long, cnt long"
+        )
+    hi_ts = ev.agg(F.max("ts")).collect()[0][0]
+    base = tempfile.mkdtemp(prefix="hh_stream_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    try:
+        bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+        for i, (lo, hi) in enumerate(bounds):
+            part = evs
+            if lo is not None:
+                part = part.where(F.col("ts_s") > lo)
+            if hi is not None:
+                part = part.where(F.col("ts_s") <= hi)
+            part = part.select("user_id", "ts")
+            tmp = os.path.join(base, f"stage{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            pf = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"f{i}.parquet")
+            shutil.copy(pf, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        # watermark pusher: one synthetic far-future event advances the
+        # watermark past every real window's timeout; its own window
+        # never fires, so it is invisible in the output by construction
+        pusher = spark.createDataFrame(
+            [(-1, hi_ts + datetime.timedelta(days=3))], "user_id long, ts timestamp"
+        )
+        tmp = os.path.join(base, "pusher")
+        pusher.coalesce(1).write.mode("overwrite").parquet(tmp)
+        pf = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, "f3.parquet")
+        shutil.copy(pf, dst)
+        os.utime(dst, (1_700_000_003, 1_700_000_003))
+
+        out = heavy_hitters_window_stream(
+            spark, src, window_seconds=86400, support=0.01,
+            delay_seconds=60, table_name="hh_demo_out",
+        )
+        return out.localCheckpoint(eager=True)  # src dies on return
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
