@@ -269,6 +269,17 @@ def main() -> None:
         spark.stop()
         spark = get_session("bench-lda", master=f"local[{CPUS}]")
         spark.sparkContext.setLogLevel("ERROR")
+        # EM LDA's GraphX lineage grows per iteration; the configured
+        # checkpointInterval=10 (the reference's own default,
+        # LDAClustering.scala:54-57) is INERT unless a checkpoint dir is
+        # set, and later iterations slow down ~3x. Round-7 A/B at sf0.1:
+        # 0.52 -> 0.18 s/iter with the dir active; same effect measured
+        # 3.09 -> 1.05 s/iter on the reference's 51-book corpus.
+        import tempfile as _tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            _tempfile.mkdtemp(prefix="bench_lda_ckpt_")
+        )
         docs = load_table(spark, SF_DIR, "documents")
         vec, _ = vectorize(docs, vocab_size=2_900_000, min_doc_freq=2)
         # size the EM graph's partitions to the DATA (~512 docs each,

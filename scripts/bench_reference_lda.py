@@ -38,9 +38,17 @@ DEFAULT_CORPUS = "/root/reference/TextClustering/src/main/resources/books/Englis
 
 
 def main() -> None:
+    import tempfile
+
     corpus_path = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_CORPUS
     spark = get_session("bench-reference-lda", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
+    # EM LDA's GraphX lineage grows per iteration; without a checkpoint
+    # dir the checkpointInterval=10 setting is inert and later iterations
+    # slow down ~3x (measured: 1.11 s/iter over 10 iters vs 3.09 s/iter
+    # over 50 on this corpus). The reference supports the same knob
+    # (LDAClustering.scala:54-57) — run the comparison with it active.
+    spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="lda_ckpt_"))
 
     books = read_text_corpus(spark, corpus_path)
     docs = books.withColumn(

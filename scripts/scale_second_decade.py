@@ -1,0 +1,120 @@
+"""Second-decade scale point for the pair-space families (round 7,
+VERDICT r6 directive #6).
+
+The COVERAGE.md linearity claim for the quadratic-risk families (minhash
+banding, span dedup, stored ANN probes) rested on ONE measured decade
+(sf0.01 → sf0.1). This script synthesizes a seeded ~10× sf0.1 corpus —
+documents replicated 10× with per-replica perturbation (every replica
+gets a replica-tagged token injected at a deterministic position, so
+replicas are NEAR-duplicates: exactly the adversarial regime for the
+banding/span machinery — pair-space grows 100×, output must grow ~10×)
+and embeddings replicated 10× with seeded noise + renorm — then times
+the three keys at sf0.1 and at the synthetic decade, one fresh session
+per (sf, key) so every number is a cold first call (index/Bloom build
+included; the memoized fast paths would otherwise hide the build term).
+
+Usage: python scripts/scale_second_decade.py [out_dir]
+Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF01 = "/root/testdata/sf0.1"
+KEYS = [
+    "dedup_duplicate_spans_strided",
+    "dedup_minhash_fast",
+    "knn_cosine_ivfpq_stored",
+]
+
+
+def synthesize(out_dir: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(f"{SF01}/documents.parquet").to_pandas()
+    n = len(docs)
+    reps = []
+    for r in range(10):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + r * 1_000_000
+        if r > 0:
+            # perturb: splice a replica-tagged token into the middle of
+            # the text — replicas stay ~99% Jaccard-similar (near-dups,
+            # and every >=30-char window away from the splice is a
+            # duplicated span), deterministic, no RNG needed
+            mid = d["text"].str.len() // 2
+            d["text"] = [
+                (t[:m] + f" repl{r}tok " + t[m:]) if isinstance(t, str) else t
+                for t, m in zip(d["text"], mid)
+            ]
+        reps.append(d)
+    import pandas as pd
+
+    big = pd.concat(reps, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(big, preserve_index=False),
+                   f"{out_dir}/documents.parquet")
+
+    emb = pq.read_table(f"{SF01}/embeddings.parquet").to_pandas()
+    rng = np.random.default_rng(7)
+    ereps = []
+    for r in range(10):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + r * 1_000_000
+        if r > 0:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in e["embedding"]]
+            )
+            vecs = vecs + rng.normal(0, 0.05, vecs.shape).astype(np.float32)
+            e["embedding"] = [v for v in vecs]
+        ereps.append(e)
+    bige = pd.concat(ereps, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(bige, preserve_index=False),
+                   f"{out_dir}/embeddings.parquet")
+    print(json.dumps({"synth": out_dir, "docs": len(big), "vecs": len(bige)}),
+          flush=True)
+
+
+def time_key(key: str, sf_dir: str) -> float:
+    from spark_text_clustering_spark.registry import QUERIES
+    from spark_text_clustering_spark.session import get_session
+
+    spark = get_session(f"scale-{key}", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return dt
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
+    if not os.path.exists(f"{out_dir}/documents.parquet"):
+        synthesize(out_dir)
+    for key in KEYS:
+        t_small = time_key(key, SF01)
+        t_big = time_key(key, out_dir)
+        print(
+            json.dumps(
+                {
+                    "key": key,
+                    "sf0.1_cold_sec": round(t_small, 2),
+                    "sf1_synth_cold_sec": round(t_big, 2),
+                    "ratio_at_10x": round(t_big / t_small, 2),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
