@@ -415,9 +415,17 @@ def stream_heavy_hitters_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HH_STREAM_CAP = 4000  # registered-demo bound: event_id below this streams
 
+# the demo folds user_id into 23 buckets: the shipped events tables get
+# MORE users (not more events/user) as SF grows, so organic per-user
+# daily shares shrink below any fixed support and the demo would emit
+# zero rows past sf0.01. 23 keys against MG capacity ceil(1/0.05)=20
+# also guarantees genuine counter eviction at every SF.
+_HH_STREAM_MOD = 23
+_HH_STREAM_SUPPORT = 0.05
+
 _HH_STREAM_ORACLE = f"""
 WITH ev AS (
-  SELECT user_id, ts FROM events
+  SELECT user_id % {_HH_STREAM_MOD} AS user_id, ts FROM events
   WHERE event_id IS NOT NULL AND event_id < {_HH_STREAM_CAP}
         AND user_id IS NOT NULL AND ts IS NOT NULL),
 wc AS (
@@ -429,7 +437,7 @@ wc AS (
 )
 SELECT wc.window_start, wc.user_id, wc.cnt
 FROM wc JOIN wt USING (window_start)
-WHERE wc.cnt >= CEIL(0.01 * wt.total)
+WHERE wc.cnt >= CEIL({_HH_STREAM_SUPPORT} * wt.total)
 """
 
 
@@ -464,7 +472,7 @@ def heavy_hitters_window_stream_demo(spark: SparkSession, sf_dir: str) -> DataFr
             & F.col("user_id").isNotNull()
             & F.col("ts").isNotNull()
         )
-        .select("user_id", "ts")
+        .select((F.col("user_id") % _HH_STREAM_MOD).alias("user_id"), "ts")
     )
     # approxQuantile rejects TimestampType: split on epoch seconds
     evs = ev.withColumn("ts_s", F.unix_timestamp("ts"))
@@ -506,9 +514,21 @@ def heavy_hitters_window_stream_demo(spark: SparkSession, sf_dir: str) -> DataFr
         os.utime(dst, (1_700_000_003, 1_700_000_003))
 
         out = heavy_hitters_window_stream(
-            spark, src, window_seconds=86400, support=0.01,
+            spark, src, window_seconds=86400, support=_HH_STREAM_SUPPORT,
             delay_seconds=60, table_name="hh_demo_out",
         )
-        return out.localCheckpoint(eager=True)  # src dies on return
+        # the result is heavy-hitter-bounded BY CONSTRUCTION (at most
+        # support^-1 rows per fired window), so collecting it is
+        # model-sized, and rebuilding the frame from the collected rows
+        # severs every plan reference to the temp landing dir deleted in
+        # the finally (a localCheckpoint'd plan was observed — rarely —
+        # re-scanning the deleted src under the bench battery's memory
+        # pressure)
+        rows = [
+            (r["window_start"], r["user_id"], r["cnt"]) for r in out.collect()
+        ]
+        return spark.createDataFrame(
+            rows, "window_start timestamp, user_id long, cnt long"
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
