@@ -81,6 +81,20 @@ def run_training(
     params = params or Params()
     if params.checkpoint_dir:
         spark.sparkContext.setCheckpointDir(params.checkpoint_dir)
+    elif params.algorithm == "em" and spark.sparkContext.getCheckpointDir() is None:
+        # Deliberate divergence from the reference (LDAClustering.scala:
+        # 55-57 sets the dir only when the flag is given): EM LDA's
+        # checkpointInterval=10 is INERT without a checkpoint dir, and
+        # the GraphX lineage then grows per iteration — measured 3x
+        # per-iteration slowdown by iteration 50 on the reference's own
+        # corpus (COVERAGE.md round-7). Default to a temp dir so the
+        # configured interval actually truncates; pass checkpoint_dir to
+        # control the location (durable storage on a real cluster).
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="lda_em_ckpt_")
+        )
 
     docs = _corpus_from_path(spark, corpus_path)
     vectorized, pipeline_model = vectorize(
