@@ -37,10 +37,15 @@ from spark_text_clustering_spark.sources.text_corpus import read_text_corpus
 DEFAULT_CORPUS = "/root/reference/TextClustering/src/main/resources/books/English"
 
 
+REFERENCE_S_PER_ITER = {"English": 0.792, "German": 2.103}  # BASELINE.md
+
+
 def main() -> None:
     import tempfile
 
     corpus_path = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_CORPUS
+    lang = corpus_path.rstrip("/").rsplit("/", 1)[-1]
+    ref_iter = REFERENCE_S_PER_ITER.get(lang, 0.792)
     spark = get_session("bench-reference-lda", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     # EM LDA's GraphX lineage grows per iteration; without a checkpoint
@@ -55,7 +60,10 @@ def main() -> None:
         "doc_id", F.row_number().over(Window.orderBy("path")).cast("long") - 1
     ).select("doc_id", "text")
     t_prep0 = time.perf_counter()
-    vec, _ = vectorize(docs, vocab_size=2_900_000, min_doc_freq=2)
+    from spark_text_clustering_spark.functions.textnorm import STOPWORDS_BY_LANG
+
+    stop = list(STOPWORDS_BY_LANG.get("GE" if lang == "German" else "EN"))
+    vec, _ = vectorize(docs, vocab_size=2_900_000, stopwords=stop, min_doc_freq=2)
     n_docs = vec.count()
     # partition-count sweep on this corpus (quiet machine, 10-iter runs):
     # 1->1.44, 4->1.48, 8->1.30, 16->1.11, 32->1.28 s/iter — 16 is the
@@ -78,8 +86,8 @@ def main() -> None:
                 "prep_sec": round(prep_sec, 3),
                 "lda_em_train_50iter_sec": round(total, 3),
                 "lda_em_sec_per_iter": round(total / 50, 4),
-                "reference_sec_per_iter_en": 0.792,
-                "ratio_vs_reference": round(total / 50 / 0.792, 3),
+                "reference_sec_per_iter": ref_iter,
+                "ratio_vs_reference": round(total / 50 / ref_iter, 3),
             }
         )
     )

@@ -136,3 +136,29 @@ def test_join_planner_three_regimes(spark, bucketed):
         ["o_orderkey"], ["l_orderkey"], broadcast_threshold=1024,
     )
     assert j.count() == n_plain
+
+
+def test_parse_byte_string_units():
+    """round-7 ADVICE regression: the broadcast-threshold conf accepts
+    Spark size strings with unit suffixes; the probe must parse every
+    legal spelling instead of crashing on anything but plain digits."""
+    import pytest
+
+    from spark_text_clustering_spark.operators.join_planner import (
+        _parse_byte_string,
+    )
+
+    assert _parse_byte_string("10485760") == 10485760
+    assert _parse_byte_string("10485760b") == 10485760
+    assert _parse_byte_string("10MB") == 10 * 1024 * 1024
+    assert _parse_byte_string("10mb") == 10 * 1024 * 1024
+    assert _parse_byte_string("1g") == 1 << 30
+    assert _parse_byte_string("2GB") == 2 << 30
+    assert _parse_byte_string("512k") == 512 << 10
+    assert _parse_byte_string("1t") == 1 << 40
+    assert _parse_byte_string("-1") == -1  # broadcast disabled sentinel
+    assert _parse_byte_string(" 5 m ") == 5 << 20
+    with pytest.raises(ValueError):
+        _parse_byte_string("10XB")
+    with pytest.raises(ValueError):
+        _parse_byte_string("MB")
