@@ -474,8 +474,15 @@ def heavy_hitters_window_stream_demo(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .select((F.col("user_id") % _HH_STREAM_MOD).alias("user_id"), "ts")
     )
-    # approxQuantile rejects TimestampType: split on epoch seconds
-    evs = ev.withColumn("ts_s", F.unix_timestamp("ts"))
+    # approxQuantile rejects TimestampType: split on epoch seconds. The
+    # bounded slice is demo-sized (< _HH_STREAM_CAP rows): pin it once so
+    # the quantile probe and the three landing writes don't each rescan
+    # the events table
+    evs = (
+        ev.withColumn("ts_s", F.unix_timestamp("ts"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
     cuts = evs.approxQuantile("ts_s", [1 / 3, 2 / 3], 0.0)
     if not cuts:
         return spark.createDataFrame(
@@ -513,10 +520,23 @@ def heavy_hitters_window_stream_demo(spark: SparkSession, sf_dir: str) -> DataFr
         shutil.copy(pf, dst)
         os.utime(dst, (1_700_000_003, 1_700_000_003))
 
-        out = heavy_hitters_window_stream(
-            spark, src, window_seconds=86400, support=_HH_STREAM_SUPPORT,
-            delay_seconds=60, table_name="hh_demo_out",
-        )
+        # state-store cost scales with shuffle partitions x microbatches;
+        # the demo has ~30 window groups, so 32 partitions is pure state
+        # setup overhead (measured: 16 s -> 9 s replay at 4). A real
+        # deployment sizes this to key cardinality the same way.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            out = heavy_hitters_window_stream(
+                spark, src, window_seconds=86400, support=_HH_STREAM_SUPPORT,
+                delay_seconds=60, table_name="hh_demo_out",
+            )
+            rows = [
+                (r["window_start"], r["user_id"], r["cnt"])
+                for r in out.collect()
+            ]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         # the result is heavy-hitter-bounded BY CONSTRUCTION (at most
         # support^-1 rows per fired window), so collecting it is
         # model-sized, and rebuilding the frame from the collected rows
@@ -524,9 +544,6 @@ def heavy_hitters_window_stream_demo(spark: SparkSession, sf_dir: str) -> DataFr
         # the finally (a localCheckpoint'd plan was observed — rarely —
         # re-scanning the deleted src under the bench battery's memory
         # pressure)
-        rows = [
-            (r["window_start"], r["user_id"], r["cnt"]) for r in out.collect()
-        ]
         return spark.createDataFrame(
             rows, "window_start timestamp, user_id long, cnt long"
         )
