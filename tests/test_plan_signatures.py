@@ -112,6 +112,7 @@ def plan_signature(plan: str) -> dict:
         # codegen fusion where it matters, on the plans that show it
         "expand": plan.count("Expand"),  # rollup/cube/grouping sets
         "generate": plan.count("Generate"),  # explode family
+        "cartesian": plan.count("CartesianProduct"),  # must stay 0
     }
 
 
@@ -151,6 +152,38 @@ def test_plan_signatures_match_goldens(spark):
     assert not diffs, (
         "physical-plan signatures changed (golden, current); if deliberate, "
         "regenerate goldens and commit:\n" + "\n".join(diffs)
+    )
+
+
+# keys whose plan legitimately contains a BroadcastNestedLoopJoin: every
+# one is a deliberately BROADCAST-BOUNDED cross join (a model-sized side
+# ships to executors — the documented ANN/theta-join design), never an
+# unbounded big x big product
+_BNLJ_WHITELIST = {
+    "knn_cosine_exact",  # 20-row broadcast query set x corpus
+    "join_range_theta",  # range-theta join: broadcast side is the dim
+    "kmeans_assign_exact",  # k=8 centroid rows broadcast x corpus
+    "search_bm25_scores",  # broadcast query-term rows x posting lists
+    "funnel_conversion",  # three 1-row step aggregates cross-joined
+}
+
+
+def test_no_unbounded_products(spark):
+    """Hard anti-pattern gate (round 7): no audited plan may contain a
+    CartesianProduct, and BroadcastNestedLoopJoin only where the design
+    broadcasts a model-sized side (whitelist above). A CartesianProduct
+    at 100 TB is |left|x|right| — always a bug in this engine."""
+    got = _current_signatures(spark)
+    offenders = {k: s["cartesian"] for k, s in got.items() if s["cartesian"]}
+    assert not offenders, f"CartesianProduct in plans: {offenders}"
+    bad_bnlj = {
+        k: s["broadcast_nl_join"]
+        for k, s in got.items()
+        if s["broadcast_nl_join"] and k not in _BNLJ_WHITELIST
+    }
+    assert not bad_bnlj, (
+        f"unexpected BroadcastNestedLoopJoin (bounded-by-design? add to "
+        f"whitelist with rationale): {bad_bnlj}"
     )
 
 
