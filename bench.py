@@ -110,6 +110,7 @@ HEADLINE = [
     "stream_heavy_hitters_sliding",
     "truecase_proper_nouns",
     "multimodal_mp4_frames",
+    "multimodal_mp4_avc_meta",
     "heavy_hitters_window_stream",
     "incremental_dedup_minhash",
 ]

@@ -485,3 +485,88 @@ def decode_mp4_mjpeg_frames(data: bytes) -> list[bytes]:
             "only Motion-JPEG sample entries decode in-repo"
         )
     return samples
+
+
+# ---------------------------------------------------------------------------
+# Round 7b: avc1 + avcC — H.264 catalog metadata without frame decode
+# ---------------------------------------------------------------------------
+
+
+def encode_mp4_avc(
+    width: int, height: int, *, timescale: int = 1000, duration: int = 1000,
+    level_idc: int = 30,
+) -> bytes:
+    """An mp4 skeleton whose ``avc1`` sample entry carries a real avcC
+    configuration box: the SPS codes EXACTLY (width, height) via the
+    macroblock grid + frame cropping. No samples — this is the catalog
+    shape (the moov alone identifies profile/level/true dimensions)."""
+    from . import h264sps
+
+    sps = h264sps.encode_sps(width, height, level_idc=level_idc)
+    avcc = _box(b"avcC", h264sps.encode_avcc(sps))
+    # VisualSampleEntry with the avcC appended as a child box; tkhd
+    # carries the MB-rounded display size a naive writer would use —
+    # the SPS is the truth a catalog must prefer
+    entry_body = _visual_sample_entry(b"avc1", width, height)
+    entry = entry_body[:4]
+    entry = struct.pack(">I", len(entry_body) + len(avcc)) + entry_body[4:] + avcc
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">I", 0))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">I", 0))
+    stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stco = _full_box(b"stco", 0, 0, struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + _dinf() + stbl)
+    mdia = _box(
+        b"mdia",
+        _mdhd(timescale, duration) + _hdlr(b"vide", b"VideoHandler") + minf,
+    )
+    trak = _box(b"trak", _tkhd(1, duration, width, height) + mdia)
+    moov = _box(b"moov", _mvhd(timescale, duration) + trak)
+    ftyp = _box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"iso2" + b"mp41"
+    )
+    return ftyp + moov + _box(b"mdat", b"")
+
+
+_VISUAL_ENTRY_FIELDS = 78  # VisualSampleEntry fixed fields before child boxes
+
+
+def parse_mp4_avc_meta(data: bytes) -> dict:
+    """Walk the container to the first avc1 sample entry's avcC box and
+    parse its SPS: {profile_idc, level_idc, width, height, n_sps, n_pps}.
+    The SPS-coded dimensions are authoritative (tkhd/sample-entry sizes
+    are MB-rounded display hints in sloppy writers). Raises ValueError
+    when no avc1+avcC track exists or the structure is malformed."""
+    from . import h264sps
+
+    moov = _first_child(data, 0, len(data), b"moov", 0)
+    if moov is None:
+        raise ValueError("no moov box")
+    for t, ps, pe in _walk(data, moov[0], moov[1], 1):
+        if t != b"trak":
+            continue
+        mdia = _first_child(data, ps, pe, b"mdia", 2)
+        if mdia is None:
+            continue
+        minf = _first_child(data, mdia[0], mdia[1], b"minf", 3)
+        stbl = minf and _first_child(data, minf[0], minf[1], b"stbl", 4)
+        stsd = stbl and _first_child(data, stbl[0], stbl[1], b"stsd", 5)
+        if not stsd:
+            continue
+        _, off = _full_header(data, *stsd)
+        n = int.from_bytes(_read(data, off, stsd[1], 4), "big")
+        if n < 1:
+            continue
+        for etyp, es, ee in _walk(data, off + 4, stsd[1], 6):
+            if etyp != b"avc1":
+                continue
+            child_start = es + _VISUAL_ENTRY_FIELDS
+            if child_start >= ee:
+                raise ValueError("avc1 entry carries no configuration box")
+            avcc = _first_child(data, child_start, ee, b"avcC", 7)
+            if avcc is None:
+                raise ValueError("avc1 entry without avcC")
+            return h264sps.parse_avcc(data[avcc[0] : avcc[1]])
+    raise ValueError("no avc1 video track")

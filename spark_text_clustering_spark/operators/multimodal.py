@@ -949,6 +949,68 @@ def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic H.264 catalog metadata derived from doc_id: the avcC
+# box's SPS codes non-MB-aligned dimensions via frame cropping, so a
+# parser that ignores cropping (or mis-reads the Exp-Golomb stream)
+# breaks the hash. tkhd/sample-entry sizes are deliberately the same
+# values here, but the emitted fields come from the SPS parse ONLY.
+_MP4_AVC_ORACLE = """
+SELECT doc_id,
+       CAST(66 AS INT)                                  AS profile_idc,
+       CAST(30 + doc_id % 2 AS INT)                     AS level_idc,
+       CAST(16 * (doc_id % 4 + 1) - 2 * (doc_id % 5) AS INT) AS width,
+       CAST(16 * (doc_id % 3 + 1) - 2 * (doc_id % 4) AS INT) AS height
+FROM documents
+WHERE doc_id IS NOT NULL
+"""
+
+
+def _mp4_avc_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Write a genuine avc1 mp4 skeleton per doc (real avcC + SPS NAL,
+    emulation-prevention escaped), parse it back through the container
+    walker + Exp-Golomb SPS decoder, and emit facts from the parse."""
+    from ..functions import mp4codec as m4
+
+    for pdf in batches:
+        out = {"doc_id": [], "profile_idc": [], "level_idc": [],
+               "width": [], "height": []}
+        for doc_id in pdf["doc_id"].dropna():
+            d = int(doc_id)
+            w = 16 * (d % 4 + 1) - 2 * (d % 5)
+            h = 16 * (d % 3 + 1) - 2 * (d % 4)
+            payload = m4.encode_mp4_avc(w, h, level_idc=30 + d % 2)
+            meta = m4.parse_mp4_avc_meta(bytes(payload))
+            out["doc_id"].append(d)
+            out["profile_idc"].append(meta["profile_idc"])
+            out["level_idc"].append(meta["level_idc"])
+            out["width"].append(meta["width"])
+            out["height"].append(meta["height"])
+        yield pd.DataFrame(out)
+
+
+@REG.register("multimodal_mp4_avc_meta", oracle=_MP4_AVC_ORACLE)
+def multimodal_mp4_avc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 catalog metadata from the avcC configuration box (round 7b):
+    for the dominant real-world codec, the moov alone carries what a
+    100 TB asset catalog needs — profile, level, and the TRUE coded
+    dimensions (SPS macroblock grid minus frame cropping; tkhd sizes are
+    MB-rounded display hints in sloppy writers). The executor builds a
+    real avc1 skeleton per doc (functions/h264sps.py: Exp-Golomb SPS
+    writer with exact cropping + RBSP emulation-prevention escaping) and
+    parses it back; every emitted field comes from the SPS bit parse.
+    Narrow map like the codec siblings; frame decode of H.264 entropy
+    streams stays the honest NotImplementedError boundary."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id").isNotNull()
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.mapInPandas(
+        _mp4_avc_roundtrip,
+        schema="doc_id long, profile_idc int, level_idc int,"
+        " width int, height int",
+    )
+
+
 # Deterministic MJPEG-in-mp4 video derived from doc_id: nf=doc_id%5+2
 # frames of 16x8 constant pixels (doc_id*5+19*f)%256; the sampler walks
 # the REAL ISO BMFF sample tables (stsd/stsc/stsz/stco) to locate each

@@ -616,6 +616,7 @@ def test_decoders_fuzz_fail_cleanly():
     valid["mp4_frames"] = m4.encode_mp4_mjpeg(
         [valid["jpeg"], valid["jpeg"]], 16, 16
     )
+    valid["mp4_avc"] = m4.encode_mp4_avc(638, 360)
     decoders = {
         "png": ic.decode_png_gray_pixels,
         "jpeg": jc.decode_jpeg_gray,
@@ -627,6 +628,7 @@ def test_decoders_fuzz_fail_cleanly():
         "tiff": tfc.decode_tiff,
         "mp4": m4.parse_mp4_meta,
         "mp4_frames": m4.decode_mp4_mjpeg_frames,
+        "mp4_avc": m4.parse_mp4_avc_meta,
     }
     allowed = (ValueError, NotImplementedError, _struct.error, zlib.error,
                EOFError, wave.Error)
@@ -846,3 +848,64 @@ def test_mp4_mjpeg_sample_tables_roundtrip():
                                   video=("avc1", 16, 8))
     with _pytest.raises(NotImplementedError, match="avc1"):
         m4.decode_mp4_mjpeg_frames(skel)
+
+
+def test_h264_sps_codec():
+    """Round-7b: Exp-Golomb SPS round trips exact (cropped) dimensions,
+    the high-profile prefix parses, emulation prevention is applied and
+    stripped, and the avcC record carries it all."""
+    import pytest
+
+    from spark_text_clustering_spark.functions import h264sps as h
+    from spark_text_clustering_spark.functions import mp4codec as m4
+
+    for w, ht in [(16, 16), (1920, 1080), (1918, 1080), (640, 360),
+                  (18, 10), (354, 288), (8, 2)]:
+        sps = h.encode_sps(w, ht)
+        m = h.parse_sps(sps)
+        assert (m["width"], m["height"], m["profile_idc"]) == (w, ht, 66)
+        a = h.parse_avcc(h.encode_avcc(sps))
+        assert (a["width"], a["height"], a["n_sps"], a["n_pps"]) == (w, ht, 1, 1)
+
+    # emulation prevention: escaping inserts 0x03 after double zeros and
+    # the parser strips it — round-trip a payload that forces the case
+    raw = b"\x00\x00\x00\x00\x01\x00\x00\x02\x00\x00\x03"
+    esc = h._escape_rbsp(raw)
+    assert b"\x00\x00\x00" not in esc
+    assert h._unescape_rbsp(esc) == raw
+
+    # high-profile SPS (profile_idc=100): chroma/bit-depth prefix parses
+    w2 = h._BitWriter()
+    w2.u(100, 8); w2.u(0, 8); w2.u(41, 8)
+    w2.ue(0)          # sps id
+    w2.ue(1)          # chroma_format_idc 4:2:0
+    w2.ue(0); w2.ue(0)  # bit depths
+    w2.u(0, 1)        # transform bypass
+    w2.u(0, 1)        # no scaling matrix
+    w2.ue(4)          # log2_max_frame_num_minus4
+    w2.ue(2)          # pic_order_cnt_type=2 (no extra fields)
+    w2.ue(1)          # max_num_ref_frames
+    w2.u(0, 1)
+    w2.ue(120 - 1)    # 1920 wide
+    w2.ue(68 - 1)     # 1088 map units
+    w2.u(1, 1)        # frame_mbs_only
+    w2.u(1, 1)        # direct_8x8
+    w2.u(1, 1)        # cropping
+    w2.ue(0); w2.ue(0); w2.ue(0); w2.ue(4)  # bottom crop 4*2=8 -> 1080
+    w2.u(0, 1)        # no VUI
+    hp = bytes([0x67]) + h._escape_rbsp(w2.rbsp_trailing())
+    m = h.parse_sps(hp)
+    assert (m["profile_idc"], m["width"], m["height"]) == (100, 1920, 1080)
+
+    # container integration: parse through the box walker; errors are
+    # ValueError, and an mp4 without avc1 refuses cleanly
+    got = m4.parse_mp4_avc_meta(m4.encode_mp4_avc(638, 360, level_idc=31))
+    assert (got["width"], got["height"], got["level_idc"]) == (638, 360, 31)
+    mj = m4.encode_mp4_skeleton(timescale=1000, duration=10,
+                                video=("mp4v", 16, 16))
+    with pytest.raises(ValueError, match="avc1|avcC"):
+        m4.parse_mp4_avc_meta(mj)
+    with pytest.raises(ValueError):
+        h.parse_sps(b"\x67\x42")
+    with pytest.raises(ValueError):
+        h.parse_avcc(b"\x02\x00\x00")
