@@ -208,3 +208,54 @@ def serve_lda_topics_stream(
             f"LDA serving stream did not drain within {timeout_sec}s"
         )
     return spark.read.parquet(out_dir).drop("epoch")
+
+
+def serve_lang_id_stream_from_artifacts(
+    spark: SparkSession,
+    src_dir: str,
+    model_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 1,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """The stored-artifact twin of ``serve_lang_id_stream`` (round 7):
+    scoring artifacts come from the DURABLE parquet model written by
+    ``lang_nb_save`` — no training in this session at all. This is the
+    production restart story: the serving job can die, the cluster can
+    be replaced, and a fresh session resumes scoring from (model_path,
+    checkpoint_dir) alone, with the same per-epoch overwrite commit
+    making crash replays idempotent. Artifact-loaded scoring is
+    asserted row-identical to trained-artifact scoring in
+    tests/test_lm.py; the streamed composition is asserted equal to the
+    batch predictions in tests/test_streaming_ingest_dedup.py."""
+    from ..operators.text import lang_nb_load, lang_nb_score
+
+    artifacts = lang_nb_load(spark, model_path)
+
+    def _score_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = batch_df.where(F.col("doc_id").isNotNull()).select(
+            "doc_id", "lang", F.lower("text").alias("t")
+        )
+        lang_nb_score(docs, artifacts).write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={int(epoch_id)}"
+        )
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_score_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"artifact serving stream did not drain within {timeout_sec}s"
+        )
+    return spark.read.parquet(out_dir).drop("epoch")

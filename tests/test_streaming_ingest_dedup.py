@@ -280,3 +280,56 @@ def test_streaming_lang_id_serving_replay_idempotent(spark, tmp_path):
         os.path.basename(p) for p in glob.glob(os.path.join(out, "epoch=*"))
     }
     assert eps == {"epoch=0", "epoch=1", "epoch=2"}
+
+
+def test_streaming_lang_id_serving_from_stored_artifacts(spark, tmp_path):
+    """Round-7: the stored-artifact serving twin — train once, persist
+    the NB model with lang_nb_save, then serve a document stream from
+    the PARQUET ARTIFACTS alone (no training in the serving path). The
+    streamed predictions must equal (a) batch scoring with the trained
+    artifacts and (b) the train-in-session serving twin, because the
+    loaded artifacts are asserted drop-in identical."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.operators.text import (
+        lang_nb_save,
+        lang_nb_score,
+        lang_nb_train,
+    )
+    from spark_text_clustering_spark.streaming.model_serving import (
+        serve_lang_id_stream_from_artifacts,
+    )
+
+    docs = [
+        r
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+        if r["doc_id"] < 90
+    ]
+    model_path = str(tmp_path / "nb_model")
+    artifacts = lang_nb_train(spark, SF_SMALL)
+    lang_nb_save(spark, artifacts, model_path)
+
+    src = str(tmp_path / "art_landing")
+    out = str(tmp_path / "art_out")
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate([(0, 30), (30, 60), (60, 90)]):
+        _write_file(spark, src, f"f{i}", _doc_rows(docs, lo, hi))
+        p = os.path.join(src, f"f{i}.parquet")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    streamed = serve_lang_id_stream_from_artifacts(
+        spark, src, model_path, out, str(tmp_path / "art_ck")
+    )
+    got = {
+        (r["doc_id"], r["predicted_lang"]) for r in streamed.collect()
+    }
+    batch_docs = (
+        spark.createDataFrame(_doc_rows(docs, 0, 90), SCHEMAS["documents"])
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id", "lang", F.lower("text").alias("t"))
+    )
+    want = {
+        (r["doc_id"], r["predicted_lang"])
+        for r in lang_nb_score(batch_docs, artifacts).collect()
+    }
+    assert got == want and len(got) == len(docs)
