@@ -81,6 +81,8 @@ AUDITED_KEYS = [
     "merge_full_clauses",
     "window_zscore_sql",
     "multimodal_mp4_meta",
+    "multimodal_mp4_frames",
+    "multimodal_mp4_avc_meta",
     "multimodal_audio_spectral",
     "text_stats_agg",
     "lang_id_heuristic",
