@@ -111,6 +111,7 @@ HEADLINE = [
     "truecase_proper_nouns",
     "multimodal_mp4_frames",
     "multimodal_mp4_avc_meta",
+    "multimodal_mp4_hevc_meta",
     "heavy_hitters_window_stream",
     "incremental_dedup_minhash",
 ]

@@ -570,3 +570,73 @@ def parse_mp4_avc_meta(data: bytes) -> dict:
                 raise ValueError("avc1 entry without avcC")
             return h264sps.parse_avcc(data[avcc[0] : avcc[1]])
     raise ValueError("no avc1 video track")
+
+
+def encode_mp4_hevc(
+    width: int, height: int, *, timescale: int = 1000, duration: int = 1000,
+    level_idc: int = 93,
+) -> bytes:
+    """The HEVC twin of ``encode_mp4_avc``: an mp4 skeleton whose
+    ``hev1`` sample entry carries a real hvcC configuration box — the
+    SPS codes EXACTLY (width, height) via luma samples + conformance
+    window."""
+    from . import h265sps
+
+    sps = h265sps.encode_sps_hevc(width, height, level_idc=level_idc)
+    hvcc = _box(b"hvcC", h265sps.encode_hvcc(sps))
+    entry_body = _visual_sample_entry(b"hev1", width, height)
+    entry = struct.pack(">I", len(entry_body) + len(hvcc)) + entry_body[4:] + hvcc
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">I", 0))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">I", 0))
+    stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stco = _full_box(b"stco", 0, 0, struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + _dinf() + stbl)
+    mdia = _box(
+        b"mdia",
+        _mdhd(timescale, duration) + _hdlr(b"vide", b"VideoHandler") + minf,
+    )
+    trak = _box(b"trak", _tkhd(1, duration, width, height) + mdia)
+    moov = _box(b"moov", _mvhd(timescale, duration) + trak)
+    ftyp = _box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"iso2" + b"mp41"
+    )
+    return ftyp + moov + _box(b"mdat", b"")
+
+
+def parse_mp4_hevc_meta(data: bytes) -> dict:
+    """Walk to the first hev1/hvc1 sample entry's hvcC box and parse its
+    SPS: {profile_idc, level_idc, width, height, n_arrays}."""
+    from . import h265sps
+
+    moov = _first_child(data, 0, len(data), b"moov", 0)
+    if moov is None:
+        raise ValueError("no moov box")
+    for t, ps, pe in _walk(data, moov[0], moov[1], 1):
+        if t != b"trak":
+            continue
+        mdia = _first_child(data, ps, pe, b"mdia", 2)
+        if mdia is None:
+            continue
+        minf = _first_child(data, mdia[0], mdia[1], b"minf", 3)
+        stbl = minf and _first_child(data, minf[0], minf[1], b"stbl", 4)
+        stsd = stbl and _first_child(data, stbl[0], stbl[1], b"stsd", 5)
+        if not stsd:
+            continue
+        _, off = _full_header(data, *stsd)
+        n = int.from_bytes(_read(data, off, stsd[1], 4), "big")
+        if n < 1:
+            continue
+        for etyp, es, ee in _walk(data, off + 4, stsd[1], 6):
+            if etyp not in (b"hev1", b"hvc1"):
+                continue
+            child_start = es + _VISUAL_ENTRY_FIELDS
+            if child_start >= ee:
+                raise ValueError("hev1 entry carries no configuration box")
+            hvcc = _first_child(data, child_start, ee, b"hvcC", 7)
+            if hvcc is None:
+                raise ValueError("hev1 entry without hvcC")
+            return h265sps.parse_hvcc(data[hvcc[0] : hvcc[1]])
+    raise ValueError("no hev1/hvc1 video track")

@@ -1011,6 +1011,63 @@ def multimodal_mp4_avc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HEVC twin of the avcC key: conformance-window-coded dimensions (8px
+# luma alignment instead of AVC's 16px macroblocks, so the crop paths
+# differ) parsed from the hvcC box's SPS NAL.
+_MP4_HEVC_ORACLE = """
+SELECT doc_id,
+       CAST(1 AS INT)                                   AS profile_idc,
+       CAST(90 + 3 * (doc_id % 2) AS INT)               AS level_idc,
+       CAST(16 * (doc_id % 4 + 1) - 2 * (doc_id % 7) AS INT) AS width,
+       CAST(16 * (doc_id % 3 + 1) - 2 * (doc_id % 6) AS INT) AS height
+FROM documents
+WHERE doc_id IS NOT NULL
+"""
+
+
+def _mp4_hevc_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Write a genuine hev1 mp4 skeleton per doc (real hvcC + HEVC SPS
+    NAL), parse it back through the container walker + Exp-Golomb SPS
+    decoder, and emit facts from the parse."""
+    from ..functions import mp4codec as m4
+
+    for pdf in batches:
+        out = {"doc_id": [], "profile_idc": [], "level_idc": [],
+               "width": [], "height": []}
+        for doc_id in pdf["doc_id"].dropna():
+            d = int(doc_id)
+            w = 16 * (d % 4 + 1) - 2 * (d % 7)
+            h = 16 * (d % 3 + 1) - 2 * (d % 6)
+            payload = m4.encode_mp4_hevc(w, h, level_idc=90 + 3 * (d % 2))
+            meta = m4.parse_mp4_hevc_meta(bytes(payload))
+            out["doc_id"].append(d)
+            out["profile_idc"].append(meta["profile_idc"])
+            out["level_idc"].append(meta["level_idc"])
+            out["width"].append(meta["width"])
+            out["height"].append(meta["height"])
+        yield pd.DataFrame(out)
+
+
+@REG.register("multimodal_mp4_hevc_meta", oracle=_MP4_HEVC_ORACLE)
+def multimodal_mp4_hevc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.265/HEVC catalog metadata from the hvcC configuration box
+    (round 7b, the hev1 twin of ``multimodal_mp4_avc_meta``): profile,
+    level, and TRUE dimensions (pic_width/height_in_luma_samples minus
+    the chroma-unit conformance window) parsed from the SPS NAL inside
+    the HEVCDecoderConfigurationRecord (functions/h265sps.py:
+    profile_tier_level incl. sub-layer blocks, Exp-Golomb body, RBSP
+    unescaping). Narrow map; HEVC frame decode stays NotImplementedError."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id").isNotNull()
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.mapInPandas(
+        _mp4_hevc_roundtrip,
+        schema="doc_id long, profile_idc int, level_idc int,"
+        " width int, height int",
+    )
+
+
 # Deterministic MJPEG-in-mp4 video derived from doc_id: nf=doc_id%5+2
 # frames of 16x8 constant pixels (doc_id*5+19*f)%256; the sampler walks
 # the REAL ISO BMFF sample tables (stsd/stsc/stsz/stco) to locate each

@@ -617,6 +617,7 @@ def test_decoders_fuzz_fail_cleanly():
         [valid["jpeg"], valid["jpeg"]], 16, 16
     )
     valid["mp4_avc"] = m4.encode_mp4_avc(638, 360)
+    valid["mp4_hevc"] = m4.encode_mp4_hevc(638, 360)
     decoders = {
         "png": ic.decode_png_gray_pixels,
         "jpeg": jc.decode_jpeg_gray,
@@ -629,6 +630,7 @@ def test_decoders_fuzz_fail_cleanly():
         "mp4": m4.parse_mp4_meta,
         "mp4_frames": m4.decode_mp4_mjpeg_frames,
         "mp4_avc": m4.parse_mp4_avc_meta,
+        "mp4_hevc": m4.parse_mp4_hevc_meta,
     }
     allowed = (ValueError, NotImplementedError, _struct.error, zlib.error,
                EOFError, wave.Error)
@@ -909,3 +911,57 @@ def test_h264_sps_codec():
         h.parse_sps(b"\x67\x42")
     with pytest.raises(ValueError):
         h.parse_avcc(b"\x02\x00\x00")
+
+
+def test_h265_sps_codec():
+    """Round-7b HEVC twin: luma-sample + conformance-window dimensions
+    round-trip exactly (8px alignment, chroma-unit windows), the PTL
+    block with sub-layer flags parses, and the hvcC record's NAL arrays
+    locate the SPS."""
+    import pytest
+
+    from spark_text_clustering_spark.functions import h264sps as h4
+    from spark_text_clustering_spark.functions import h265sps as h
+    from spark_text_clustering_spark.functions import mp4codec as m4
+
+    for w, ht in [(1920, 1080), (3840, 2160), (638, 360), (18, 10), (8, 2)]:
+        sps = h.encode_sps_hevc(w, ht)
+        m = h.parse_sps_hevc(sps)
+        assert (m["width"], m["height"], m["profile_idc"]) == (w, ht, 1)
+        a = h.parse_hvcc(h.encode_hvcc(sps))
+        assert (a["width"], a["height"], a["n_arrays"]) == (w, ht, 1)
+
+    # sub-layer PTL: craft max_sub_layers_minus1=2 with level flags set
+    w2 = h4._BitWriter()
+    w2.u(0, 4); w2.u(2, 3); w2.u(1, 1)      # vps id, 2 sub-layers, nesting
+    w2.u(0, 2); w2.u(0, 1); w2.u(2, 5)      # space, tier, profile 2 (Main10)
+    w2.u(0, 32); w2.u(0, 4); w2.u(0, 22); w2.u(0, 22); w2.u(123, 8)
+    w2.u(0, 1); w2.u(1, 1)                  # sub0: no profile, LEVEL present
+    w2.u(0, 1); w2.u(0, 1)                  # sub1: neither
+    for _ in range(8 - 2):
+        w2.u(0, 2)                          # alignment
+    w2.u(60, 8)                             # sub_layer_level_idc[0]
+    w2.ue(0); w2.ue(1)                      # sps id, chroma 4:2:0
+    w2.ue(64); w2.ue(64)                    # luma 64x64
+    w2.u(1, 1); w2.ue(0); w2.ue(1); w2.ue(0); w2.ue(2)  # window -> 62x60
+    w2.ue(0); w2.ue(0); w2.ue(4); w2.u(0, 1)
+    w2.ue(1); w2.ue(0); w2.ue(0)
+    w2.ue(0); w2.ue(3); w2.ue(0); w2.ue(3); w2.ue(2); w2.ue(2)
+    w2.u(0, 4)                              # scaling/amp/sao/pcm flags
+    w2.ue(0); w2.u(0, 4)                    # strps, ltrp/tmvp/sis/vui
+    w2.u(0, 1)                              # extension
+    nal = bytes([33 << 1, 1]) + h4._escape_rbsp(w2.rbsp_trailing())
+    m = h.parse_sps_hevc(nal)
+    assert (m["profile_idc"], m["level_idc"], m["width"], m["height"]) == (
+        2, 123, 62, 60,
+    )
+
+    # container integration + clean refusals
+    got = m4.parse_mp4_hevc_meta(m4.encode_mp4_hevc(638, 360, level_idc=120))
+    assert (got["width"], got["height"], got["level_idc"]) == (638, 360, 120)
+    with pytest.raises(ValueError, match="hev1|hvcC"):
+        m4.parse_mp4_hevc_meta(m4.encode_mp4_avc(16, 16))
+    with pytest.raises(ValueError):
+        h.parse_sps_hevc(bytes([33 << 1, 1]))
+    with pytest.raises(ValueError):
+        h.parse_hvcc(b"\x02" + b"\x00" * 30)

@@ -83,6 +83,7 @@ AUDITED_KEYS = [
     "multimodal_mp4_meta",
     "multimodal_mp4_frames",
     "multimodal_mp4_avc_meta",
+    "multimodal_mp4_hevc_meta",
     "multimodal_audio_spectral",
     "text_stats_agg",
     "lang_id_heuristic",
