@@ -112,6 +112,7 @@ HEADLINE = [
     "multimodal_mp4_frames",
     "multimodal_mp4_avc_meta",
     "multimodal_mp4_hevc_meta",
+    "dedup_boilerplate_lines",
     "heavy_hitters_window_stream",
     "incremental_dedup_minhash",
 ]

@@ -1081,3 +1081,96 @@ def dedup_duplicate_spans_segmented(
     return dup_spans_strided_frames(
         spark, sf_dir, stride, n_bloom_segments=n_bloom_segments
     )["result"]
+
+
+_BOILER_W = 2  # tokens per synthetic "line" (aligned chunks)
+_BOILER_K = 3  # boilerplate threshold: appears in >= K docs of a source
+
+_BOILERPLATE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' ')) AS t,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS ord
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+lines AS (
+  SELECT doc_id, source, (ord - 1) // {_BOILER_W} AS line_no,
+         string_agg(t, ' ' ORDER BY ord) AS line
+  FROM tok GROUP BY doc_id, source, (ord - 1) // {_BOILER_W}),
+df AS (
+  SELECT source, line, COUNT(DISTINCT doc_id) AS nd
+  FROM lines GROUP BY source, line),
+flagged AS (
+  SELECT l.doc_id, l.line_no, l.line, d.nd >= {_BOILER_K} AS boiler
+  FROM lines l JOIN df d ON l.source = d.source AND l.line = d.line)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       string_agg(CASE WHEN NOT boiler THEN line END, ' ' ORDER BY line_no)
+         AS clean_text
+FROM flagged GROUP BY doc_id
+"""
+
+
+@REG.register("dedup_boilerplate_lines", oracle=_BOILERPLATE_ORACLE)
+def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style CROSS-document boilerplate removal (round 7): drop
+    every line that appears in >= 3 distinct documents of the SAME
+    source (nav menus, footers, scraped pagination — the shared-line
+    signal `quality_dup_line_fraction` measures only WITHIN one doc).
+    The synthetic corpus is single-line, so "lines" are aligned
+    2-token chunks — the plan is identical for real newline-split
+    lines (swap the chunker for split('\\n')).
+
+    Plan: tokenize-explode → per-(doc, chunk) ordered re-agg → the
+    line-frequency table groupBy(source, line) COUNT(DISTINCT doc_id)
+    → join back → per-doc reconstruction of the surviving text in line
+    order. Every aggregation is map-side partial; the frequency join is
+    keyed (source, line) on both sides so it shuffles once. At 100 TB
+    the frequency table carries (source, line-HASH) instead of line
+    strings (~16 B/line, the incremental-dedup store trick) and becomes
+    a broadcast after the >= K filter — boilerplate tables are tiny by
+    definition (the oracle keeps the string form for exactness at test
+    SF). `clean_text` is NULL when every line was boilerplate, matching
+    SQL string_agg-over-no-rows semantics."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    tok = docs.select(
+        "doc_id", "source",
+        F.posexplode(F.split("text", " ", -1)).alias("pos", "t"),
+    )
+    lines = (
+        tok.withColumn("line_no", (F.col("pos") / _BOILER_W).cast("long"))
+        .groupBy("doc_id", "source", "line_no")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "t"))).alias("o"))
+        .select(
+            "doc_id", "source", "line_no",
+            F.concat_ws(" ", F.transform("o", lambda x: x.t)).alias("line"),
+        )
+    )
+    freq = lines.groupBy("source", "line").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    flagged = lines.join(freq, ["source", "line"]).withColumn(
+        "boiler", F.col("nd") >= _BOILER_K
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("boiler"), F.struct("line_no", "line"))
+        )
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("boiler").cast("int")).cast("long").alias("n_boiler"),
+            kept.alias("k"),
+        )
+        .select(
+            "doc_id", "n_lines", "n_boiler",
+            F.when(
+                F.size("k") > 0,
+                F.concat_ws(" ", F.transform("k", lambda x: x.line)),
+            ).alias("clean_text"),
+        )
+    )

@@ -57,6 +57,7 @@ AUDITED_KEYS = [
     "date_trunc_agg",
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
+    "dedup_boilerplate_lines",
     "knn_cosine_exact",
     "kmeans_assign_exact",
     "embedding_centroid_per_label",
