@@ -113,6 +113,8 @@ HEADLINE = [
     "multimodal_mp4_avc_meta",
     "multimodal_mp4_hevc_meta",
     "dedup_boilerplate_lines",
+    "unigram_train_pieces",
+    "unigram_encode_corpus",
     "heavy_hitters_window_stream",
     "incremental_dedup_minhash",
 ]
@@ -143,6 +145,9 @@ def main() -> None:
         # persistent-store ingest loop, both construction-eager
         "heavy_hitters_window_stream",
         "incremental_dedup_minhash",
+        # the unigram-LM EM loop runs at construction (driver M-steps)
+        "unigram_train_pieces",
+        "unigram_encode_corpus",
     }
     for key in HEADLINE:
         try:

@@ -30,6 +30,7 @@ from .operators import (
     tpch_more,
     tpch_rest,
     traindata,
+    unigram,
 )
 from .ml import queries as ml_queries
 from .plans.flagship import TOP_K, flagship_top_terms_per_lang
@@ -77,6 +78,7 @@ ROOT.merge(
     grouped.REG,
     multimodal.REG,
     textprep.REG,
+    unigram.REG,
     tpch_more.REG,
     tpch_rest.REG,
     traindata.REG,

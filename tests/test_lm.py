@@ -295,3 +295,108 @@ def test_model_artifacts_roundtrip(spark, tmp_path):
         for r in bpe_apply_merges(words, loaded).collect()
     }
     assert enc_a == enc_b
+
+
+def test_unigram_expected_counts_closed_form():
+    """Hand-verified lattice math: vocab {a:.25, b:.25, ab:.5}, word
+    'ab'. Segmentations: [a,b] p=.0625, [ab] p=.5, total .5625 —
+    expected counts a=b=1/9, ab=8/9; Viterbi picks [ab]."""
+    import math
+
+    from spark_text_clustering_spark.operators.unigram import (
+        _expected_counts,
+        viterbi_segment,
+    )
+
+    logp = {"a": math.log(0.25), "b": math.log(0.25), "ab": math.log(0.5)}
+    c = _expected_counts("ab", logp)
+    assert abs(c["a"] - 1 / 9) < 1e-12
+    assert abs(c["b"] - 1 / 9) < 1e-12
+    assert abs(c["ab"] - 8 / 9) < 1e-12
+    assert viterbi_segment("ab", logp) == ["ab"]
+    # unsegmentable word (OOV char) contributes nothing / passes through
+    assert _expected_counts("ax", logp) == {}
+    assert viterbi_segment("ax", logp) == ["ax"]
+
+
+def test_unigram_train_matches_python_reference(spark):
+    """The distributed trainer (JVM substring seeding, Arrow E-step,
+    piece-keyed M-step aggregation) must produce the IDENTICAL piece
+    table as the pure-Python twin over the same word-frequency table:
+    same piece set, logprobs to 1e-9 (rounded-rank decisions are
+    noise-immune by construction)."""
+    from spark_text_clustering_spark.catalog import load_table
+    from spark_text_clustering_spark.operators.unigram import (
+        _word_freqs,
+        unigram_train,
+        unigram_train_py,
+    )
+
+    from .conftest import SF_SMALL
+
+    logp = unigram_train(spark, SF_SMALL)
+    wf = [
+        (r["word"], int(r["freq"]))
+        for r in _word_freqs(
+            load_table(spark, SF_SMALL, "documents")
+        ).collect()
+    ]
+    logp_py = unigram_train_py(wf)
+    assert set(logp) == set(logp_py)
+    assert all(abs(logp[p] - logp_py[p]) < 1e-9 for p in logp)
+    # every character of the corpus is segmentable by construction
+    chars = {ch for w, _ in wf for ch in w}
+    assert chars <= set(logp)
+
+
+def test_unigram_encode_matches_python_reference(spark):
+    """Corpus-weighted piece frequencies from the Spark encode key equal
+    the pure-Python Viterbi aggregation (same model, same tiebreak)."""
+    from collections import defaultdict
+
+    from spark_text_clustering_spark.catalog import load_table
+    from spark_text_clustering_spark.operators.unigram import (
+        _word_freqs,
+        unigram_train,
+        viterbi_segment,
+    )
+    from spark_text_clustering_spark.registry import QUERIES
+
+    from .conftest import SF_SMALL
+
+    logp = unigram_train(spark, SF_SMALL)
+    wf = [
+        (r["word"], int(r["freq"]))
+        for r in _word_freqs(
+            load_table(spark, SF_SMALL, "documents")
+        ).collect()
+    ]
+    agg = defaultdict(int)
+    for w, f in wf:
+        for p in viterbi_segment(w, logp):
+            agg[p] += f
+    want = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r["piece"], int(r["cnt"]))
+        for r in QUERIES["unigram_encode_corpus"](spark, SF_SMALL).collect()
+    ]
+    assert got == want
+
+
+def test_unigram_pieces_save_load_roundtrip(spark, tmp_path):
+    from spark_text_clustering_spark.operators.unigram import (
+        unigram_load_pieces,
+        unigram_save_pieces,
+        unigram_train,
+        viterbi_segment,
+    )
+
+    from .conftest import SF_SMALL
+
+    logp = unigram_train(spark, SF_SMALL)
+    path = str(tmp_path / "unigram_pieces")
+    unigram_save_pieces(spark, logp, path)
+    loaded = unigram_load_pieces(spark, path)
+    assert loaded == logp
+    for w in ("window", "stream", "aggregate"):
+        assert viterbi_segment(w, loaded) == viterbi_segment(w, logp)
