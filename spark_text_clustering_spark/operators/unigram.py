@@ -210,16 +210,37 @@ def _estep_udf(logp: dict[str, float]):
     return run
 
 
-def unigram_train(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+def unigram_train(
+    spark: SparkSession, sf_dir: str, *, use_memo: bool = True
+) -> dict[str, float]:
     """Distributed trainer: ONE corpus scan for word counts, then every
     EM iteration = a vocab-sized Arrow E-step with the model broadcast
     in the closure + one piece-keyed sum whose model-sized result drives
-    the driver M-step (normalize + prune). Memoized per (app, sf)."""
+    the driver M-step (normalize + prune). Memoized per (app, sf);
+    ``use_memo=False`` forces a fresh train (the registered TRAIN key
+    uses it so the bench times real EM work, never a memo hit)."""
     memo_key = (spark.sparkContext.applicationId, sf_dir, "unigram-lm")
-    if memo_key in _UNIGRAM_MEMO:
+    if use_memo and memo_key in _UNIGRAM_MEMO:
         return _UNIGRAM_MEMO[memo_key]
-    wf = _word_freqs(load_table(spark, sf_dir, "documents")).localCheckpoint(
-        eager=True
+    # the EM loop's frames are vocab-sized: a handful of partitions is
+    # plenty, and 32-partition shuffles would be pure task-setup overhead
+    # across the iteration's many tiny stages (cf. the demo-sizing notes
+    # in heavy_hitters / incremental_dedup_minhash)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return _unigram_train_inner(spark, sf_dir, memo_key)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _unigram_train_inner(
+    spark: SparkSession, sf_dir: str, memo_key
+) -> dict[str, float]:
+    wf = (
+        _word_freqs(load_table(spark, sf_dir, "documents"))
+        .coalesce(4)
+        .localCheckpoint(eager=True)
     )
     # seeding needs per-substring corpus weights: JVM explode, one agg
     subs = wf.select(
@@ -268,7 +289,7 @@ def unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered key for the unigram-LM trainer: the learned piece
     table (piece, logprob, rank) with the deterministic rounded-rank
     order. EAGER in bench (the EM loop runs at construction)."""
-    logp = unigram_train(spark, sf_dir)
+    logp = unigram_train(spark, sf_dir, use_memo=False)
     rows = [
         (p, float(lp), i)
         for i, (p, lp) in enumerate(_rounded_rank(logp))
