@@ -113,6 +113,7 @@ HEADLINE = [
     "multimodal_mp4_avc_meta",
     "multimodal_mp4_hevc_meta",
     "dedup_boilerplate_lines",
+    "dedup_semantic_kmeans",
     "unigram_train_pieces",
     "unigram_encode_corpus",
     "heavy_hitters_window_stream",

@@ -1572,3 +1572,109 @@ def pca_project(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
     return model.transform(feat).select(
         "vec_id", vector_to_array("p").alias("proj")
     )
+
+
+_SEM_TAU = 0.3  # cosine threshold placed INSIDE the synthetic corpus's
+# observed similarity range (max within-label cosine is 0.475; real
+# corpora have true near-dups at 0.9+, and tau is a parameter)
+
+_SEMDEDUP_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE embedding IS NOT NULL),
+cent AS (SELECT vec_id AS c_id, v, i FROM ex WHERE vec_id < {_KM_K}),
+dist AS (
+  SELECT e.vec_id, c.c_id, SUM((e.v - c.v) * (e.v - c.v)) AS d2
+  FROM ex e JOIN cent c ON e.i = c.i GROUP BY e.vec_id, c.c_id),
+assign AS (
+  SELECT vec_id, c_id AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) rn
+    FROM dist) WHERE rn = 1),
+norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT aa.vec_id AS ia, ab.vec_id AS ib, SUM(ea.v * eb.v) AS dot
+  FROM assign aa
+  JOIN assign ab ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
+  JOIN ex ea ON ea.vec_id = aa.vec_id
+  JOIN ex eb ON eb.vec_id = ab.vec_id AND ea.i = eb.i
+  GROUP BY aa.vec_id, ab.vec_id),
+dropped AS (
+  SELECT DISTINCT d.ib AS vec_id FROM dots d
+  JOIN norms na ON na.vec_id = d.ia AND na.nrm > 0
+  JOIN norms nb ON nb.vec_id = d.ib AND nb.nrm > 0
+  WHERE d.dot / (na.nrm * nb.nrm) >= {_SEM_TAU})
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster
+FROM assign a LEFT JOIN dropped x ON a.vec_id = x.vec_id
+WHERE x.vec_id IS NULL
+"""
+
+
+@REG.register("dedup_semantic_kmeans", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (round 7, Abbas et al. 2023
+    form): cluster the embeddings, then WITHIN each cluster drop every
+    vector that has a smaller-id neighbor at cosine >= tau — keeping the
+    min-id representative of each semantic neighborhood. The registered
+    form uses the deterministic one-step assignment
+    (`kmeans_assign_exact`'s first-k centroids + argmin, smallest-id
+    tiebreak) so the WHOLE pipeline — clustering included — has an exact
+    SQL oracle; the production form swaps in the seeded full trainer
+    (`kmeans_cluster_embeddings`).
+
+    Scale: this is exactly why SemDeDup clusters first — the exact
+    cosine join runs only INSIDE clusters, so with k grown proportionally
+    to n (SemDeDup uses ~0.1-1% of n) the per-cluster pair space stays
+    bounded and the total work is n x (cluster size), never n^2. The
+    plan: broadcast k centroid rows -> JVM argmin assignment (one
+    |vectors|-keyed rank shuffle) -> cluster-keyed self-join (one
+    shuffle, both sides co-partitioned on cluster) -> distinct dropped
+    ids -> anti-join. tau sits inside the synthetic corpus's observed
+    similarity range (no true near-dups exist in it); the rule
+    ("any smaller-id neighbor") matches `incremental_dedup_minhash`'s
+    greedy min-id family."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("e"))
+    )
+    cent = emb.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("c")
+    )
+    d2 = F.aggregate(
+        F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "e", "c_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id", "e", F.col("c_id").cast("long").alias("cluster"),
+            _l2norm(F.col("e")).alias("nrm"),
+        )
+    )
+    a = assigned.where(F.col("nrm") > 0).select(
+        F.col("vec_id").alias("ia"), F.col("cluster").alias("ca"),
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = assigned.where(F.col("nrm") > 0).select(
+        F.col("vec_id").alias("ib"), F.col("cluster").alias("cb"),
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    dropped = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ia") < F.col("ib")))
+        .where(
+            _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            >= _SEM_TAU
+        )
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", "cluster"
+    )

@@ -58,6 +58,7 @@ AUDITED_KEYS = [
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
     "dedup_boilerplate_lines",
+    "dedup_semantic_kmeans",
     "knn_cosine_exact",
     "kmeans_assign_exact",
     "embedding_centroid_per_label",
@@ -169,6 +170,9 @@ _BNLJ_WHITELIST = {
     "kmeans_assign_exact",  # k=8 centroid rows broadcast x corpus
     "search_bm25_scores",  # broadcast query-term rows x posting lists
     "funnel_conversion",  # three 1-row step aggregates cross-joined
+    # k=8 broadcast centroid rows x corpus; the assignment subplan (one
+    # bounded crossJoin) recurs in each branch (pair sides + anti-join)
+    "dedup_semantic_kmeans",
 }
 
 
