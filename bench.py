@@ -114,6 +114,7 @@ HEADLINE = [
     "multimodal_mp4_hevc_meta",
     "dedup_boilerplate_lines",
     "dedup_semantic_kmeans",
+    "quality_classifier_nb",
     "unigram_train_pieces",
     "unigram_encode_corpus",
     "heavy_hitters_window_stream",

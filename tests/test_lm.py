@@ -400,3 +400,20 @@ def test_unigram_pieces_save_load_roundtrip(spark, tmp_path):
     assert loaded == logp
     for w in ("window", "stream", "aggregate"):
         assert viterbi_segment(w, loaded) == viterbi_segment(w, logp)
+
+
+def test_quality_classifier_learns_above_majority_baseline(spark):
+    """The distilled NB quality classifier must beat the majority-class
+    baseline on its own weak labels (the mechanics test — the synthetic
+    shared-vocab corpus bounds achievable agreement well below 1)."""
+    from collections import Counter
+
+    from spark_text_clustering_spark.registry import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    rows = QUERIES["quality_classifier_nb"](spark, SF_ORACLE).collect()
+    assert rows
+    acc = sum(r["label"] == r["predicted_label"] for r in rows) / len(rows)
+    majority = Counter(r["label"] for r in rows).most_common(1)[0][1] / len(rows)
+    assert acc > majority, (acc, majority)
