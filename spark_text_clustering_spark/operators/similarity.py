@@ -1611,7 +1611,9 @@ WHERE x.vec_id IS NULL
 
 
 @REG.register("dedup_semantic_kmeans", oracle=_SEMDEDUP_ORACLE)
-def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_kmeans(
+    spark: SparkSession, sf_dir: str, *, k: int = _KM_K, tau: float = _SEM_TAU
+) -> DataFrame:
     """SemDeDup-shape semantic deduplication (round 7, Abbas et al. 2023
     form): cluster the embeddings, then WITHIN each cluster drop every
     vector that has a smaller-id neighbor at cosine >= tau — keeping the
@@ -1638,7 +1640,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("embedding").isNotNull())
         .select("vec_id", _as_double("embedding").alias("e"))
     )
-    cent = emb.where(F.col("vec_id") < _KM_K).select(
+    cent = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("c_id"), F.col("e").alias("c")
     )
     d2 = F.aggregate(
@@ -1670,7 +1672,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ia") < F.col("ib")))
         .where(
             _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-            >= _SEM_TAU
+            >= tau
         )
         .select(F.col("ib").alias("vec_id"))
         .distinct()
