@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_minhash_fast",
     "dedup_simhash",
+    "dedup_fuzzy_jaro_winkler",
     "knn_cosine_exact",
     "knn_cosine_gemm",
     "chunk_documents",

@@ -429,6 +429,77 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jw_series(a: pd.Series, b: pd.Series) -> pd.Series:
+    from ..functions.stringsim import jaro_winkler
+
+    return pd.Series(
+        [jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
+    )
+
+
+@REG.register(
+    "dedup_fuzzy_jaro_winkler",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, substr(text, 1, 60) AS head,
+             split_part(substr(text, 1, 60), ' ', 1) || ' ' ||
+             split_part(substr(text, 1, 60), ' ', 2) AS block
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) >= 8)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           jaro_winkler_similarity(a.head, b.head) AS jw
+    FROM p a JOIN p b USING (block)
+    WHERE a.doc_id < b.doc_id
+      AND jaro_winkler_similarity(a.head, b.head) >= 0.92
+    """,
+)
+def dedup_fuzzy_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage near-dup pairs by Jaro-Winkler over the document
+    HEAD (first 60 chars — the title/header proxy), blocked on the first
+    two tokens. Complements ``dedup_fuzzy_levenshtein``: JW rewards
+    shared prefixes and tolerates transpositions, the classic choice for
+    name/title linkage (Winkler 1990).
+
+    Spark has no built-in JW, so the verify step is an Arrow-batched
+    pandas UDF (``functions/stringsim.py``, bit-identical to DuckDB's
+    ``jaro_winkler_similarity`` — which is what lets this key carry a
+    full value-hash oracle). Scale design: the two-token block bounds
+    every block's pair space (measured 14k pairs at sf0.1 vs 50M² raw),
+    the equi-join on the block key carries the shuffle, and the Python
+    stage sees only blocked PAIRS, never the corpus cross product. The
+    0.92 threshold sits in a wide empty band of the observed similarity
+    distribution (matches are >=0.95, non-matches <=0.87 at both test
+    SFs), so the cut is stable against float noise."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    heads = docs.where(
+        F.col("text").isNotNull() & (F.length("text") >= 8)
+    ).select("doc_id", F.substring("text", 1, 60).alias("head"))
+    toks = F.split("head", " ")
+    blocked = heads.withColumn(
+        "block",
+        F.concat_ws(" ", toks.getItem(0), F.coalesce(toks.getItem(1), F.lit(""))),
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a"), "block"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b"), "block"
+    )
+    # asNondeterministic: the UDF IS pure, but the marker stops Catalyst
+    # from cloning the expression into both the threshold Filter and the
+    # output Project (observed: two ArrowEvalPython stages = 2x the
+    # Python cost). With it, jw is computed once and the filter runs on
+    # the materialized column.
+    jw_udf = pandas_udf(_jw_series, "double").asNondeterministic()
+    return (
+        a.join(b, "block")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jw", jw_udf("head_a", "head_b"))
+        .where(F.col("jw") >= 0.92)
+        .select("doc_a", "doc_b", "jw")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental NEAR-dedup (round 5): MinHash signature store
 # ---------------------------------------------------------------------------
