@@ -80,6 +80,7 @@ HEADLINE = [
     "join_auto_strategy",
     "ngram_lm_score",
     "search_bm25_scores",
+    "search_bm25_stored",
     "join_asof_keyless_bucketed",
     "pipeline_train_ready",
     "layout_zorder_key",

@@ -148,6 +148,7 @@ _BNLJ_WHITELIST = {
     "join_range_theta",  # range-theta join: broadcast side is the dim
     "kmeans_assign_exact",  # k=8 centroid rows broadcast x corpus
     "search_bm25_scores",  # broadcast query-term rows x posting lists
+    "search_bm25_stored",  # same shape: 1-row stats frame cross-broadcast twice
     "funnel_conversion",  # three 1-row step aggregates cross-joined
     # k=8 broadcast centroid rows x corpus; the assignment subplan (one
     # bounded crossJoin) recurs in each branch (pair sides + anti-join)

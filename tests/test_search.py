@@ -458,3 +458,53 @@ def test_stored_ann_honors_n_queries_past_sample_bound(spark, tmp_path):
     # sample must not have been poisoned by the fresh oversized collect)
     small = knn_cosine_pq_stored(spark, sf, n_queries=20)
     assert small.select("query_id").distinct().count() == 20
+
+
+def test_bm25_stored_matches_live(spark):
+    """The stored-inverted-index probe must reproduce the live
+    search_bm25_scores EXACTLY — same docs, same n_terms_hit, same
+    rounded scores (they share one DuckDB oracle, so any drift here
+    would also be a driver red)."""
+    from spark_text_clustering_spark.operators.search import (
+        search_bm25_scores,
+        search_bm25_stored,
+    )
+    from .conftest import SF_ORACLE
+
+    live = sorted(
+        tuple(r) for r in search_bm25_scores(spark, SF_ORACLE).collect()
+    )
+    stored = sorted(
+        tuple(r) for r in search_bm25_stored(spark, SF_ORACLE).collect()
+    )
+    assert len(live) > 0
+    assert stored == live
+
+
+def test_bm25_stored_postings_scan_partition_prunes(spark):
+    """The probe's postings scan must carry bucket partition filters —
+    the directory-pruning property that bounds per-query cost by posting
+    list size, not corpus size."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.operators.search import (
+        _BM25_BUCKETS,
+        _BM25_TERMS,
+        build_bm25_index,
+    )
+    from .conftest import SF_ORACLE
+
+    base = build_bm25_index(spark, SF_ORACLE)
+    probed = sorted(
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(_BM25_BUCKETS)).alias("b"))
+        .distinct()
+        .collect()
+    )
+    assert len(probed) <= len(_BM25_TERMS) < _BM25_BUCKETS
+    probe = spark.read.parquet(f"{base}/postings").where(F.col("bucket").isin(probed))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
