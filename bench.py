@@ -71,6 +71,7 @@ HEADLINE = [
     "kmeans_assign_exact",
     "embedding_pca_variance",
     "kmeans_cluster_embeddings",
+    "kmeans_silhouette",
     "multimodal_image_decode",
     "multimodal_features",
     "multimodal_color_decode",

@@ -1680,3 +1680,149 @@ def dedup_semantic_kmeans(
     return assigned.join(dropped, "vec_id", "left_anti").select(
         "vec_id", "cluster"
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering quality (round 7b): exact squared-Euclidean silhouette
+# ---------------------------------------------------------------------------
+
+_SILHOUETTE_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE embedding IS NOT NULL),
+cent AS (SELECT vec_id AS c_id, v, i FROM ex WHERE vec_id < {_KM_K}),
+dist AS (
+  SELECT e.vec_id, c.c_id, SUM((e.v - c.v) * (e.v - c.v)) AS d2
+  FROM ex e JOIN cent c ON e.i = c.i GROUP BY e.vec_id, c.c_id),
+assign AS (
+  SELECT vec_id, c_id AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) rn
+    FROM dist) WHERE rn = 1),
+sq AS (SELECT vec_id, SUM(v * v) AS sq FROM ex GROUP BY vec_id),
+csize AS (SELECT cluster, COUNT(*) AS cn FROM assign GROUP BY cluster),
+csq AS (SELECT a.cluster, SUM(s.sq) AS ssq
+        FROM assign a JOIN sq s USING (vec_id) GROUP BY a.cluster),
+csum AS (SELECT a.cluster, e.i, SUM(e.v) AS s
+         FROM assign a JOIN ex e USING (vec_id) GROUP BY a.cluster, e.i),
+xdot AS (SELECT e.vec_id, c.cluster, SUM(e.v * c.s) AS xd
+         FROM ex e JOIN csum c ON e.i = c.i GROUP BY e.vec_id, c.cluster),
+pc AS (
+  SELECT x.vec_id, a.cluster AS own, x.cluster AS tc, cs.cn,
+         cs.cn * s.sq - 2 * x.xd + cq.ssq AS tot
+  FROM xdot x
+  JOIN assign a ON a.vec_id = x.vec_id
+  JOIN csize cs ON cs.cluster = x.cluster
+  JOIN csq cq ON cq.cluster = x.cluster
+  JOIN sq s ON s.vec_id = x.vec_id),
+ab AS (
+  SELECT vec_id, own,
+         MAX(CASE WHEN tc = own AND cn > 1 THEN tot / (cn - 1) END) AS a_i,
+         MIN(CASE WHEN tc <> own THEN tot / cn END) AS b_i
+  FROM pc GROUP BY vec_id, own),
+sil AS (
+  SELECT own, CASE
+      WHEN a_i IS NULL OR b_i IS NULL THEN 0.0
+      WHEN a_i < b_i THEN (b_i - a_i) / b_i
+      WHEN a_i > b_i THEN (b_i - a_i) / a_i
+      ELSE 0.0 END AS s
+  FROM ab)
+SELECT CAST(own AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+       round(AVG(s), 6) AS mean_silhouette
+FROM sil GROUP BY own
+"""
+
+
+@REG.register("kmeans_silhouette", oracle=_SILHOUETTE_ORACLE)
+def kmeans_silhouette(
+    spark: SparkSession, sf_dir: str, *, k: int = _KM_K
+) -> DataFrame:
+    """Per-cluster mean silhouette under SQUARED Euclidean distance —
+    the same metric Spark ML's ClusteringEvaluator computes, and for the
+    same reason: squared distance admits the sufficient-statistics
+    identity  sum_{y in C} d2(x, y) = |C|*||x||^2 - 2*x.sum(C) +
+    sum_{y in C} ||y||^2,  so a(i)/b(i) come from ONE pass over the
+    points against k broadcast cluster aggregates (count, component
+    sums, sum of squared norms). Cost is O(n*k*dim) with no pairwise
+    join — the plain-Euclidean silhouette is n^2 and does not scale;
+    this one does, at 100 TB like anywhere else.
+
+    Clustering is the deterministic one-step assignment shared with
+    `dedup_semantic_kmeans`/`kmeans_assign_exact` (first-k centroids,
+    argmin, smallest-id tiebreak), which keeps the WHOLE metric —
+    assignment included — exactly SQL-oracled. Singleton clusters score
+    0 by the standard convention (a(i) undefined), as does the
+    degenerate one-cluster corpus (b(i) undefined)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("e"))
+    )
+    cent = emb.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("c")
+    )
+    d2 = F.aggregate(
+        F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "c_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "e", F.col("c_id").alias("cluster"))
+    )
+    pts = assigned.withColumn("sq", _dot(F.col("e"), F.col("e")))
+    # per-cluster sufficient statistics: k rows of (cn, ssq, csum[dim]);
+    # the component-sum shuffle carries one row per (cluster, dim), the
+    # packed-array reassembly is the documented collect_list(struct) form
+    csum = (
+        pts.select("cluster", F.posexplode("e").alias("i", "v"))
+        .groupBy("cluster", "i")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s"))), lambda st: st["s"]
+            ).alias("csum")
+        )
+    )
+    cstats = (
+        pts.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cn"), F.sum("sq").alias("ssq"))
+        .join(csum, "cluster")
+        .select(F.col("cluster").alias("tc"), "cn", "ssq", "csum")
+    )
+    tot = F.col("cn") * F.col("sq") - 2 * _dot(F.col("e"), F.col("csum")) + F.col("ssq")
+    pc = (
+        pts.select("vec_id", F.col("cluster").alias("own"), "e", "sq")
+        .crossJoin(F.broadcast(cstats))
+        .select("vec_id", "own", "tc", "cn", tot.alias("tot"))
+    )
+    ab = pc.groupBy("vec_id", "own").agg(
+        F.max(
+            F.when((F.col("tc") == F.col("own")) & (F.col("cn") > 1),
+                   F.col("tot") / (F.col("cn") - 1))
+        ).alias("a_i"),
+        F.min(
+            F.when(F.col("tc") != F.col("own"), F.col("tot") / F.col("cn"))
+        ).alias("b_i"),
+    )
+    s = (
+        F.when(F.col("a_i").isNull() | F.col("b_i").isNull(), F.lit(0.0))
+        .when(F.col("a_i") < F.col("b_i"),
+              (F.col("b_i") - F.col("a_i")) / F.col("b_i"))
+        .when(F.col("a_i") > F.col("b_i"),
+              (F.col("b_i") - F.col("a_i")) / F.col("a_i"))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        ab.select(F.col("own").cast("long").alias("cluster"), s.alias("s"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+        )
+    )

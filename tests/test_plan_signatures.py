@@ -147,6 +147,7 @@ _BNLJ_WHITELIST = {
     "knn_cosine_exact",  # 20-row broadcast query set x corpus
     "join_range_theta",  # range-theta join: broadcast side is the dim
     "kmeans_assign_exact",  # k=8 centroid rows broadcast x corpus
+    "kmeans_silhouette",  # k=8 centroids + k-row cluster stats, both broadcast
     "search_bm25_scores",  # broadcast query-term rows x posting lists
     "search_bm25_stored",  # same shape: 1-row stats frame cross-broadcast twice
     "funnel_conversion",  # three 1-row step aggregates cross-joined

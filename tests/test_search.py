@@ -508,3 +508,22 @@ def test_bm25_stored_postings_scan_partition_prunes(spark):
         probe._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_silhouette_bounds_and_totals(spark):
+    """Silhouette is in [-1, 1] by construction; per-cluster counts must
+    sum to the corpus size (every non-null vector scored exactly once)."""
+    from spark_text_clustering_spark.catalog import load_table
+    from spark_text_clustering_spark.operators.similarity import kmeans_silhouette
+    from .conftest import SF_ORACLE
+
+    rows = kmeans_silhouette(spark, SF_ORACLE).collect()
+    assert rows, "no clusters scored"
+    for r in rows:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0, r
+    n = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .where("embedding IS NOT NULL")
+        .count()
+    )
+    assert sum(r["n_points"] for r in rows) == n
