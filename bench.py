@@ -76,6 +76,7 @@ HEADLINE = [
     "multimodal_features",
     "multimodal_color_decode",
     "heavy_hitters_cms",
+    "quantile_exact_bracket",
     "bloom_semi_join_prune",
     "merge_full_clauses",
     "join_auto_strategy",
@@ -153,6 +154,9 @@ def main() -> None:
         # the unigram-LM EM loop runs at construction (driver M-steps)
         "unigram_train_pieces",
         "unigram_encode_corpus",
+        # the GK-bracket passes (approx agg + below-counts) run at
+        # construction; only the final bracket sort is lazy
+        "quantile_exact_bracket",
     }
     for key in HEADLINE:
         try:

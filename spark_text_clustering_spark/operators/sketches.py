@@ -356,3 +356,99 @@ def bloom_contains_udf(words, n_bits: int, n_hashes: int = 3):
         return pd.Series(out, dtype="boolean")
 
     return maybe_member
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles via sketch-bracket + rank-selection verify (round 7b)
+# ---------------------------------------------------------------------------
+
+_QX_QS = (0.5, 0.9, 0.99)
+_QX_ACC = 1000  # GK accuracy: guaranteed rank error <= n / _QX_ACC
+
+_QUANTILE_ORACLE = """
+WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn, COUNT(*) OVER () AS n
+      FROM v)
+SELECT CAST(t.q AS DOUBLE) AS q, r.x AS quantile_value
+FROM r JOIN (VALUES (0.5), (0.9), (0.99)) AS t(q)
+  ON r.rn = CAST(ceil(t.q * r.n) AS BIGINT)
+"""
+
+
+@REG.register("quantile_exact_bracket", oracle=_QUANTILE_ORACLE)
+def quantile_exact_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of ``lineitem.l_extendedprice`` — the quantile
+    member of this module's sketch → candidate → exact-verify family
+    (CMS does it for heavy hitters, Bloom for semi-joins; quantiles are
+    the remaining classic).
+
+    Why not a plain global sort: exact quantiles naively need a total
+    order — a full-data range shuffle. Why not percentile_approx alone:
+    its answer is off by up to n/accuracy ranks. This pipeline gets
+    exactness at sketch cost:
+
+      1. one narrow agg builds Spark's built-in GK summary
+         (``percentile_approx``, accuracy A=1000) probed at q ± 2/A.
+         The GK contract bounds every probe's RANK error by n/A, so
+         [apx(q-2/A), apx(q+2/A)] provably brackets the true rank-
+         ceil(q*n) element (proof: rank(apx(q-2/A)) <= (q-1/A)n <= k
+         and rank(apx(q+2/A)) >= k for n >= A; for n < A the summary
+         holds all values and is exact);
+      2. one agg counts c_lo = #{x < lo} per target (strict <, so
+         duplicates straddling lo stay countable inside the bracket);
+      3. the verify sorts ONLY the bracket rows (~4n/A per target —
+         2.4k rows at sf0.1) and picks local rank k - c_lo. The range
+         predicate on x reaches the parquet scan as a min/max skip.
+
+    Every step is JVM-side; driver state is 3 bracket tuples. At 100 TB
+    the bracket is 4n/A rows — grow A with n (A ~ sqrt(n) keeps both
+    summary and bracket sublinear), or iterate step 1-2 once more to
+    re-bracket within the bracket; one round suffices at test scale."""
+    import math
+
+    out_schema = "q double, quantile_value double"
+    v = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_extendedprice").isNotNull())
+        .select(F.col("l_extendedprice").cast("double").alias("x"))
+    )
+    m = 2.0 / _QX_ACC
+    probes = sorted({min(max(q + s * m, 0.0), 1.0) for q in _QX_QS for s in (-1.0, 1.0)})
+    head = v.agg(
+        F.percentile_approx("x", probes, _QX_ACC).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n = head["n"]
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    apx = dict(zip(probes, head["a"]))
+    brackets = [
+        (q, apx[max(q - m, 0.0)], apx[min(q + m, 1.0)], math.ceil(q * n))
+        for q in _QX_QS
+    ]
+    below = v.agg(
+        *[
+            F.sum(F.when(F.col("x") < F.lit(lo), 1).otherwise(0)).alias(f"c{i}")
+            for i, (_, lo, _, _) in enumerate(brackets)
+        ]
+    ).collect()[0]
+    bdf = spark.createDataFrame(
+        [
+            (q, lo, hi, k, int(below[f"c{i}"] or 0))
+            for i, (q, lo, hi, k) in enumerate(brackets)
+        ],
+        "q double, lo double, hi double, k long, c_lo long",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy("x")
+    return (
+        v.join(
+            F.broadcast(bdf),
+            (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == F.col("k") - F.col("c_lo"))
+        .select("q", F.col("x").alias("quantile_value"))
+    )
