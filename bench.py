@@ -60,6 +60,7 @@ HEADLINE = [
     "stream_tumbling_agg",
     "funnel_conversion",
     "retention_cohort",
+    "drift_psi",
     "embedding_centroid_per_label",
     "pipeline_prepare_corpus",
     "variant_json_extract",

@@ -376,3 +376,107 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_from",
         )
     )
+
+
+
+_PSI_REF, _PSI_CUR, _PSI_BINS = "view", "error", 10
+
+_PSI_ORACLE = f"""
+WITH ref AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+             WHERE event_type = '{_PSI_REF}' AND value IS NOT NULL),
+cur AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        WHERE event_type = '{_PSI_CUR}' AND value IS NOT NULL),
+s AS (SELECT min(v) AS mn, max(v) AS mx, count(*) AS n_ref FROM ref),
+nc AS (SELECT count(*) AS n_cur FROM cur),
+rb AS (SELECT CAST(CASE WHEN s.mx = s.mn THEN 0
+         ELSE least(greatest(floor((v - s.mn) / ((s.mx - s.mn) / {_PSI_BINS})), 0),
+                    {_PSI_BINS - 1}) END AS INTEGER) AS bin FROM ref, s),
+cb AS (SELECT CAST(CASE WHEN s.mx = s.mn THEN 0
+         ELSE least(greatest(floor((v - s.mn) / ((s.mx - s.mn) / {_PSI_BINS})), 0),
+                    {_PSI_BINS - 1}) END AS INTEGER) AS bin FROM cur, s),
+rc AS (SELECT bin, count(*) AS c FROM rb GROUP BY bin),
+cc AS (SELECT bin, count(*) AS c FROM cb GROUP BY bin),
+bins AS (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin),
+j AS (SELECT b.bin, coalesce(rc.c, 0) AS cr, coalesce(cc.c, 0) AS cu
+      FROM bins b LEFT JOIN rc ON rc.bin = b.bin LEFT JOIN cc ON cc.bin = b.bin)
+SELECT CAST(j.bin AS INTEGER) AS bin,
+       CAST(cr AS BIGINT) AS n_ref, CAST(cu AS BIGINT) AS n_cur,
+       round(((cr + 0.5) / (s.n_ref + {_PSI_BINS} * 0.5)
+              - (cu + 0.5) / (nc.n_cur + {_PSI_BINS} * 0.5))
+             * ln(((cr + 0.5) / (s.n_ref + {_PSI_BINS} * 0.5))
+                  / ((cu + 0.5) / (nc.n_cur + {_PSI_BINS} * 0.5))), 6) AS psi_term
+FROM j, s, nc
+"""
+
+
+@REG.register("drift_psi", oracle=_PSI_ORACLE)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    slice of ``events.value`` ('view' vs 'error') — THE standard
+    production drift monitor for features/scores (banking scorecards
+    onward): PSI = sum_bins (p_i − q_i)·ln(p_i/q_i), fixed-width bins
+    over the reference range, outliers clamped to the edge bins,
+    +0.5 Laplace smoothing so empty bins stay defined. Rule of thumb:
+    <0.1 stable, 0.1–0.25 drifting, >0.25 action.
+
+    Scale: two scalar aggregates (reference min/max/count, current
+    count) broadcast as a 1-row frame; binning is a scan-local
+    expression; the only shuffle carries ≤ {bins} rows per side. The
+    all-bins frame (``spark.range``) left-joins the observed counts so
+    every bin reports, gap bins included — deterministic 10-row output
+    at every SF including empty input (all-zero counts → psi_term 0).
+    Emits per-bin terms rather than the collapsed sum: the per-bin view
+    is what an operator dashboard actually plots, and the total is one
+    ``sum(psi_term)`` away."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ref = ev.where(F.col("event_type") == _PSI_REF).select(
+        F.col("value").cast("double").alias("v")
+    )
+    cur = ev.where(F.col("event_type") == _PSI_CUR).select(
+        F.col("value").cast("double").alias("v")
+    )
+    stats = (
+        ref.agg(
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+            F.count(F.lit(1)).alias("n_ref"),
+        )
+        .crossJoin(cur.agg(F.count(F.lit(1)).alias("n_cur")))
+    )
+    nb = _PSI_BINS
+    bin_expr = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("v") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / nb)),
+                F.lit(0),
+            ),
+            F.lit(nb - 1),
+        )
+    ).cast("int")
+    rc = (
+        ref.crossJoin(F.broadcast(stats))
+        .select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    cc = (
+        cur.crossJoin(F.broadcast(stats))
+        .select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    bins = spark.range(nb).select(F.col("id").cast("int").alias("bin"))
+    sm = nb * 0.5
+    p = (F.col("cr") + 0.5) / (F.col("n_ref") + sm)
+    q = (F.col("cu") + 0.5) / (F.col("n_cur") + sm)
+    return (
+        bins.join(rc, "bin", "left")
+        .join(cc, "bin", "left")
+        .na.fill({"cr": 0, "cu": 0})
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "bin",
+            F.col("cr").cast("long").alias("n_ref"),
+            F.col("cu").cast("long").alias("n_cur"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )

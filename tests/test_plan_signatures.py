@@ -151,6 +151,7 @@ _BNLJ_WHITELIST = {
     "search_bm25_scores",  # broadcast query-term rows x posting lists
     "search_bm25_stored",  # same shape: 1-row stats frame cross-broadcast twice
     "funnel_conversion",  # three 1-row step aggregates cross-joined
+    "drift_psi",  # 1-row ref/cur stats frame cross-broadcast into binning
     # k=8 broadcast centroid rows x corpus; the assignment subplan (one
     # bounded crossJoin) recurs in each branch (pair sides + anti-join)
     "dedup_semantic_kmeans",
