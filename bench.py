@@ -61,6 +61,7 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohort",
     "drift_psi",
+    "graph_pagerank",
     "embedding_centroid_per_label",
     "pipeline_prepare_corpus",
     "variant_json_extract",
@@ -158,6 +159,10 @@ def main() -> None:
         # the GK-bracket passes (approx agg + below-counts) run at
         # construction; only the final bracket sort is lazy
         "quantile_exact_bracket",
+        # the edge-list localCheckpoint (the orders x lineitem distinct)
+        # materializes at construction — the iterations alone would time
+        # only half the work
+        "graph_pagerank",
     }
     for key in HEADLINE:
         try:

@@ -15,6 +15,7 @@ from .operators import (
     join_planner,
     collections as collections_ops,
     dedup,
+    graph,
     grouped,
     lm,
     multimodal,
@@ -71,6 +72,7 @@ ROOT.merge(
     search.REG,
     text.REG,
     dedup.REG,
+    graph.REG,
     similarity.REG,
     skew.REG,
     sketches.REG,
