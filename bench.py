@@ -61,6 +61,7 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohort",
     "drift_psi",
+    "assoc_copurchase_rules",
     "graph_pagerank",
     "embedding_centroid_per_label",
     "pipeline_prepare_corpus",
@@ -163,6 +164,8 @@ def main() -> None:
         # materializes at construction — the iterations alone would time
         # only half the work
         "graph_pagerank",
+        # the basket-count scalar runs at construction
+        "assoc_copurchase_rules",
     }
     for key in HEADLINE:
         try:

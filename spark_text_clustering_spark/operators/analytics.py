@@ -480,3 +480,78 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
         )
     )
+
+
+
+_ASSOC_MINSUP = 3
+
+_ASSOC_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS n FROM li),
+isup AS (SELECT p, COUNT(*) AS s FROM li GROUP BY p),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS support
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING COUNT(*) >= {_ASSOC_MINSUP})
+SELECT pr.part_a, pr.part_b, CAST(pr.support AS BIGINT) AS support,
+       round(pr.support / CAST(sa.s AS DOUBLE), 6) AS confidence,
+       round(pr.support * nn.n / (CAST(sa.s AS DOUBLE) * sb.s), 6) AS lift
+FROM pairs pr
+JOIN isup sa ON sa.p = pr.part_a
+JOIN isup sb ON sb.p = pr.part_b
+CROSS JOIN n nn
+"""
+
+
+@REG.register("assoc_copurchase_rules", oracle=_ASSOC_ORACLE)
+def assoc_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (support / confidence /
+    lift, minsup 3) — the classic market-basket co-occurrence
+    mining, done as relational algebra instead of FP-growth: the
+    candidate generator is a basket-keyed SELF-JOIN, so the pair space
+    is sum_baskets k_b^2 (k = items per basket, ~4 here), linear in
+    baskets — never |parts|^2. At 100 TB the guard is the basket bound:
+    cap k per basket (or drop ubiquitous items first — the same
+    stop-token discipline as the text side) and the join stays linear;
+    the item-support side is a part-count-sized dim join.
+
+    confidence(a->b) = supp(ab)/supp(a); lift = supp(ab)*N /
+    (supp(a)*supp(b)) — lift > 1 means the pair co-occurs more than
+    independence predicts. Spark ML's FPGrowth covers the k>2 itemset
+    case; the pairwise form is the oracle-able 90% of retail use."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_orders = li.select("o").distinct().count()  # driver scalar
+    if n_orders == 0:
+        return spark.createDataFrame(
+            [], "part_a long, part_b long, support bigint, confidence double, lift double"
+        )
+    isup = li.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    a = li.select(F.col("o"), F.col("p").alias("part_a"))
+    b = li.select(F.col("o"), F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _ASSOC_MINSUP)
+    )
+    return (
+        pairs.join(isup.select(F.col("p").alias("part_a"), F.col("s").alias("sa")), "part_a")
+        .join(isup.select(F.col("p").alias("part_b"), F.col("s").alias("sb")), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("long").alias("support"),
+            F.round(F.col("support") / F.col("sa").cast("double"), 6).alias("confidence"),
+            F.round(
+                F.col("support") * F.lit(float(n_orders))
+                / (F.col("sa").cast("double") * F.col("sb")),
+                6,
+            ).alias("lift"),
+        )
+    )
