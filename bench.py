@@ -61,7 +61,9 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohort",
     "drift_psi",
+    "drift_ks_binned",
     "assoc_copurchase_rules",
+    "assoc_itemsets_fp",
     "graph_pagerank",
     "embedding_centroid_per_label",
     "pipeline_prepare_corpus",
@@ -166,6 +168,8 @@ def main() -> None:
         "graph_pagerank",
         # the basket-count scalar runs at construction
         "assoc_copurchase_rules",
+        # basket count + FPGrowth fit run at construction
+        "assoc_itemsets_fp",
     }
     for key in HEADLINE:
         try:

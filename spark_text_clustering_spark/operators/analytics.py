@@ -12,7 +12,7 @@ per-row Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .._registry import Registry
@@ -428,6 +428,22 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits per-bin terms rather than the collapsed sum: the per-bin view
     is what an operator dashboard actually plots, and the total is one
     ``sum(psi_term)`` away."""
+    binned = _drift_binned_counts(spark, sf_dir)
+    sm = _PSI_BINS * 0.5
+    p = (F.col("cr") + 0.5) / (F.col("n_ref") + sm)
+    q = (F.col("cu") + 0.5) / (F.col("n_cur") + sm)
+    return binned.select(
+        "bin",
+        F.col("cr").cast("long").alias("n_ref"),
+        F.col("cu").cast("long").alias("n_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+def _drift_binned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared binning stage for the drift family (PSI + binned KS): the
+    all-bins 10-row frame (bin, cr, cu) with the 1-row ref/cur stats
+    (mn, mx, n_ref, n_cur) cross-broadcast onto every row."""
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     ref = ev.where(F.col("event_type") == _PSI_REF).select(
         F.col("value").cast("double").alias("v")
@@ -465,20 +481,81 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cu"))
     )
     bins = spark.range(nb).select(F.col("id").cast("int").alias("bin"))
-    sm = nb * 0.5
-    p = (F.col("cr") + 0.5) / (F.col("n_ref") + sm)
-    q = (F.col("cu") + 0.5) / (F.col("n_cur") + sm)
     return (
         bins.join(rc, "bin", "left")
         .join(cc, "bin", "left")
         .na.fill({"cr": 0, "cu": 0})
         .crossJoin(F.broadcast(stats))
-        .select(
-            "bin",
-            F.col("cr").cast("long").alias("n_ref"),
-            F.col("cu").cast("long").alias("n_cur"),
-            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
-        )
+    )
+
+
+_KS_ORACLE = f"""
+WITH ref AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+             WHERE event_type = '{_PSI_REF}' AND value IS NOT NULL),
+cur AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        WHERE event_type = '{_PSI_CUR}' AND value IS NOT NULL),
+s AS (SELECT min(v) AS mn, max(v) AS mx, count(*) AS n_ref FROM ref),
+nc AS (SELECT count(*) AS n_cur FROM cur),
+rb AS (SELECT CAST(CASE WHEN s.mx = s.mn THEN 0
+         ELSE least(greatest(floor((v - s.mn) / ((s.mx - s.mn) / {_PSI_BINS})), 0),
+                    {_PSI_BINS - 1}) END AS INTEGER) AS bin FROM ref, s),
+cb AS (SELECT CAST(CASE WHEN s.mx = s.mn THEN 0
+         ELSE least(greatest(floor((v - s.mn) / ((s.mx - s.mn) / {_PSI_BINS})), 0),
+                    {_PSI_BINS - 1}) END AS INTEGER) AS bin FROM cur, s),
+rc AS (SELECT bin, count(*) AS c FROM rb GROUP BY bin),
+cc AS (SELECT bin, count(*) AS c FROM cb GROUP BY bin),
+bins AS (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin),
+j AS (SELECT b.bin, coalesce(rc.c, 0) AS cr, coalesce(cc.c, 0) AS cu
+      FROM bins b LEFT JOIN rc ON rc.bin = b.bin LEFT JOIN cc ON cc.bin = b.bin),
+cum AS (SELECT bin, SUM(cr) OVER (ORDER BY bin) AS ccr,
+               SUM(cu) OVER (ORDER BY bin) AS ccu FROM j)
+SELECT round(CASE WHEN s.n_ref = 0 OR nc.n_cur = 0 THEN 0.0
+       ELSE MAX(ABS(ccr / CAST(s.n_ref AS DOUBLE)
+                    - ccu / CAST(nc.n_cur AS DOUBLE))) END, 6) AS ks_d,
+       CAST(s.n_ref AS BIGINT) AS n_ref, CAST(nc.n_cur AS BIGINT) AS n_cur
+FROM cum, s, nc
+GROUP BY s.n_ref, nc.n_cur
+"""
+
+
+@REG.register("drift_ks_binned", oracle=_KS_ORACLE)
+def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance on the binned ECDFs —
+    PSI's companion in the drift family (same reference/current slices,
+    same 10 fixed-width bins via ``_drift_binned_counts``): D = max
+    over bins of |ECDF_ref − ECDF_cur|. The binned form is what scales
+    — the exact KS needs a global order over raw values (a full-data
+    range shuffle for continuous doubles), while binning first reduces
+    the cumulative pass to the 10-row bin frame; finer drift resolution
+    is a bin-count knob, not an algorithm change. One row out:
+    (ks_d, n_ref, n_cur); empty slices report D = 0."""
+    binned = _drift_binned_counts(spark, sf_dir)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select(
+        "n_ref",
+        "n_cur",
+        F.sum("cr").over(w).alias("ccr"),
+        F.sum("cu").over(w).alias("ccu"),
+    )
+    # greatest(n, 1) denominators: exact for n >= 1, and under ANSI mode
+    # they keep the division total for the n = 0 slice (where every
+    # cumulative count is 0, so D correctly collapses to 0.0 — the same
+    # value the oracle's CASE guard returns). A when() guard outside the
+    # max cannot do this: the agg child evaluates first and ANSI raises.
+    return cum.groupBy("n_ref", "n_cur").agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ccr") / F.greatest(F.col("n_ref"), F.lit(1)).cast("double")
+                    - F.col("ccu") / F.greatest(F.col("n_cur"), F.lit(1)).cast("double")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+    ).select(
+        "ks_d",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
     )
 
 
@@ -553,5 +630,54 @@ def assoc_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("sa").cast("double") * F.col("sb")),
                 6,
             ).alias("lift"),
+        )
+    )
+
+
+@REG.register("assoc_itemsets_fp")  # rows-only: FPGrowth model state (no ANSI-SQL form)
+def assoc_itemsets_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k>=2 frequent itemsets via Spark ML FPGrowth over the same order
+    baskets as ``assoc_copurchase_rules`` — the general-k companion of
+    the oracled pairwise key. Rows-only by nature (freqItemsets
+    materializes from fitted FP-tree state; there is no single-statement
+    ANSI-SQL form for unbounded k), but NOT unchecked: the k=2 slice
+    must equal the oracled pairwise key item-for-item and count-for-
+    count, asserted in tests/test_assoc.py — the strongest possible
+    gate, since that slice shares its ground truth with a value-hashed
+    oracle. minSupport is set at (minsup - 0.5)/n_baskets so the >= 3
+    cutoff can never straddle a float boundary.
+
+    Scale: FPGrowth is Spark ML's distributed PFP (Li et al. 2008) —
+    baskets group-shuffled by item prefix, per-group local FP-trees;
+    linear in baskets for bounded basket size, the same guard as the
+    pairwise form. Output is the all-scalar (items_csv, k, freq) shape
+    per the registry schema contract."""
+    from pyspark.ml.fpm import FPGrowth
+
+    out_schema = "items_csv string, k int, freq long"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    baskets = li.groupBy("o").agg(F.collect_set("p").alias("items"))
+    n = baskets.count()
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    # clamp: with fewer baskets than minsup the fraction exceeds 1.0
+    # (FPGrowth rejects it); the explicit freq filter below is the
+    # authoritative cutoff either way
+    model = FPGrowth(
+        itemsCol="items",
+        minSupport=min(1.0, (_ASSOC_MINSUP - 0.5) / n),
+        minConfidence=0.5,
+    ).fit(baskets)
+    return (
+        model.freqItemsets.where(F.size("items") >= 2)
+        .where(F.col("freq") >= _ASSOC_MINSUP)
+        .select(
+            F.array_join(F.array_sort("items"), ",").alias("items_csv"),
+            F.size("items").cast("int").alias("k"),
+            F.col("freq").cast("long").alias("freq"),
         )
     )

@@ -1,0 +1,35 @@
+"""Association-rules cross-validation: the rows-only FPGrowth key's k=2
+slice must equal the ORACLED pairwise key item-for-item — the strongest
+gate a model-state key can have, since the pairwise side is value-hash
+checked against DuckDB every run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_text_clustering_spark.operators.analytics import (
+    assoc_copurchase_rules,
+    assoc_itemsets_fp,
+)
+
+from .conftest import SF_ORACLE
+
+
+def test_fpgrowth_pairs_match_oracled_pairwise(spark):
+    fp_pairs = {
+        (r["items_csv"], r["freq"])
+        for r in assoc_itemsets_fp(spark, SF_ORACLE).where(F.col("k") == 2).collect()
+    }
+    sql_pairs = {
+        (f"{r['part_a']},{r['part_b']}", r["support"])
+        for r in assoc_copurchase_rules(spark, SF_ORACLE).collect()
+    }
+    assert len(sql_pairs) > 10
+    assert fp_pairs == sql_pairs
+
+
+def test_fpgrowth_k_above_two_supported(spark):
+    rows = assoc_itemsets_fp(spark, SF_ORACLE).collect()
+    assert all(r["k"] >= 2 for r in rows)
+    # supports never exceed any member pair's support (anti-monotone)
+    assert all(r["freq"] >= 3 for r in rows)

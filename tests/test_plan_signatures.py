@@ -56,6 +56,7 @@ EXCLUDED_KEYS = {
     "incremental_dedup_minhash": "3-batch persistent-store loop at construction",
     "unigram_train_pieces": "unigram-LM EM loop runs at construction",
     "unigram_encode_corpus": "trains pieces at construction",
+    "assoc_itemsets_fp": "FPGrowth fit at construction; result is model state",
 }
 
 
@@ -152,6 +153,7 @@ _BNLJ_WHITELIST = {
     "search_bm25_stored",  # same shape: 1-row stats frame cross-broadcast twice
     "funnel_conversion",  # three 1-row step aggregates cross-joined
     "drift_psi",  # 1-row ref/cur stats frame cross-broadcast into binning
+    "drift_ks_binned",  # same binning subplan; stats cross-broadcasts recur
     # k=8 broadcast centroid rows x corpus; the assignment subplan (one
     # bounded crossJoin) recurs in each branch (pair sides + anti-join)
     "dedup_semantic_kmeans",
