@@ -95,6 +95,7 @@ HEADLINE = [
     "stream_stream_join",
     "stream_ingest_dedup",
     "stream_lang_id_serving",
+    "stream_drift_psi",
     "knn_cosine_pq_stored",
     "knn_cosine_ivfpq_stored",
     "stream_heavy_hitters",
@@ -170,6 +171,8 @@ def main() -> None:
         "assoc_copurchase_rules",
         # basket count + FPGrowth fit run at construction
         "assoc_itemsets_fp",
+        # streaming replay + store merge run at construction
+        "stream_drift_psi",
     }
     for key in HEADLINE:
         try:

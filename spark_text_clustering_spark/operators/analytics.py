@@ -428,7 +428,14 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits per-bin terms rather than the collapsed sum: the per-bin view
     is what an operator dashboard actually plots, and the total is one
     ``sum(psi_term)`` away."""
-    binned = _drift_binned_counts(spark, sf_dir)
+    return psi_from_binned(_drift_binned_counts(spark, sf_dir))
+
+
+def psi_from_binned(binned: DataFrame) -> DataFrame:
+    """Final PSI assembly from a (bin, cr, cu, n_ref, n_cur) frame —
+    shared by the batch key above and the streaming accumulator
+    (streaming/drift_monitor.py), so the two paths cannot drift in
+    smoothing or rounding."""
     sm = _PSI_BINS * 0.5
     p = (F.col("cr") + 0.5) / (F.col("n_ref") + sm)
     q = (F.col("cu") + 0.5) / (F.col("n_cur") + sm)

@@ -36,6 +36,7 @@ from .operators import (
 from .ml import queries as ml_queries
 from .plans.flagship import TOP_K, flagship_top_terms_per_lang
 from .streaming import heavy_hitters as streaming_hh
+from .streaming import drift_monitor as streaming_drift
 from .streaming import ingest_dedup as streaming_ingest
 from .streaming import model_serving as streaming_serving
 from .streaming import windows as streaming_windows
@@ -87,6 +88,7 @@ ROOT.merge(
     ml_queries.REG,
     streaming_windows.REG,
     streaming_hh.REG,
+    streaming_drift.REG,
     streaming_ingest.REG,
     streaming_serving.REG,
 )

@@ -57,6 +57,7 @@ EXCLUDED_KEYS = {
     "unigram_train_pieces": "unigram-LM EM loop runs at construction",
     "unigram_encode_corpus": "trains pieces at construction",
     "assoc_itemsets_fp": "FPGrowth fit at construction; result is model state",
+    "stream_drift_psi": "streaming replay + store merge at construction",
 }
 
 
