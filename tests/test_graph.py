@@ -28,3 +28,65 @@ def test_pagerank_deterministic(spark):
     a = sorted(tuple(r) for r in graph_pagerank(spark, SF_SMALL).collect())
     b = sorted(tuple(r) for r in graph_pagerank(spark, SF_SMALL).collect())
     assert a == b
+
+
+def test_convergence_loop_matches_unrolled_at_three_iters(spark):
+    """The production loop frozen at 3 iterations must reproduce the
+    registered (oracled) key exactly — same join+agg per round."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.catalog import load_table
+    from spark_text_clustering_spark.operators.graph import (
+        pagerank_until_convergence,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    fwd = pairs.select((F.col("c") * 2).alias("src"), (F.col("p") * 2 + 1).alias("dst"))
+    rev = pairs.select((F.col("p") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
+    edges = fwd.unionAll(rev)
+    ranks, it, delta = pagerank_until_convergence(
+        spark, edges, tol=0.0, max_iter=3
+    )
+    got = {
+        r["id"]: round(r["pr"] * ranks.count(), 6) for r in ranks.collect()
+    }
+    want = {
+        r["node_id"]: r["pr_scaled"]
+        for r in graph_pagerank(spark, SF_SMALL).collect()
+    }
+    assert it == 3
+    assert got == want
+
+
+def test_convergence_loop_reaches_fixpoint(spark):
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.catalog import load_table
+    from spark_text_clustering_spark.operators.graph import (
+        pagerank_until_convergence,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = pairs.select((F.col("c") * 2).alias("src"), (F.col("p") * 2 + 1).alias("dst")).unionAll(
+        pairs.select((F.col("p") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
+    )
+    # the damped walk contracts at ~0.85^t: tol 2e-3 lands near t=33,
+    # safely inside the cap (1e-4 would need ~52 iterations)
+    ranks, it, delta = pagerank_until_convergence(spark, edges, tol=2e-3, max_iter=40)
+    assert delta <= 2e-3
+    assert it < 40  # converged before the cap, not cut off by it
+    # mass conserved at the fixpoint
+    total = ranks.agg(F.sum("pr")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6
