@@ -83,6 +83,45 @@ def synthesize(out_dir: str) -> None:
           flush=True)
 
 
+TPCH_KEYS = [
+    # round 7b: the iterative-graph and basket families get their second
+    # decade too — 10 disjoint replicas (all key columns offset) grow
+    # nodes/edges/baskets exactly 10x, the honest linear-scale-up regime
+    "graph_pagerank",
+    "assoc_copurchase_rules",
+]
+
+
+def synthesize_tpch(out_dir: str) -> None:
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    orders = pq.read_table(f"{SF01}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF01}/lineitem.parquet").to_pandas()
+    oreps, lreps = [], []
+    for r in range(10):
+        o = orders.copy()
+        o["o_orderkey"] = o["o_orderkey"] + r * 100_000_000
+        o["o_custkey"] = o["o_custkey"] + r * 1_000_000
+        oreps.append(o)
+        l = li.copy()
+        l["l_orderkey"] = l["l_orderkey"] + r * 100_000_000
+        l["l_partkey"] = l["l_partkey"] + r * 1_000_000
+        lreps.append(l)
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(oreps, ignore_index=True), preserve_index=False),
+        f"{out_dir}/orders.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(lreps, ignore_index=True), preserve_index=False),
+        f"{out_dir}/lineitem.parquet",
+    )
+    print(json.dumps({"synth_tpch": out_dir, "orders": len(oreps) * len(orders),
+                      "lineitem": len(lreps) * len(li)}), flush=True)
+
+
 def time_key(key: str, sf_dir: str) -> float:
     from spark_text_clustering_spark.registry import QUERIES
     from spark_text_clustering_spark.session import get_session
@@ -100,6 +139,22 @@ def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
     if not os.path.exists(f"{out_dir}/documents.parquet"):
         synthesize(out_dir)
+    if not os.path.exists(f"{out_dir}/orders.parquet"):
+        synthesize_tpch(out_dir)
+    for key in TPCH_KEYS:
+        t_small = time_key(key, SF01)
+        t_big = time_key(key, out_dir)
+        print(
+            json.dumps(
+                {
+                    "key": key,
+                    "sf0.1_cold_sec": round(t_small, 2),
+                    "sf1_synth_cold_sec": round(t_big, 2),
+                    "ratio_at_10x": round(t_big / t_small, 2),
+                }
+            ),
+            flush=True,
+        )
     for key in KEYS:
         t_small = time_key(key, SF01)
         t_big = time_key(key, out_dir)
