@@ -129,6 +129,10 @@ HEADLINE = [
     "unigram_encode_corpus",
     "heavy_hitters_window_stream",
     "incremental_dedup_minhash",
+    "graph_label_propagation",
+    "graph_pagerank_personalized",
+    "graph_triangle_count",
+    "assoc_triple_rules",
 ]
 
 
@@ -167,6 +171,13 @@ def main() -> None:
         # materializes at construction — the iterations alone would time
         # only half the work
         "graph_pagerank",
+        # same edge-list localCheckpoint discipline as graph_pagerank
+        "graph_label_propagation",
+        "graph_pagerank_personalized",
+        # the part-pair edge list localCheckpoints at construction
+        "graph_triangle_count",
+        # the basket-count scalar runs at construction
+        "assoc_triple_rules",
         # the basket-count scalar runs at construction
         "assoc_copurchase_rules",
         # basket count + FPGrowth fit run at construction

@@ -688,3 +688,127 @@ def assoc_itemsets_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("freq").cast("long").alias("freq"),
         )
     )
+
+
+_TRIPLE_MINSUP = 5
+_TRIPLE_CAT_MOD = 100
+
+_TRIPLE_ORACLE = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey % {_TRIPLE_CAT_MOD} AS i
+           FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS n FROM b),
+isup AS (SELECT i, COUNT(*) AS s FROM b GROUP BY i),
+psup AS (SELECT x.i AS ia, y.i AS ib, COUNT(*) AS s
+         FROM b x JOIN b y ON x.o = y.o AND x.i < y.i
+         GROUP BY x.i, y.i),
+tsup AS (SELECT x.i AS ia, y.i AS ib, z.i AS ic, COUNT(*) AS s
+         FROM b x
+         JOIN b y ON x.o = y.o AND x.i < y.i
+         JOIN b z ON x.o = z.o AND y.i < z.i
+         GROUP BY x.i, y.i, z.i
+         HAVING COUNT(*) >= {_TRIPLE_MINSUP}),
+rules AS (
+  SELECT ia AS ant_a, ib AS ant_b, ic AS cons, s FROM tsup
+  UNION ALL
+  SELECT ia, ic, ib, s FROM tsup
+  UNION ALL
+  SELECT ib, ic, ia, s FROM tsup)
+SELECT r.ant_a, r.ant_b, r.cons, CAST(r.s AS BIGINT) AS support,
+       round(r.s / CAST(p.s AS DOUBLE), 6) AS confidence,
+       round(r.s * nn.n / (CAST(p.s AS DOUBLE) * c.s), 6) AS lift
+FROM rules r
+JOIN psup p ON p.ia = LEAST(r.ant_a, r.ant_b) AND p.ib = GREATEST(r.ant_a, r.ant_b)
+JOIN isup c ON c.i = r.cons
+CROSS JOIN n nn
+"""
+
+
+@REG.register("assoc_triple_rules", oracle=_TRIPLE_ORACLE)
+def assoc_triple_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 association RULES ({a,b} -> c with support / confidence /
+    lift, minsup 5) — the general-k step past the oracled pairwise key
+    that ``assoc_itemsets_fp`` left open: FPGrowth emits the ITEMSETS
+    but its rule generator is model state; this key derives every
+    2-antecedent rule relationally, so it carries a full value-hash
+    oracle. Items are coarsened part categories (l_partkey % 100) —
+    at the raw part granularity triple supports vanish as the catalog
+    grows with SF (measured: zero triples with support >= 2 at sf0.1),
+    while the bounded category space keeps the key non-degenerate at
+    every SF; the coarsening IS the documented 100 TB guard (item
+    rollup before mining, the same discipline as stopword removal).
+
+    Shape: candidate triples come from a basket-keyed 3-way self-join
+    (ordered i_a < i_b < i_c — each set found once), so the explored
+    space is sum_baskets k_b^3, linear in baskets for bounded basket
+    size (k ~ 4 here). Each surviving triple expands to its 3 rules,
+    then two dim joins attach the pair- and item-support denominators:
+    confidence = s(abc)/s(ab), lift = confidence / (s(c)/N)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        (F.col("l_partkey") % _TRIPLE_CAT_MOD).alias("i"),
+    )
+    b = li.distinct()
+    n_baskets = b.select("o").distinct().count()  # driver scalar
+    if n_baskets == 0:
+        return spark.createDataFrame(
+            [],
+            "ant_a long, ant_b long, cons long, support bigint, "
+            "confidence double, lift double",
+        )
+    isup = b.groupBy("i").agg(F.count(F.lit(1)).alias("s"))
+    x = b.select("o", F.col("i").alias("ia"))
+    y = b.select("o", F.col("i").alias("ib"))
+    z = b.select("o", F.col("i").alias("ic"))
+    psup = (
+        x.join(y, "o")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("ps"))
+    )
+    tsup = (
+        x.join(y, "o")
+        .where(F.col("ia") < F.col("ib"))
+        .join(z, "o")
+        .where(F.col("ib") < F.col("ic"))
+        .groupBy("ia", "ib", "ic")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= _TRIPLE_MINSUP)
+    )
+    rules = (
+        tsup.select(
+            F.col("ia").alias("ant_a"), F.col("ib").alias("ant_b"),
+            F.col("ic").alias("cons"), "s",
+        )
+        .unionAll(
+            tsup.select(
+                F.col("ia").alias("ant_a"), F.col("ic").alias("ant_b"),
+                F.col("ib").alias("cons"), "s",
+            )
+        )
+        .unionAll(
+            tsup.select(
+                F.col("ib").alias("ant_a"), F.col("ic").alias("ant_b"),
+                F.col("ia").alias("cons"), "s",
+            )
+        )
+    )
+    return (
+        rules.join(
+            psup,
+            (psup["ia"] == F.least("ant_a", "ant_b"))
+            & (psup["ib"] == F.greatest("ant_a", "ant_b")),
+        )
+        .join(isup.select(F.col("i").alias("cons"), F.col("s").alias("cs")), "cons")
+        .select(
+            "ant_a",
+            "ant_b",
+            "cons",
+            F.col("s").cast("long").alias("support"),
+            F.round(F.col("s") / F.col("ps").cast("double"), 6).alias("confidence"),
+            F.round(
+                F.col("s") * F.lit(float(n_baskets))
+                / (F.col("ps").cast("double") * F.col("cs")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -26,13 +26,42 @@ closure in collections.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .._registry import Registry
 from ..catalog import load_table
 
 REG = Registry()
+
+_COPURCHASE_EDGES_SQL = """
+pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+edges AS (
+  SELECT c * 2 AS src, p * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT p * 2 + 1 AS src, c * 2 AS dst FROM pairs)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared customer<->part co-purchase graph (both directions;
+    customers at id*2, parts at id*2+1 — see graph_pagerank). Factored
+    out so every graph-family key provably walks the SAME graph."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    fwd = pairs.select(
+        (F.col("c") * 2).alias("src"), (F.col("p") * 2 + 1).alias("dst")
+    )
+    rev = pairs.select(
+        (F.col("p") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+    )
+    return fwd.unionAll(rev)
 
 _PR_DAMP = 0.85
 _PR_ITERS = 3
@@ -83,19 +112,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the rank vector + one dst-keyed aggregation — shuffles
     carry edge and node rows, never anything quadratic. The node count
     N is the only driver-held state (one scalar)."""
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    fwd = pairs.select(
-        (F.col("c") * 2).alias("src"), (F.col("p") * 2 + 1).alias("dst")
-    )
-    rev = pairs.select(
-        (F.col("p") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
-    )
     # Materialize the edge list ONCE: without the lineage cut, every
     # unrolled iteration re-runs the orders x lineitem distinct (measured
     # 5.4 s -> ~2 s at sf0.1; ReuseExchange does not fire across the
@@ -103,7 +119,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline documented in the module docstring; its lineage reads
     # only persistent testdata, and the construction-time materialization
     # puts this key in bench.py's EAGER set.
-    edges = fwd.unionAll(rev).localCheckpoint(eager=True)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("id")).distinct()
     n = nodes.count()  # the single driver-held scalar
     if n == 0:
@@ -123,6 +139,69 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return pr.select(
         F.col("id").alias("node_id"), F.round(F.col("pr") * n, 6).alias("pr_scaled")
+    )
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_step_sql(prev: str) -> str:
+    return f"""SELECT id, label FROM (
+  SELECT e.dst AS id, l.label AS label,
+         ROW_NUMBER() OVER (PARTITION BY e.dst
+                            ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+  FROM edges e JOIN {prev} l ON l.id = e.src
+  GROUP BY e.dst, l.label) t
+WHERE rn = 1"""
+
+
+_LPA_ORACLE = f"""
+WITH {_COPURCHASE_EDGES_SQL},
+lab0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+lab1 AS ({_lpa_step_sql("lab0")}),
+lab2 AS ({_lpa_step_sql("lab1")}),
+lab3 AS ({_lpa_step_sql("lab2")})
+SELECT id AS node_id, CAST(label AS BIGINT) AS community FROM lab3
+"""
+
+
+@REG.register("graph_label_propagation", oracle=_LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) on the co-purchase graph — the communities companion
+    of ``graph_pagerank`` (the reference has no graph surface; north-
+    star family, SURVEY §2.9). Each node starts labeled with its own
+    id; per iteration every node adopts its neighbors' MOST FREQUENT
+    label, ties broken toward the smallest label — that deterministic
+    tiebreak (vs the paper's random choice) is what makes the key
+    value-hash oracle-able: 3 unrolled iterations replay as plain SQL,
+    the same trick as ``graph_pagerank``.
+
+    Per-iteration cost: one src-keyed equi-join of the edge list
+    against the label vector, one (dst,label) count, one per-dst
+    window top-1 — all shuffles carry edge/node rows. At 100 TB the
+    window's partition key is the node id (no global sort), and the
+    iteration count is a fixed unroll here / a convergence loop with
+    localCheckpoint lineage cuts in production (the
+    ``pagerank_until_convergence`` discipline)."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(_LPA_ITERS):
+        counts = (
+            edges.join(labels, labels["id"] == edges["src"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("id"), "label")
+        )
+    return labels.select(
+        F.col("id").alias("node_id"), F.col("label").cast("long").alias("community")
     )
 
 
@@ -179,3 +258,156 @@ def pagerank_until_convergence(
         )
         pr = new_pr
     return pr, it, float(delta)
+
+
+_PPR_DAMP = 0.85
+_PPR_ITERS = 3
+_PPR_SEED_MOD = 20  # even ids are customers; id % 20 == 0 <=> custkey % 10 == 0
+
+
+def _ppr_step_sql(prev: str) -> str:
+    return f"""SELECT e.dst AS id, MIN(t.t) + {_PPR_DAMP} * SUM(p.pr / dg.d) AS pr
+  FROM edges e
+  JOIN {prev} p ON p.id = e.src
+  JOIN deg dg ON dg.src = e.src
+  JOIN tele t ON t.id = e.dst
+  GROUP BY e.dst"""
+
+
+_PPR_ORACLE = f"""
+WITH {_COPURCHASE_EDGES_SQL},
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM nodes
+       WHERE id % {_PPR_SEED_MOD} = 0),
+deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+tele AS (SELECT n.id,
+                CASE WHEN n.id % {_PPR_SEED_MOD} = 0
+                     THEN (1 - {_PPR_DAMP}) / nn.ns ELSE 0.0 END AS t
+         FROM nodes n CROSS JOIN ns nn),
+pr0 AS (SELECT n.id,
+               CASE WHEN n.id % {_PPR_SEED_MOD} = 0
+                    THEN 1.0 / nn.ns ELSE 0.0 END AS pr
+        FROM nodes n CROSS JOIN ns nn),
+pr1 AS ({_ppr_step_sql("pr0")}),
+pr2 AS ({_ppr_step_sql("pr1")}),
+pr3 AS ({_ppr_step_sql("pr2")})
+SELECT p3.id AS node_id, round(p3.pr * nn.ns, 6) AS ppr_scaled
+FROM pr3 p3 CROSS JOIN ns nn
+"""
+
+
+@REG.register("graph_pagerank_personalized", oracle=_PPR_ORACLE)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set (damping 0.85, 3
+    iterations) on the co-purchase graph: the random walk TELEPORTS
+    back to the seeds (every 10th customer) instead of to all nodes,
+    so rank measures proximity TO THE SEEDS — the recommendation /
+    node-similarity workhorse (Jeh & Widom 2003; the "related items"
+    query the reference's clustering output feeds downstream).
+
+    Same unrolled-iteration exact oracle as ``graph_pagerank``; the
+    only structural deltas are the seed-concentrated teleport frame
+    (one node-keyed equi-join per iteration — constant per dst, hence
+    the MIN) and the pr0 seed distribution. Output is scaled by |S|
+    (seed count) so values sit near 1 and survive the repo's 6-decimal
+    rounding. At 100 TB: identical shuffle profile to PageRank (edge-
+    and node-sized), and a SPARSE start — after t iterations only
+    nodes within t hops of a seed hold mass, so the production loop
+    can filter pr > 0 rows and the per-iteration join shrinks to the
+    reached frontier (the classic local-push advantage, kept
+    relational here)."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    is_seed = (F.col("id") % _PPR_SEED_MOD) == 0
+    ns = nodes.where(is_seed).count()  # the single driver-held scalar
+    if ns == 0:
+        return spark.createDataFrame([], "node_id long, ppr_scaled double")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    tele = nodes.select(
+        "id",
+        F.when(is_seed, F.lit((1 - _PPR_DAMP) / ns)).otherwise(F.lit(0.0)).alias("t"),
+    )
+    pr = nodes.select(
+        "id",
+        F.when(is_seed, F.lit(1.0 / ns)).otherwise(F.lit(0.0)).alias("pr"),
+    )
+    for _ in range(_PPR_ITERS):
+        pr = (
+            edges.join(pr, pr["id"] == edges["src"])
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("d")).alias("w"))
+            .join(tele, tele["id"] == F.col("dst"))
+            .groupBy("dst")
+            .agg((F.min("t") + _PPR_DAMP * F.sum("w")).alias("pr"))
+            .select(F.col("dst").alias("id"), "pr")
+        )
+    return pr.select(
+        F.col("id").alias("node_id"),
+        F.round(F.col("pr") * ns, 6).alias("ppr_scaled"),
+    )
+
+
+_TRIANGLE_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT a.p AS a, b.p AS b FROM li a
+      JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT x AS part_id FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+SELECT part_id, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM corners GROUP BY part_id
+"""
+
+
+@REG.register("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the part co-purchase graph (parts
+    adjacent iff some order contains both) — the clustering-coefficient
+    numerator, the third classic next to PageRank and label
+    propagation. Computed as the ORIENTED wedge join: orient every
+    undirected edge low->high id, join wedges (a<b, b<c) against the
+    closing edge (a,c) — each triangle is found exactly once, no
+    3x-overcount and no symmetric-edge blowup. Every corner then feeds
+    one hash aggregation for the per-node counts.
+
+    Scale: the wedge join's size is sum(out_deg^2), the quantity the
+    orientation bounds — at 100 TB the refinement is degree
+    orientation (orient toward the HIGHER-degree endpoint, bounding
+    wedges by arboricity, Chiba-Nishizeki) plus a support threshold on
+    the co-purchase edge build (the assoc-family minsup guard); both
+    are parameter swaps on this same 3-join plan, not new algorithms.
+    The edge list is localCheckpoint'ed once — it feeds three join
+    legs and ReuseExchange does not dedup the subplan across legs
+    (the graph_pagerank finding), so without the cut the orders x
+    lineitem distinct would run three times."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select("o", F.col("p").alias("a"))
+    b = li.select("o", F.col("p").alias("b"))
+    e = (
+        a.join(b, "o")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("part_id"))
+        .unionAll(tri.select(F.col("y").alias("part_id")))
+        .unionAll(tri.select(F.col("z").alias("part_id")))
+    )
+    return corners.groupBy("part_id").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )

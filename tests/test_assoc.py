@@ -12,7 +12,7 @@ from spark_text_clustering_spark.operators.analytics import (
     assoc_itemsets_fp,
 )
 
-from .conftest import SF_ORACLE
+from .conftest import SF_ORACLE, SF_SMALL
 
 
 def test_fpgrowth_pairs_match_oracled_pairwise(spark):
@@ -33,3 +33,22 @@ def test_fpgrowth_k_above_two_supported(spark):
     assert all(r["k"] >= 2 for r in rows)
     # supports never exceed any member pair's support (anti-monotone)
     assert all(r["freq"] >= 3 for r in rows)
+
+
+def test_triple_rules_invariants(spark):
+    """The oracle pins exact values at sf0.01; these pin the rule
+    algebra at sf0.001: each surviving triple emits exactly 3 rules,
+    support >= minsup, confidence in (0, 1], and lift is consistent
+    with confidence (lift = confidence * N / supp(cons) > 0)."""
+    from spark_text_clustering_spark.operators.analytics import (
+        _TRIPLE_MINSUP,
+        assoc_triple_rules,
+    )
+
+    rows = assoc_triple_rules(spark, SF_SMALL).collect()
+    assert len(rows) % 3 == 0
+    for r in rows:
+        assert r["support"] >= _TRIPLE_MINSUP
+        assert 0 < r["confidence"] <= 1
+        assert r["lift"] > 0
+        assert r["ant_a"] < r["ant_b"]

@@ -90,3 +90,65 @@ def test_convergence_loop_reaches_fixpoint(spark):
     # mass conserved at the fixpoint
     total = ranks.agg(F.sum("pr")).collect()[0][0]
     assert abs(total - 1.0) < 1e-6
+
+
+def test_label_propagation_invariants(spark):
+    """Exact values are pinned by the oracle; these pin the structure:
+    every node gets exactly one community, every community label is a
+    real node id, and the map is deterministic across runs."""
+    from spark_text_clustering_spark.operators.graph import (
+        graph_label_propagation,
+        graph_pagerank,
+    )
+
+    rows = graph_label_propagation(spark, SF_SMALL).collect()
+    nodes = {r["node_id"] for r in rows}
+    assert len(rows) == len(nodes)  # one label per node
+    labels = {r["community"] for r in rows}
+    assert labels <= nodes  # labels are node ids
+    assert 1 <= len(labels) < len(nodes)  # propagation actually merged
+    # same node universe as the PageRank key (shared edge builder)
+    pr_nodes = {r["node_id"] for r in graph_pagerank(spark, SF_SMALL).collect()}
+    assert nodes == pr_nodes
+    again = {
+        r["node_id"]: r["community"]
+        for r in graph_label_propagation(spark, SF_SMALL).collect()
+    }
+    assert again == {r["node_id"]: r["community"] for r in rows}
+
+
+def test_personalized_pagerank_mass_and_seed_locality(spark):
+    """PPR teleports to seeds only: mass still conserves (no dangling
+    node — both edge directions exist), so scaled ranks sum to the
+    seed count; and seeds must hold more average mass than non-seeds
+    (teleport locality — the property that makes PPR a similarity)."""
+    from spark_text_clustering_spark.operators.graph import (
+        _PPR_SEED_MOD,
+        graph_pagerank_personalized,
+    )
+
+    rows = graph_pagerank_personalized(spark, SF_SMALL).collect()
+    assert len(rows) > 100
+    seeds = [r for r in rows if r["node_id"] % _PPR_SEED_MOD == 0]
+    others = [r for r in rows if r["node_id"] % _PPR_SEED_MOD != 0]
+    assert seeds and others
+    total = sum(r["ppr_scaled"] for r in rows)
+    assert total == pytest.approx(len(seeds), rel=1e-3)
+    assert all(r["ppr_scaled"] >= 0 for r in rows)
+    mean_seed = sum(r["ppr_scaled"] for r in seeds) / len(seeds)
+    mean_other = sum(r["ppr_scaled"] for r in others) / len(others)
+    # measured ratio at sf0.001 is ~4.4x; 3x leaves noise margin while
+    # still failing if teleport locality were lost (ratio would be ~1)
+    assert mean_seed > 3 * mean_other
+
+
+def test_triangle_count_invariants(spark):
+    """Each triangle contributes exactly one count to each of its three
+    corners, so the per-node counts sum to 3x the triangle total; and
+    every reported node genuinely participates (count > 0)."""
+    from spark_text_clustering_spark.operators.graph import graph_triangle_count
+
+    rows = graph_triangle_count(spark, SF_SMALL).collect()
+    assert len(rows) > 50
+    assert all(r["triangles"] > 0 for r in rows)
+    assert sum(r["triangles"] for r in rows) % 3 == 0
