@@ -133,6 +133,9 @@ HEADLINE = [
     "graph_pagerank_personalized",
     "graph_triangle_count",
     "assoc_triple_rules",
+    "graph_kcore_peel",
+    "timeseries_ewma",
+    "concurrency_sweepline",
 ]
 
 
@@ -176,6 +179,8 @@ def main() -> None:
         "graph_pagerank_personalized",
         # the part-pair edge list localCheckpoints at construction
         "graph_triangle_count",
+        # per-peel localCheckpoints run the whole cascade at construction
+        "graph_kcore_peel",
         # the basket-count scalar runs at construction
         "assoc_triple_rules",
         # the basket-count scalar runs at construction

@@ -89,6 +89,20 @@ TPCH_KEYS = [
     # nodes/edges/baskets exactly 10x, the honest linear-scale-up regime
     "graph_pagerank",
     "assoc_copurchase_rules",
+    # round 7c: the new graph/basket/time-series keys. Replica notes:
+    # custkey offsets preserve custkey % 10, so the PPR seed set scales
+    # 10x; partkey offsets are multiples of 100, so the triple-rules
+    # category space (l_partkey % 100) is unchanged and supports grow
+    # 10x; part replicas keep their brands, and since edges only form
+    # within an order (orders are replica-disjoint), intra-brand blocks
+    # hold 10 disjoint subgraphs — triangles grow exactly 10x
+    "graph_label_propagation",
+    "graph_pagerank_personalized",
+    "graph_kcore_peel",
+    "graph_triangle_count",
+    "assoc_triple_rules",
+    "timeseries_ewma",
+    "concurrency_sweepline",
 ]
 
 
@@ -118,6 +132,29 @@ def synthesize_tpch(out_dir: str) -> None:
         pa.Table.from_pandas(pd.concat(lreps, ignore_index=True), preserve_index=False),
         f"{out_dir}/lineitem.parquet",
     )
+    # round 7c: part (brand blocking for triangles) and events (EWMA /
+    # sweep line) replicas — same disjoint-offset regime
+    part = pq.read_table(f"{SF01}/part.parquet").to_pandas()
+    preps = []
+    for r in range(10):
+        p = part.copy()
+        p["p_partkey"] = p["p_partkey"] + r * 1_000_000
+        preps.append(p)
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(preps, ignore_index=True), preserve_index=False),
+        f"{out_dir}/part.parquet",
+    )
+    ev = pq.read_table(f"{SF01}/events.parquet").to_pandas()
+    ereps2 = []
+    for r in range(10):
+        e = ev.copy()
+        e["event_id"] = e["event_id"] + r * 100_000_000
+        e["user_id"] = e["user_id"] + r * 1_000_000
+        ereps2.append(e)
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(ereps2, ignore_index=True), preserve_index=False),
+        f"{out_dir}/events.parquet",
+    )
     print(json.dumps({"synth_tpch": out_dir, "orders": len(oreps) * len(orders),
                       "lineitem": len(lreps) * len(li)}), flush=True)
 
@@ -139,7 +176,7 @@ def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
     if not os.path.exists(f"{out_dir}/documents.parquet"):
         synthesize(out_dir)
-    if not os.path.exists(f"{out_dir}/orders.parquet"):
+    if not os.path.exists(f"{out_dir}/events.parquet"):
         synthesize_tpch(out_dir)
     for key in TPCH_KEYS:
         t_small = time_key(key, SF01)

@@ -348,14 +348,15 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLE_ORACLE = """
-WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-e AS (SELECT a.p AS a, b.p AS b FROM li a
-      JOIN li b ON a.o = b.o AND a.p < b.p
-      GROUP BY a.p, b.p),
+WITH li AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p, pt.p_brand AS br
+            FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey),
+e AS (SELECT a.br AS br, a.p AS a, b.p AS b FROM li a
+      JOIN li b ON a.o = b.o AND a.br = b.br AND a.p < b.p
+      GROUP BY a.br, a.p, b.p),
 tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
         FROM e e1
-        JOIN e e2 ON e2.a = e1.b
-        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        JOIN e e2 ON e2.br = e1.br AND e2.a = e1.b
+        JOIN e e3 ON e3.br = e1.br AND e3.a = e1.a AND e3.b = e2.b),
 corners AS (SELECT x AS part_id FROM tri
             UNION ALL SELECT y FROM tri
             UNION ALL SELECT z FROM tri)
@@ -366,43 +367,51 @@ FROM corners GROUP BY part_id
 
 @REG.register("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts on the part co-purchase graph (parts
-    adjacent iff some order contains both) — the clustering-coefficient
-    numerator, the third classic next to PageRank and label
-    propagation. Computed as the ORIENTED wedge join: orient every
-    undirected edge low->high id, join wedges (a<b, b<c) against the
-    closing edge (a,c) — each triangle is found exactly once, no
-    3x-overcount and no symmetric-edge blowup. Every corner then feeds
-    one hash aggregation for the per-node counts.
+    """Per-node triangle counts on the INTRA-BRAND part co-purchase
+    graph (parts adjacent iff some order contains both AND they share
+    a brand) — the clustering-coefficient numerator, the third classic
+    next to PageRank and label propagation. Computed as the ORIENTED
+    wedge join: orient every undirected edge low->high id, join wedges
+    (a<b, b<c) against the closing edge (a,c) — each triangle is found
+    exactly once, no 3x-overcount and no symmetric-edge blowup. Every
+    corner then feeds one hash aggregation for the per-node counts.
 
-    Scale: the wedge join's size is sum(out_deg^2), the quantity the
-    orientation bounds — at 100 TB the refinement is degree
-    orientation (orient toward the HIGHER-degree endpoint, bounding
-    wedges by arboricity, Chiba-Nishizeki) plus a support threshold on
-    the co-purchase edge build (the assoc-family minsup guard); both
-    are parameter swaps on this same 3-join plan, not new algorithms.
-    The edge list is localCheckpoint'ed once — it feeds three join
-    legs and ReuseExchange does not dedup the subplan across legs
-    (the graph_pagerank finding), so without the cut the orders x
-    lineitem distinct would run three times."""
+    The brand blocking IS the scale design, not a convenience: the
+    unblocked co-purchase graph DENSIFIES with data volume (measured:
+    116k -> 1.2M edges, 9.3M -> 100M wedges, 18.9x wall per 10x data —
+    super-linear; degree orientation recovers only 16% because the
+    degree distribution is near-uniform). Restricting enumeration to a
+    partition key (brand here; category/community in general — LPA
+    upstream is the generic blocker) bounds each block's wedge space,
+    turns the computation embarrassingly parallel ACROSS blocks, and
+    measures 671 -> 2,976 triangles per decade — the same
+    blocking-before-pair-enumeration discipline as the minhash banding
+    and SemDeDup families. Within a block the remaining refinement is
+    degree orientation (Chiba-Nishizeki) — a parameter swap on this
+    same 3-join plan. The edge list is localCheckpoint'ed once — it
+    feeds three join legs and ReuseExchange does not dedup the subplan
+    across legs (the graph_pagerank finding)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .join(part, F.col("p") == F.col("p_partkey"))
+        .select("o", "p", F.col("p_brand").alias("br"))
         .distinct()
     )
-    a = li.select("o", F.col("p").alias("a"))
-    b = li.select("o", F.col("p").alias("b"))
+    a = li.select("o", "br", F.col("p").alias("a"))
+    b = li.select("o", "br", F.col("p").alias("b"))
     e = (
-        a.join(b, "o")
+        a.join(b, ["o", "br"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        .select("br", "a", "b")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    e1 = e.select("br", F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select("br", F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select("br", F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, ["br", "y"]).join(e3, ["br", "x", "z"])
     corners = (
         tri.select(F.col("x").alias("part_id"))
         .unionAll(tri.select(F.col("y").alias("part_id")))
@@ -411,3 +420,61 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy("part_id").agg(
         F.count(F.lit(1)).cast("long").alias("triangles")
     )
+
+
+_KCORE_K = 26
+_KCORE_PEELS = 3
+
+
+def _kcore_peel_sql(prev_e: str, i: int) -> str:
+    return f"""d{i} AS (SELECT src, COUNT(*) AS d FROM {prev_e} GROUP BY src),
+k{i} AS (SELECT src AS id FROM d{i} WHERE d >= {_KCORE_K}),
+e{i + 1} AS (SELECT e.src, e.dst FROM {prev_e} e
+             JOIN k{i} a ON a.id = e.src
+             JOIN k{i} b ON b.id = e.dst)"""
+
+
+_KCORE_ORACLE = f"""
+WITH {_COPURCHASE_EDGES_SQL},
+{_kcore_peel_sql("edges", 0)},
+{_kcore_peel_sql("e1", 1)},
+{_kcore_peel_sql("e2", 2)}
+SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS degree
+FROM e3 GROUP BY src
+"""
+
+
+@REG.register("graph_kcore_peel", oracle=_KCORE_ORACLE)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three peeling rounds toward the k-core (k=26) of the co-purchase
+    graph — the density-decomposition classic next to PageRank / label
+    propagation / triangles: repeatedly delete nodes of degree < k and
+    the edges they carry; the fixpoint is the k-core, the standard
+    "dense engagement subgraph" extractor. k=26 sits just below the
+    median degree (~29-32 at every SF — degrees here are SF-invariant
+    because basket sizes are), so each round genuinely cascades
+    (measured sf0.01: 3500 -> 2819 -> 2360 -> 1735 surviving nodes)
+    instead of converging trivially.
+
+    Each peel is one degree aggregation + two semi-join-shaped filters
+    (inner joins against the distinct survivor set — survivors are
+    unique, so no row duplication), all edge/node-sized shuffles. The
+    edge frame is localCheckpoint'ed per round: each round references
+    its predecessor THREE times (directly plus through both survivor
+    legs), so an unrolled lineage re-computes the predecessor 3^r
+    times — the lineage cut makes the cost linear in rounds, the same
+    discipline as `pagerank_until_convergence`. Output: surviving
+    (node_id, degree) after round 3; a production run loops to the
+    fixpoint with the identical per-round body."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    for _ in range(_KCORE_PEELS):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= _KCORE_K).select(F.col("src").alias("id"))
+        edges = (
+            edges.join(keep, keep["id"] == edges["src"]).drop("id")
+            .join(keep, keep["id"] == edges["dst"]).drop("id")
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).select(F.col("src").alias("node_id"), "degree")

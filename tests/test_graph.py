@@ -152,3 +152,33 @@ def test_triangle_count_invariants(spark):
     assert len(rows) > 50
     assert all(r["triangles"] > 0 for r in rows)
     assert sum(r["triangles"] for r in rows) % 3 == 0
+
+
+def test_kcore_matches_pure_python_peel(spark):
+    """Golden twin: replay the 3 peeling rounds in pure Python over the
+    collected sf0.001 edge list (700-ish edges) and require the exact
+    same survivor->degree map — a full-value gate independent of the
+    SQL oracle's own unroll."""
+    from collections import Counter
+
+    from spark_text_clustering_spark.operators.graph import (
+        _KCORE_K,
+        _KCORE_PEELS,
+        _copurchase_edges,
+        graph_kcore_peel,
+    )
+
+    edges = [
+        (r["src"], r["dst"])
+        for r in _copurchase_edges(spark, SF_SMALL).collect()
+    ]
+    for _ in range(_KCORE_PEELS):
+        deg = Counter(s for s, _ in edges)
+        keep = {n for n, d in deg.items() if d >= _KCORE_K}
+        edges = [(s, d) for s, d in edges if s in keep and d in keep]
+    want = dict(Counter(s for s, _ in edges))
+    got = {
+        r["node_id"]: r["degree"] for r in graph_kcore_peel(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert got  # non-degenerate: the sf0.001 cascade leaves a 2-node core

@@ -1,0 +1,67 @@
+"""Pure-Python golden twins for the round-7c time-series keys: the SQL
+oracles pin engine-vs-engine parity at sf0.01; these replay the exact
+semantics sequentially over collected sf0.001 events, gating the
+relational REFORMULATIONS (rescaled cumulative sum for the recursive
+EWMA; +1/-1 sweep line for interval concurrency) against the definition
+they claim to implement."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+from spark_text_clustering_spark.catalog import load_table
+from spark_text_clustering_spark.operators.analytics import (
+    _EWMA_ALPHA,
+    _SWEEP_WINDOW_MIN,
+    concurrency_sweepline,
+    timeseries_ewma,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_ewma_matches_sequential_recursion(spark):
+    ev = sorted(
+        load_table(spark, SF_SMALL, "events")
+        .select("event_id", "user_id", "value", "ts")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    want = {}
+    state: dict = {}
+    for r in ev:
+        u = r["user_id"]
+        if u not in state:
+            state[u] = r["value"]
+        else:
+            state[u] = _EWMA_ALPHA * r["value"] + (1 - _EWMA_ALPHA) * state[u]
+        want[r["event_id"]] = state[u]
+    got = {r["event_id"]: r["ewma"] for r in timeseries_ewma(spark, SF_SMALL).collect()}
+    assert set(got) == set(want)
+    for eid, v in got.items():
+        assert v == pytest.approx(want[eid], abs=2e-6), eid
+
+
+def test_sweepline_matches_sequential_sweep(spark):
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "ts").collect()
+    pts = defaultdict(list)
+    for r in ev:
+        key = (r["event_type"], r["ts"].date())
+        end = r["ts"].timestamp() + _SWEEP_WINDOW_MIN * 60
+        pts[key].append((r["ts"].timestamp(), 1))
+        pts[key].append((end, -1))
+    want = {}
+    for key, ps in pts.items():
+        c = mx = 0
+        for _, delta in sorted(ps):  # (t, delta): -1 sorts before +1 on ties
+            c += delta
+            mx = max(mx, c)
+        want[key] = mx
+    got = {
+        (r["event_type"], r["day"].date()): r["max_concurrent"]
+        for r in concurrency_sweepline(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert all(v >= 1 for v in got.values())
