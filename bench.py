@@ -136,6 +136,9 @@ HEADLINE = [
     "graph_kcore_peel",
     "timeseries_ewma",
     "concurrency_sweepline",
+    "graph_clustering_coefficient",
+    "graph_link_prediction_jaccard",
+    "anomaly_mad_outliers",
 ]
 
 
@@ -181,6 +184,9 @@ def main() -> None:
         "graph_triangle_count",
         # per-peel localCheckpoints run the whole cascade at construction
         "graph_kcore_peel",
+        # the shared brand-blocked edge list localCheckpoints at construction
+        "graph_clustering_coefficient",
+        "graph_link_prediction_jaccard",
         # the basket-count scalar runs at construction
         "assoc_triple_rules",
         # the basket-count scalar runs at construction

@@ -948,3 +948,72 @@ def concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.max("c").cast("long").alias("max_concurrent"))
     )
+
+
+_MAD_SCALE = 1.4826  # consistency constant: MAD * 1.4826 ~ sigma for normal data
+_MAD_CUTOFF = 3.0
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type, m.med, median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m ON m.event_type = e.event_type
+  GROUP BY e.event_type, m.med)
+SELECT e.event_type,
+       round(d.med, 4) AS med,
+       round(d.mad, 4) AS mad,
+       CAST(SUM(CASE WHEN abs(e.value - d.med)
+                          > {_MAD_CUTOFF} * {_MAD_SCALE} * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN mad d ON d.event_type = e.event_type
+GROUP BY e.event_type, d.med, d.mad
+"""
+
+
+@REG.register("anomaly_mad_outliers", oracle=_MAD_ORACLE)
+def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection via median / MAD — the
+    production alternative to the z-score keys (window_zscore_sql /
+    grouped_map_zscore): mean and stddev are themselves dragged by the
+    outliers they are meant to find, while the median absolute
+    deviation has a 50% breakdown point. Flags |x - med| > 3 * 1.4826
+    * MAD (the consistency constant that makes MAD estimate sigma
+    under normality) and reports (med, mad, n_outliers) per
+    event_type.
+
+    Three passes, all event_type-keyed: exact median (F.median = one
+    in-group sort — the median_quantile_agg caveat applies: reserve
+    exact order statistics for bounded-cardinality groups, use the
+    t-digest approx elsewhere), a broadcast join of the 5-row median
+    frame back onto events for the deviation median, then a second
+    broadcast join for the threshold count. The two stats frames are
+    group-count-sized — the only full-data shuffles are the two
+    grouped medians. The threshold compare runs in identical double
+    arithmetic on both engines (med/mad are exact order statistics),
+    so the count is deterministic — only the REPORTED med/mad round to
+    4dp (interpolation-ulp absorption, the repo's exact-percentile
+    convention)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type", "med").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    flagged = ev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type", "med", "mad").agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med"))
+                > _MAD_CUTOFF * _MAD_SCALE * F.col("mad"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers")
+    ).select(
+        "event_type",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        "n_outliers",
+    )

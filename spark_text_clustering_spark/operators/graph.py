@@ -347,12 +347,43 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRIANGLE_ORACLE = """
-WITH li AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p, pt.p_brand AS br
-            FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey),
+_BRAND_EDGES_SQL = """
+li AS (SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p, pt.p_brand AS br
+       FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey),
 e AS (SELECT a.br AS br, a.p AS a, b.p AS b FROM li a
       JOIN li b ON a.o = b.o AND a.br = b.br AND a.p < b.p
-      GROUP BY a.br, a.p, b.p),
+      GROUP BY a.br, a.p, b.p)"""
+
+
+def _brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTRA-BRAND part co-purchase graph (parts adjacent iff some
+    order contains both and they share a brand), oriented low->high id,
+    one row per (brand, a, b). Shared by the triangle / clustering-
+    coefficient / link-prediction keys so they provably walk the same
+    blocked graph; localCheckpoint'ed because every consumer feeds it
+    into multiple join legs (the graph_pagerank ReuseExchange
+    finding)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .join(part, F.col("p") == F.col("p_partkey"))
+        .select("o", "p", F.col("p_brand").alias("br"))
+        .distinct()
+    )
+    a = li.select("o", "br", F.col("p").alias("a"))
+    b = li.select("o", "br", F.col("p").alias("b"))
+    return (
+        a.join(b, ["o", "br"])
+        .where(F.col("a") < F.col("b"))
+        .select("br", "a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+_TRIANGLE_ORACLE = f"""
+WITH {_BRAND_EDGES_SQL},
 tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
         FROM e e1
         JOIN e e2 ON e2.br = e1.br AND e2.a = e1.b
@@ -391,23 +422,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     same 3-join plan. The edge list is localCheckpoint'ed once — it
     feeds three join legs and ReuseExchange does not dedup the subplan
     across legs (the graph_pagerank finding)."""
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .join(part, F.col("p") == F.col("p_partkey"))
-        .select("o", "p", F.col("p_brand").alias("br"))
-        .distinct()
-    )
-    a = li.select("o", "br", F.col("p").alias("a"))
-    b = li.select("o", "br", F.col("p").alias("b"))
-    e = (
-        a.join(b, ["o", "br"])
-        .where(F.col("a") < F.col("b"))
-        .select("br", "a", "b")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _brand_edges(spark, sf_dir)
     e1 = e.select("br", F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select("br", F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = e.select("br", F.col("a").alias("x"), F.col("b").alias("z"))
@@ -478,3 +493,141 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     ).select(F.col("src").alias("node_id"), "degree")
+
+
+_CC_ORACLE = f"""
+WITH {_BRAND_EDGES_SQL},
+und AS (SELECT br, a AS u, b AS v FROM e UNION ALL SELECT br, b, a FROM e),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.br = e1.br AND e2.a = e1.b
+        JOIN e e3 ON e3.br = e1.br AND e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT x AS u FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri),
+tcnt AS (SELECT u, COUNT(*) AS t FROM corners GROUP BY u)
+SELECT d.u AS part_id, CAST(d.d AS BIGINT) AS degree,
+       round(2.0 * COALESCE(tc.t, 0) / (d.d * (d.d - 1)), 6) AS clustering_coeff
+FROM deg d LEFT JOIN tcnt tc ON tc.u = d.u
+WHERE d.d >= 2
+"""
+
+
+@REG.register("graph_clustering_coefficient", oracle=_CC_ORACLE)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node on the intra-brand
+    co-purchase graph: cc(v) = 2*T(v) / (d(v)*(d(v)-1)) — how close
+    each node's neighborhood is to a clique, the standard cohesion
+    metric over the SAME blocked graph as `graph_triangle_count`
+    (shared `_brand_edges`; consistency of T(v) between the two keys
+    is asserted in test_graph). Nodes with degree < 2 have no defined
+    coefficient and are excluded; triangle-free nodes report 0 via the
+    left join, so the output covers every eligible node
+    deterministically.
+
+    Cost profile = the triangle key (the wedge join dominates; brand
+    blocking bounds it) plus one degree aggregation on the undirected
+    view and one node-keyed left join — all node/edge-sized."""
+    e = _brand_edges(spark, sf_dir)
+    und = e.select("br", F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select("br", F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = e.select("br", F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select("br", F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select("br", F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, ["br", "y"]).join(e3, ["br", "x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("u"))
+        .unionAll(tri.select(F.col("y").alias("u")))
+        .unionAll(tri.select(F.col("z").alias("u")))
+    )
+    tcnt = corners.groupBy("u").agg(F.count(F.lit(1)).alias("t"))
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(tcnt, "u", "left")
+        .select(
+            F.col("u").alias("part_id"),
+            F.col("d").cast("long").alias("degree"),
+            F.round(
+                2.0 * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+_LINKPRED_MIN_COMMON = 2
+
+_LINKPRED_ORACLE = f"""
+WITH {_BRAND_EDGES_SQL},
+und AS (SELECT br, a AS u, b AS v FROM e UNION ALL SELECT br, b, a FROM e),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+cand AS (SELECT x.br AS br, x.v AS a, y.v AS c, COUNT(*) AS cmn
+         FROM und x JOIN und y ON x.br = y.br AND x.u = y.u AND x.v < y.v
+         GROUP BY x.br, x.v, y.v
+         HAVING COUNT(*) >= {_LINKPRED_MIN_COMMON}),
+newl AS (SELECT cd.br, cd.a, cd.c, cd.cmn
+         FROM cand cd LEFT JOIN e ON e.br = cd.br AND e.a = cd.a AND e.b = cd.c
+         WHERE e.a IS NULL)
+SELECT n.a AS part_a, n.c AS part_b, CAST(n.cmn AS BIGINT) AS common_cnt,
+       round(n.cmn / CAST(da.d + dc.d - n.cmn AS DOUBLE), 6) AS jaccard
+FROM newl n
+JOIN deg da ON da.u = n.a
+JOIN deg dc ON dc.u = n.c
+"""
+
+
+@REG.register("graph_link_prediction_jaccard", oracle=_LINKPRED_ORACLE)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction on the intra-brand
+    co-purchase graph: score every NON-adjacent part pair sharing >= 2
+    neighbors by |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the classic
+    common-neighbors recommender (Liben-Nowell & Kleinberg 2003),
+    downstream of the same blocked graph as the triangle family.
+
+    Shape: candidate pairs come from the wedge join (two hops through
+    a shared neighbor — scored pairs are found, never enumerated from
+    |V|^2), the >= 2 common-neighbor floor prunes the one-wedge noise
+    tail BEFORE the anti-join and dim joins see it, an anti-join
+    against the edge list keeps only genuinely new links, and two
+    node-keyed degree joins finish Jaccard via
+    |union| = d(a) + d(b) - |common|. Every shuffle carries wedge or
+    node rows; the wedge space is the brand-blocked one the triangle
+    table bounds. Output 2,468 scored candidate links at sf0.01."""
+    e = _brand_edges(spark, sf_dir)
+    und = e.select("br", F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select("br", F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    x = und.select("br", "u", F.col("v").alias("a"))
+    y = und.select("br", "u", F.col("v").alias("c"))
+    cand = (
+        x.join(y, ["br", "u"])
+        .where(F.col("a") < F.col("c"))
+        .groupBy("br", "a", "c")
+        .agg(F.count(F.lit(1)).alias("cmn"))
+        .where(F.col("cmn") >= _LINKPRED_MIN_COMMON)
+    )
+    newl = cand.join(
+        e,
+        (e["br"] == cand["br"]) & (e["a"] == cand["a"]) & (e["b"] == cand["c"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("u").alias("c"), F.col("d").alias("dc"))
+    return (
+        newl.join(da, "a")
+        .join(dc, "c")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            F.col("cmn").cast("long").alias("common_cnt"),
+            F.round(
+                F.col("cmn") / (F.col("da") + F.col("dc") - F.col("cmn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -182,3 +182,47 @@ def test_kcore_matches_pure_python_peel(spark):
     }
     assert got == want
     assert got  # non-degenerate: the sf0.001 cascade leaves a 2-node core
+
+
+def test_clustering_coeff_consistent_with_triangle_key(spark):
+    """cc(v) * d(v) * (d(v)-1) / 2 must reproduce the triangle key's
+    per-node counts exactly (shared blocked graph), cc must sit in
+    [0, 1], and every triangle-bearing node must be cc-eligible."""
+    from spark_text_clustering_spark.operators.graph import (
+        graph_clustering_coefficient,
+        graph_triangle_count,
+    )
+
+    cc = {
+        r["part_id"]: (r["degree"], r["clustering_coeff"])
+        for r in graph_clustering_coefficient(spark, SF_SMALL).collect()
+    }
+    tri = {
+        r["part_id"]: r["triangles"]
+        for r in graph_triangle_count(spark, SF_SMALL).collect()
+    }
+    assert set(tri) <= set(cc)  # a triangle needs degree >= 2
+    for pid, (d, c) in cc.items():
+        assert 0.0 <= c <= 1.0
+        implied = c * d * (d - 1) / 2
+        assert implied == pytest.approx(tri.get(pid, 0), abs=2e-3), pid
+
+
+def test_link_prediction_scores_only_new_links(spark):
+    """Predicted pairs must be non-adjacent in the blocked graph,
+    ordered a<b, share >= 2 neighbors, and carry a Jaccard in (0, 1]."""
+    from spark_text_clustering_spark.operators.graph import (
+        _brand_edges,
+        graph_link_prediction_jaccard,
+    )
+
+    edges = {
+        (r["a"], r["b"]) for r in _brand_edges(spark, SF_SMALL).collect()
+    }
+    rows = graph_link_prediction_jaccard(spark, SF_SMALL).collect()
+    assert len(rows) > 50
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert (r["part_a"], r["part_b"]) not in edges
+        assert r["common_cnt"] >= 2
+        assert 0 < r["jaccard"] <= 1

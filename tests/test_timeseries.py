@@ -65,3 +65,36 @@ def test_sweepline_matches_sequential_sweep(spark):
     }
     assert got == want
     assert all(v >= 1 for v in got.values())
+
+
+def test_mad_outliers_match_pure_python(spark):
+    """Golden twin at sf0.001: statistics.median uses the same
+    mid-average interpolation as DuckDB median / Spark F.median, so
+    the whole (med, mad, n_outliers) row must reproduce exactly."""
+    import statistics
+
+    from spark_text_clustering_spark.operators.analytics import (
+        _MAD_CUTOFF,
+        _MAD_SCALE,
+        anomaly_mad_outliers,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "value").collect()
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r["event_type"]].append(r["value"])
+    want = {}
+    for t, vals in groups.items():
+        med = statistics.median(vals)
+        mad = statistics.median(abs(v - med) for v in vals)
+        n_out = sum(1 for v in vals if abs(v - med) > _MAD_CUTOFF * _MAD_SCALE * mad)
+        want[t] = (round(med, 4), round(mad, 4), n_out)
+    got = {
+        r["event_type"]: (r["med"], r["mad"], r["n_outliers"])
+        for r in anomaly_mad_outliers(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == pytest.approx(want[t][0], abs=1e-9)
+        assert got[t][1] == pytest.approx(want[t][1], abs=1e-9)
+        assert got[t][2] == want[t][2]
