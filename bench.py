@@ -139,6 +139,7 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "graph_link_prediction_jaccard",
     "anomaly_mad_outliers",
+    "stream_ewma_serving",
 ]
 
 
@@ -195,6 +196,8 @@ def main() -> None:
         "assoc_itemsets_fp",
         # streaming replay + store merge run at construction
         "stream_drift_psi",
+        # stateful replay + epoch-store merge run at construction
+        "stream_ewma_serving",
     }
     for key in HEADLINE:
         try:

@@ -37,6 +37,7 @@ from .ml import queries as ml_queries
 from .plans.flagship import TOP_K, flagship_top_terms_per_lang
 from .streaming import heavy_hitters as streaming_hh
 from .streaming import drift_monitor as streaming_drift
+from .streaming import ewma_serving as streaming_ewma
 from .streaming import ingest_dedup as streaming_ingest
 from .streaming import model_serving as streaming_serving
 from .streaming import windows as streaming_windows
@@ -89,6 +90,7 @@ ROOT.merge(
     streaming_windows.REG,
     streaming_hh.REG,
     streaming_drift.REG,
+    streaming_ewma.REG,
     streaming_ingest.REG,
     streaming_serving.REG,
 )

@@ -58,6 +58,7 @@ EXCLUDED_KEYS = {
     "unigram_encode_corpus": "trains pieces at construction",
     "assoc_itemsets_fp": "FPGrowth fit at construction; result is model state",
     "stream_drift_psi": "streaming replay + store merge at construction",
+    "stream_ewma_serving": "stateful replay + epoch-store merge at construction",
 }
 
 
