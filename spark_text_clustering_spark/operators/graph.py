@@ -631,3 +631,98 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("jaccard"),
         )
     )
+
+
+def label_propagation_until_stable(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
+) -> tuple[DataFrame, int, int]:
+    """Production label propagation: iterate until NO node changes its
+    label (or ``max_iter``) — the convergence companion of the
+    registered ``graph_label_propagation`` (that key is this loop
+    frozen at 3 iterations for the SQL oracle; equality at 3 asserted
+    in test_graph). Returns (labels, iterations_run, last_change_count).
+
+    Same per-iteration body: src-keyed join, (dst,label) count, per-dst
+    window top-1 with the deterministic (count desc, label asc)
+    tiebreak. The change count is one node-keyed join + count per
+    iteration — the stopping signal, same role as PageRank's L1 delta.
+    localCheckpoint every ``checkpoint_every`` iterations cuts the
+    growing lineage (EM-LDA discipline). Caveat the paper documents:
+    synchronous LPA can 2-cycle on bipartite structure — ``max_iter``
+    is the guard, and a caller can drop to semi-synchronous coloring
+    if oscillation is detected (change count alternating, not
+    shrinking)."""
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("label").asc())
+    it, changed = 0, -1
+    while it < max_iter and changed != 0:
+        counts = (
+            edges.join(labels, labels["id"] == edges["src"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        new_labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        it += 1
+        if it % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "prev"), "id"
+            )
+            .where(F.col("label") != F.col("prev"))
+            .count()
+        )
+        labels = new_labels
+    return labels, it, int(changed)
+
+
+def kcore_until_fixpoint(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    *,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int]:
+    """Production k-core: peel until the edge set stops shrinking — the
+    true k-core, where the registered ``graph_kcore_peel`` freezes 3
+    rounds for its SQL oracle. Returns (surviving (node_id, degree)
+    frame, rounds_run). Per round: one degree agg + two survivor
+    joins, localCheckpoint per round (a round references its
+    predecessor three times; the cut keeps cost linear in rounds). The
+    stopping signal is the edge count — already materialized by the
+    eager checkpoint, so it costs one count on checkpointed data."""
+    edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    rounds = 0
+    while rounds < max_rounds:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select(F.col("src").alias("id"))
+        new_edges = (
+            edges.join(keep, keep["id"] == edges["src"]).drop("id")
+            .join(keep, keep["id"] == edges["dst"]).drop("id")
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        n_new = new_edges.count()
+        edges = new_edges
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    out = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).select(F.col("src").alias("node_id"), "degree")
+    return out, rounds

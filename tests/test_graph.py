@@ -226,3 +226,56 @@ def test_link_prediction_scores_only_new_links(spark):
         assert (r["part_a"], r["part_b"]) not in edges
         assert r["common_cnt"] >= 2
         assert 0 < r["jaccard"] <= 1
+
+
+def test_lpa_loop_matches_unrolled_at_three_iters(spark):
+    """The production loop capped at 3 iterations must reproduce the
+    registered (oracled) key exactly — same join/count/top-1 body."""
+    from spark_text_clustering_spark.operators.graph import (
+        _copurchase_edges,
+        graph_label_propagation,
+        label_propagation_until_stable,
+    )
+
+    edges = _copurchase_edges(spark, SF_SMALL)
+    labels, it, changed = label_propagation_until_stable(
+        spark, edges, max_iter=3
+    )
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    want = {
+        r["node_id"]: r["community"]
+        for r in graph_label_propagation(spark, SF_SMALL).collect()
+    }
+    assert it == 3
+    assert got == want
+
+
+def test_kcore_loop_reaches_true_fixpoint(spark):
+    """The production peel must land on the exact k-core: equal to the
+    pure-Python fixpoint, and one further Python peel is a no-op."""
+    from collections import Counter
+
+    from spark_text_clustering_spark.operators.graph import (
+        _KCORE_K,
+        _copurchase_edges,
+        kcore_until_fixpoint,
+    )
+
+    raw = [
+        (r["src"], r["dst"]) for r in _copurchase_edges(spark, SF_SMALL).collect()
+    ]
+    edges = raw
+    while True:
+        deg = Counter(s for s, _ in edges)
+        keep = {n for n, d in deg.items() if d >= _KCORE_K}
+        nxt = [(s, d) for s, d in edges if s in keep and d in keep]
+        if len(nxt) == len(edges):
+            break
+        edges = nxt
+    want = dict(Counter(s for s, _ in edges))
+    out, rounds = kcore_until_fixpoint(
+        spark, _copurchase_edges(spark, SF_SMALL), _KCORE_K
+    )
+    got = {r["node_id"]: r["degree"] for r in out.collect()}
+    assert got == want
+    assert rounds < 50  # converged, not cut off
