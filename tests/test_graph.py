@@ -279,3 +279,40 @@ def test_kcore_loop_reaches_true_fixpoint(spark):
     got = {r["node_id"]: r["degree"] for r in out.collect()}
     assert got == want
     assert rounds < 50  # converged, not cut off
+
+
+def test_ppr_frontier_loop_matches_unrolled_at_three_iters(spark):
+    """The frontier-filtered production loop frozen at 3 iterations
+    must reproduce the registered key exactly on its nonzero support
+    (dropping exact-zero rows is lossless: teleport touches only
+    seeds, mass only flows along edges)."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.operators.graph import (
+        _PPR_SEED_MOD,
+        _copurchase_edges,
+        graph_pagerank_personalized,
+        personalized_pagerank_until_convergence,
+    )
+
+    edges = _copurchase_edges(spark, SF_SMALL)
+    seeds = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .where((F.col("id") % _PPR_SEED_MOD) == 0)
+    )
+    ns = seeds.count()
+    ranks, it, delta = personalized_pagerank_until_convergence(
+        spark, edges, seeds, tol=0.0, max_iter=3
+    )
+    got = {r["id"]: round(r["pr"] * ns, 6) for r in ranks.collect()}
+    want = {
+        r["node_id"]: r["ppr_scaled"]
+        for r in graph_pagerank_personalized(spark, SF_SMALL).collect()
+        if r["ppr_scaled"] > 0
+    }
+    assert it == 3
+    assert got == want
+    # and the frontier is genuinely sparse vs the node universe
+    n_nodes = edges.select("src").distinct().count()
+    assert 0 < len(got) <= n_nodes
