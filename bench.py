@@ -140,6 +140,7 @@ HEADLINE = [
     "graph_link_prediction_jaccard",
     "anomaly_mad_outliers",
     "stream_ewma_serving",
+    "concurrency_sweepline_exact",
 ]
 
 

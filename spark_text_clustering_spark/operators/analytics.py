@@ -1017,3 +1017,97 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 4).alias("mad"),
         "n_outliers",
     )
+
+
+_SWEEP_EXACT_ORACLE = f"""
+WITH ends AS (
+  SELECT event_type,
+         ts + INTERVAL {_SWEEP_WINDOW_MIN} MINUTE AS e,
+         CAST(date_trunc('day', ts + INTERVAL {_SWEEP_WINDOW_MIN} MINUTE
+                                 - INTERVAL 1 MICROSECOND) AS TIMESTAMP) AS e_day,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS s_day,
+         ts
+  FROM events),
+pts AS (
+  SELECT event_type, s_day AS day, ts AS t, 1 AS delta FROM ends
+  UNION ALL
+  SELECT event_type, e_day AS day, e AS t, -1 AS delta FROM ends),
+carry AS (
+  SELECT event_type, e_day AS day, COUNT(*) AS c0
+  FROM ends WHERE s_day <> e_day
+  GROUP BY event_type, e_day),
+run AS (
+  SELECT event_type, day,
+         SUM(delta) OVER (PARTITION BY event_type, day ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM pts),
+mx AS (SELECT event_type, day, MAX(s) AS ms FROM run GROUP BY event_type, day)
+SELECT m.event_type, m.day,
+       CAST(GREATEST(COALESCE(c.c0, 0), COALESCE(c.c0, 0) + m.ms) AS BIGINT)
+         AS max_concurrent
+FROM mx m LEFT JOIN carry c ON c.event_type = m.event_type AND c.day = m.day
+"""
+
+
+@REG.register("concurrency_sweepline_exact", oracle=_SWEEP_EXACT_ORACLE)
+def concurrency_sweepline_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-midnight-EXACT sweep line — the refinement the
+    day-bucketed key documents, implemented: end points land on the
+    day they actually close (via end − 1µs, so a window closing
+    exactly at midnight belongs to the day it was open in — half-open
+    [s, e) semantics preserved at the boundary), and each day is
+    SEEDED with the count of windows still open at its midnight (the
+    carry join: windows whose start day differs from their eps-adjusted
+    end day). Per-day peak = max(carry, carry + running-sum max); the
+    row-level prefix max equals the unique-instant max because within
+    one timestamp the −1s sort first (prefix only dips) and the +1s
+    only climb to that instant's true open count.
+
+    Same scale shape as the approximate key — (type, day) window
+    partitions, point-sized shuffles — plus one day-keyed broadcast-
+    sized carry join (≤ types × days rows; windows shorter than a day
+    cross at most one boundary, the stated precondition). Golden-
+    twinned against a global sequential sweep in test_timeseries."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    e = F.col("ts") + F.expr(f"INTERVAL {_SWEEP_WINDOW_MIN} MINUTES")
+    ends = ev.select(
+        "event_type",
+        "ts",
+        e.alias("e"),
+        F.date_trunc("day", F.col("ts")).alias("s_day"),
+        F.date_trunc("day", e - F.expr("INTERVAL 1 MICROSECOND")).alias("e_day"),
+    )
+    pts = ends.select(
+        "event_type", F.col("s_day").alias("day"), F.col("ts").alias("t"),
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        ends.select(
+            "event_type", F.col("e_day").alias("day"), F.col("e").alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    carry = (
+        ends.where(F.col("s_day") != F.col("e_day"))
+        .groupBy("event_type", F.col("e_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c0"))
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mx = (
+        pts.select("event_type", "day", F.sum("delta").over(w).alias("s"))
+        .groupBy("event_type", "day")
+        .agg(F.max("s").alias("ms"))
+    )
+    return mx.join(carry, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.greatest(
+            F.coalesce(F.col("c0"), F.lit(0)),
+            F.coalesce(F.col("c0"), F.lit(0)) + F.col("ms"),
+        )
+        .cast("long")
+        .alias("max_concurrent"),
+    )

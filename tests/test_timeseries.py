@@ -98,3 +98,43 @@ def test_mad_outliers_match_pure_python(spark):
         assert got[t][0] == pytest.approx(want[t][0], abs=1e-9)
         assert got[t][1] == pytest.approx(want[t][1], abs=1e-9)
         assert got[t][2] == want[t][2]
+
+
+def test_exact_sweepline_matches_global_sequential_sweep(spark):
+    """Golden twin for the cross-midnight-exact variant: one GLOBAL
+    per-type timeline (no day chunks at all), tracking open count at
+    every instant; per-day peak = max(open at day entry, open after
+    each instant in the day). Must match exactly — carry seeding and
+    eps-adjusted end days are the parts under test."""
+    from collections import defaultdict as dd
+    from datetime import timedelta
+
+    from spark_text_clustering_spark.operators.analytics import (
+        concurrency_sweepline_exact,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "ts").collect()
+    pts = dd(list)
+    for r in ev:
+        pts[r["event_type"]].append((r["ts"], 1))
+        pts[r["event_type"]].append((r["ts"] + timedelta(minutes=_SWEEP_WINDOW_MIN), -1))
+    want: dict = {}
+    for typ, ps in pts.items():
+        ps.sort()  # (t, delta): -1 before +1 on ties (half-open)
+        count = 0
+        day = None
+        for t, delta in ps:
+            d = t.date() if delta == 1 else (t - timedelta(microseconds=1)).date()
+            if day is None or d > day:
+                # entering a new day: seed its peak with the open count
+                # carried across midnight (0 for the first day)
+                day = d
+                want[(typ, day)] = max(want.get((typ, day), 0), count)
+            count += delta
+            key = (typ, day)
+            want[key] = max(want[key], count)
+    got = {
+        (r["event_type"], r["day"].date()): r["max_concurrent"]
+        for r in concurrency_sweepline_exact(spark, SF_SMALL).collect()
+    }
+    assert got == want
