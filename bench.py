@@ -141,6 +141,8 @@ HEADLINE = [
     "anomaly_mad_outliers",
     "stream_ewma_serving",
     "concurrency_sweepline_exact",
+    "drift_js_binned",
+    "profile_categorical_entropy",
 ]
 
 

@@ -1111,3 +1111,133 @@ def concurrency_sweepline_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_concurrent"),
     )
+
+
+_JS_ORACLE = f"""
+WITH ref AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+             WHERE event_type = '{_PSI_REF}' AND value IS NOT NULL),
+cur AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        WHERE event_type = '{_PSI_CUR}' AND value IS NOT NULL),
+s AS (SELECT min(v) AS mn, max(v) AS mx, count(*) AS n_ref FROM ref),
+nc AS (SELECT count(*) AS n_cur FROM cur),
+rb AS (SELECT CAST(CASE WHEN s.mx = s.mn THEN 0
+         ELSE least(greatest(floor((v - s.mn) / ((s.mx - s.mn) / {_PSI_BINS})), 0),
+                    {_PSI_BINS - 1}) END AS INTEGER) AS bin FROM ref, s),
+cb AS (SELECT CAST(CASE WHEN s.mx = s.mn THEN 0
+         ELSE least(greatest(floor((v - s.mn) / ((s.mx - s.mn) / {_PSI_BINS})), 0),
+                    {_PSI_BINS - 1}) END AS INTEGER) AS bin FROM cur, s),
+rc AS (SELECT bin, count(*) AS c FROM rb GROUP BY bin),
+cc AS (SELECT bin, count(*) AS c FROM cb GROUP BY bin),
+bins AS (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin),
+j AS (SELECT b.bin, coalesce(rc.c, 0) AS cr, coalesce(cc.c, 0) AS cu
+      FROM bins b LEFT JOIN rc ON rc.bin = b.bin LEFT JOIN cc ON cc.bin = b.bin),
+pq AS (SELECT j.bin, cr, cu,
+              (cr + 0.5) / (s.n_ref + {_PSI_BINS} * 0.5) AS p,
+              (cu + 0.5) / (nc.n_cur + {_PSI_BINS} * 0.5) AS q
+       FROM j, s, nc)
+SELECT CAST(bin AS INTEGER) AS bin,
+       CAST(cr AS BIGINT) AS n_ref, CAST(cu AS BIGINT) AS n_cur,
+       round(0.5 * p * ln(p / ((p + q) / 2))
+             + 0.5 * q * ln(q / ((p + q) / 2)), 6) AS js_term
+FROM pq
+"""
+
+
+@REG.register("drift_js_binned", oracle=_JS_ORACLE)
+def drift_js_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence on the shared drift bins — completes
+    the drift trio (PSI: direction-sensitive log-ratio; binned KS: max
+    ECDF gap; JS: the BOUNDED symmetric one, 0 <= JS <= ln 2, finite
+    even for disjoint supports, the property PSI lacks when a bin
+    empties). Same reference/current slices, same 10 fixed-width bins,
+    same +0.5 Laplace smoothing as ``drift_psi`` (shared
+    ``_drift_binned_counts`` stage), so the three monitors are
+    comparable bin-for-bin. Emits per-bin terms (sum = JS divergence;
+    the per-bin form localizes WHERE the distributions diverge, which
+    is the production diagnostic).
+
+    Scale = the PSI shape exactly: two 1-row broadcast stats frames,
+    scan-local binning, a <= 10-row shuffle per side."""
+    binned = _drift_binned_counts(spark, sf_dir)
+    sm = _PSI_BINS * 0.5
+    p = (F.col("cr") + 0.5) / (F.col("n_ref") + sm)
+    q = (F.col("cu") + 0.5) / (F.col("n_cur") + sm)
+    m = (p + q) / 2
+    return binned.select(
+        "bin",
+        F.col("cr").cast("long").alias("n_ref"),
+        F.col("cu").cast("long").alias("n_cur"),
+        F.round(0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m), 6).alias("js_term"),
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH cols AS (
+  SELECT 'documents.lang' AS col_name, lang AS val FROM documents
+  UNION ALL
+  SELECT 'documents.source', source FROM documents
+  UNION ALL
+  SELECT 'events.event_type', event_type FROM events),
+cnt AS (SELECT col_name, val, COUNT(*) AS c FROM cols
+        WHERE val IS NOT NULL GROUP BY col_name, val),
+tot AS (SELECT col_name, SUM(c) AS n, COUNT(*) AS n_distinct, MAX(c) AS top_c
+        FROM cnt GROUP BY col_name)
+SELECT t.col_name,
+       CAST(t.n AS BIGINT) AS n,
+       CAST(t.n_distinct AS BIGINT) AS n_distinct,
+       round(-SUM((c.c / CAST(t.n AS DOUBLE)) * ln(c.c / CAST(t.n AS DOUBLE))), 6)
+         AS entropy,
+       round(t.top_c / CAST(t.n AS DOUBLE), 6) AS top_share
+FROM cnt c JOIN tot t ON t.col_name = c.col_name
+GROUP BY t.col_name, t.n, t.n_distinct, t.top_c
+"""
+
+
+@REG.register("profile_categorical_entropy", oracle=_ENTROPY_ORACLE)
+def profile_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical column profiling — the companion of the numeric
+    ``profile_numeric``: Shannon entropy, distinct count, and top-value
+    share per categorical column (documents.lang / documents.source /
+    events.event_type). The data-quality triage trio: near-zero
+    entropy flags a collapsed column (ingest bug), entropy ~ ln(k)
+    with flat top_share flags uniform synthetic data, a top_share
+    spike flags a dominant default value — the checks a training-data
+    pipeline runs before trusting a new source.
+
+    Shape: one (column, value) count per column (map-side combined;
+    the value space is the CATEGORY cardinality, tiny by definition —
+    for open-ended string columns profile with the CMS/HLL sketches
+    instead), then a per-column rollup and one entropy aggregation
+    over category-count-sized rows. Unions keep it one plan; each leg
+    prunes to a single column at the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    cols = (
+        docs.select(F.lit("documents.lang").alias("col_name"), F.col("lang").alias("val"))
+        .unionAll(
+            docs.select(F.lit("documents.source").alias("col_name"), F.col("source").alias("val"))
+        )
+        .unionAll(
+            ev.select(F.lit("events.event_type").alias("col_name"), F.col("event_type").alias("val"))
+        )
+        .where(F.col("val").isNotNull())
+    )
+    cnt = cols.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("col_name").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    pr = F.col("c") / F.col("n").cast("double")
+    return (
+        cnt.join(tot, "col_name")
+        .groupBy("col_name", "n", "n_distinct", "top_c")
+        .agg(F.round(-F.sum(pr * F.log(pr)), 6).alias("entropy"))
+        .select(
+            "col_name",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "entropy",
+            F.round(F.col("top_c") / F.col("n").cast("double"), 6).alias("top_share"),
+        )
+    )

@@ -156,6 +156,7 @@ _BNLJ_WHITELIST = {
     "funnel_conversion",  # three 1-row step aggregates cross-joined
     "drift_psi",  # 1-row ref/cur stats frame cross-broadcast into binning
     "drift_ks_binned",  # same binning subplan; stats cross-broadcasts recur
+    "drift_js_binned",  # same shared binning stage: 1-row stats frames cross-broadcast
     # k=8 broadcast centroid rows x corpus; the assignment subplan (one
     # bounded crossJoin) recurs in each branch (pair sides + anti-join)
     "dedup_semantic_kmeans",

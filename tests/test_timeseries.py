@@ -138,3 +138,60 @@ def test_exact_sweepline_matches_global_sequential_sweep(spark):
         for r in concurrency_sweepline_exact(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_js_divergence_bounded_and_bin_aligned(spark):
+    """JS's defining properties vs PSI: bounded by ln 2 (finite even on
+    disjoint support), non-negative per the Jensen gap, and computed on
+    the SAME 10 bins as drift_psi (bin-for-bin comparable counts)."""
+    import math
+
+    from spark_text_clustering_spark.operators.analytics import (
+        drift_js_binned,
+        drift_psi,
+    )
+
+    js = drift_js_binned(spark, SF_SMALL).collect()
+    assert len(js) == 10
+    total = sum(r["js_term"] for r in js)
+    assert -1e-9 <= total <= math.log(2) + 1e-9
+    assert all(r["js_term"] >= -1e-6 for r in js)  # per-bin Jensen gap
+    psi_bins = {
+        r["bin"]: (r["n_ref"], r["n_cur"]) for r in drift_psi(spark, SF_SMALL).collect()
+    }
+    js_bins = {r["bin"]: (r["n_ref"], r["n_cur"]) for r in js}
+    assert js_bins == psi_bins
+
+
+def test_categorical_entropy_matches_pure_python(spark):
+    """Golden twin: Counter-based Shannon entropy / distinct / top
+    share per column at sf0.001 must reproduce exactly."""
+    import math
+    from collections import Counter
+
+    from spark_text_clustering_spark.operators.analytics import (
+        profile_categorical_entropy,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("lang", "source").collect()
+    ev = load_table(spark, SF_SMALL, "events").select("event_type").collect()
+    data = {
+        "documents.lang": Counter(r["lang"] for r in docs if r["lang"] is not None),
+        "documents.source": Counter(r["source"] for r in docs if r["source"] is not None),
+        "events.event_type": Counter(
+            r["event_type"] for r in ev if r["event_type"] is not None
+        ),
+    }
+    got = {
+        r["col_name"]: (r["n"], r["n_distinct"], r["entropy"], r["top_share"])
+        for r in profile_categorical_entropy(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(data)
+    for col, cnt in data.items():
+        n = sum(cnt.values())
+        ent = -sum((c / n) * math.log(c / n) for c in cnt.values())
+        top = max(cnt.values()) / n
+        gn, gd, ge, gt = got[col]
+        assert gn == n and gd == len(cnt)
+        assert ge == pytest.approx(round(ent, 6), abs=1e-9)
+        assert gt == pytest.approx(round(top, 6), abs=1e-9)
