@@ -143,6 +143,7 @@ HEADLINE = [
     "concurrency_sweepline_exact",
     "drift_js_binned",
     "profile_categorical_entropy",
+    "funnel_windowed",
 ]
 
 

@@ -1241,3 +1241,75 @@ def profile_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("top_c") / F.col("n").cast("double"), 6).alias("top_share"),
         )
     )
+
+
+_FUNNEL_W1_H = 24   # view -> click window
+_FUNNEL_W2_H = 72   # click -> purchase window
+
+_FUNNEL_WINDOWED_ORACLE = f"""
+WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t AND e.ts <= v.t + INTERVAL {_FUNNEL_W1_H} HOUR
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t AND e.ts <= c.t + INTERVAL {_FUNNEL_W2_H} HOUR
+      GROUP BY e.user_id)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS viewed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS clicked_in_window,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS purchased_in_window
+"""
+
+
+@REG.register("funnel_windowed", oracle=_FUNNEL_WINDOWED_ORACLE)
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel WITH deadlines — view -> click within 24 h ->
+    purchase within a further 72 h (first qualifying event each) — the
+    product-analytics semantics `funnel_conversion` (unbounded "ever
+    after") can't express: a step only counts if it lands inside the
+    window opened by the previous step, so the measured rate is the
+    campaign-attribution one. 1500 -> 536 -> 402 users at sf0.1.
+
+    Shape: each step is one user-keyed aggregate of the events that
+    beat the previous step's deadline — the time predicate rides the
+    equi-join (a band residual on a user-keyed join, NOT a range join
+    over all pairs), and each step's frame shrinks monotonically, so
+    the chain costs three user-keyed shuffles on a narrowing set. The
+    three 1-row counts cross-join at the end (broadcast-bounded, the
+    funnel_conversion precedent)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr(f"INTERVAL {_FUNNEL_W1_H} HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr(f"INTERVAL {_FUNNEL_W2_H} HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).cast("long").alias("viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("long").alias("clicked_in_window")))
+        .crossJoin(p.agg(F.count(F.lit(1)).cast("long").alias("purchased_in_window")))
+    )
