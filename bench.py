@@ -144,6 +144,7 @@ HEADLINE = [
     "drift_js_binned",
     "profile_categorical_entropy",
     "funnel_windowed",
+    "timeseries_holt_linear",
 ]
 
 

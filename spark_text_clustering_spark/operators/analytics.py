@@ -1313,3 +1313,128 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).cast("long").alias("clicked_in_window")))
         .crossJoin(p.agg(F.count(F.lit(1)).cast("long").alias("purchased_in_window")))
     )
+
+
+_HOLT_ALPHA = 0.5  # level smoothing
+_HOLT_BETA = 0.1   # trend smoothing
+
+# Holt's coupled recursion  s_t = M s_{t-1} + v x_t  with CONSTANT
+#   M = [[1-a, 1-a], [-a*b, b*(1-a)+1-b]],  v = (a, a*b),  s_1 = (x_1, 0)
+# is diagonalized once at import: in M's eigenbasis the two components
+# follow INDEPENDENT scalar recursions u_t = lambda_i u_{t-1} + w_i x_t,
+# each solvable by the same rescaled-cumulative-sum mechanism as
+# timeseries_ewma. alpha/beta are chosen inside the real-eigenvalue
+# region (discriminant 0.1025 > 0); complex eigenvalues (e.g. a=0.3,
+# b=0.1) would need the 2-d rotation form instead.
+def _holt_constants() -> dict:
+    import math
+
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    m00, m01 = 1 - a, 1 - a
+    m11 = b * (1 - a) + 1 - b
+    m10 = -a * b
+    v = (a, a * b)
+    tr, det = m00 + m11, m00 * m11 - m01 * m10
+    disc = tr * tr - 4 * det
+    if disc <= 0:  # pragma: no cover - parameter guard
+        raise ValueError("Holt alpha/beta outside the real-eigenvalue region")
+    lam1 = (tr + math.sqrt(disc)) / 2
+    lam2 = (tr - math.sqrt(disc)) / 2
+    P = ((m01, m01), (lam1 - m00, lam2 - m00))
+    detP = m01 * (lam2 - lam1)
+    Pinv = ((P[1][1] / detP, -P[0][1] / detP), (-P[1][0] / detP, P[0][0] / detP))
+    w = (Pinv[0][0] * v[0] + Pinv[0][1] * v[1], Pinv[1][0] * v[0] + Pinv[1][1] * v[1])
+    p = (Pinv[0][0], Pinv[1][0])  # Pinv @ s_1-direction (x_1, 0)
+    return {"lam": (lam1, lam2), "w": w, "p": p, "P": P}
+
+
+_HOLT = _holt_constants()
+
+
+def _holt_u_sql(i: int) -> str:
+    lam, w, p = _HOLT["lam"][i], _HOLT["w"][i], _HOLT["p"][i]
+    return f"""power({lam!r}, MAX(n)) * SUM(
+           (CASE WHEN rn = 1 THEN {p!r} ELSE {w!r} END) * x
+           / power({lam!r}, rn))"""
+
+
+_HOLT_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+u AS (
+  SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_obs,
+         {_holt_u_sql(0)} AS u1,
+         {_holt_u_sql(1)} AS u2
+  FROM seq GROUP BY user_id)
+SELECT user_id, n_obs,
+       round({_HOLT["P"][0][0]!r} * u1 + {_HOLT["P"][0][1]!r} * u2, 6) AS level,
+       round({_HOLT["P"][1][0]!r} * u1 + {_HOLT["P"][1][1]!r} * u2, 6) AS trend,
+       round(({_HOLT["P"][0][0]!r} + {_HOLT["P"][1][0]!r}) * u1
+             + ({_HOLT["P"][0][1]!r} + {_HOLT["P"][1][1]!r}) * u2, 6) AS forecast_1
+FROM u
+"""
+
+
+@REG.register("timeseries_holt_linear", oracle=_HOLT_ORACLE)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing per user (alpha 0.5, beta 0.1,
+    seeded l=x1, b=0): level/trend/one-step forecast from the COUPLED
+    recursion l_t = a*x_t + (1-a)(l_{t-1}+b_{t-1}); b_t =
+    beta*(l_t-l_{t-1}) + (1-beta)*b_{t-1} — one step past EWMA, and
+    past the scalar rescaled-cumsum trick too: a 2-d linear recurrence
+    has no scalar prefix form. The relational mechanism here is
+    DIAGONALIZATION (module constants, computed once): in the constant
+    matrix's eigenbasis the two state components decouple into
+    independent geometric recursions, each exactly the EWMA rescale —
+    so the whole smoother is two per-user SUM aggregations over
+    rescaled terms plus a 2x2 recombination. No UDF, no fold, no
+    driver loop; one user-keyed shuffle (the row-number window and the
+    aggregate share it).
+
+    Both engines evaluate the identical literal constants and the
+    identical pow/sum expressions, so the oracle matches at 6dp the
+    way timeseries_ewma does (same mechanism). Numerics: terms are
+    scaled by lambda^-k (lambda_min 0.565 -> ~1e25 at the 99-event
+    series cap here); the final lambda^n rescale cancels the inflation
+    and contributions carry only relative error, so precision is
+    ~1e-16 * series length (the EWMA analysis; segment-and-rebase for
+    unbounded series). Golden-twinned against the sequential textbook
+    recursion in test_timeseries. (A struct-accumulator fold was
+    rejected: DuckDB's list_reduce rebinds struct fields inconsistently
+    across steps — measured, not documented — so it cannot anchor an
+    oracle.)"""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value", "ts")
+    w_user = Window.partitionBy("user_id")
+    seq = ev.select(
+        "user_id",
+        F.col("value").cast("double").alias("x"),
+        F.row_number().over(w_user.orderBy("ts", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w_user).alias("n"),
+    )
+    us = []
+    for i in range(2):
+        lam, wi, pi = _HOLT["lam"][i], _HOLT["w"][i], _HOLT["p"][i]
+        term = (
+            F.when(F.col("rn") == 1, F.lit(pi)).otherwise(F.lit(wi))
+            * F.col("x")
+            / F.pow(F.lit(lam), F.col("rn"))
+        )
+        us.append(
+            (F.pow(F.lit(lam), F.max("n")) * F.sum(term)).alias(f"u{i + 1}")
+        )
+    u = seq.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_obs"), *us
+    )
+    P = _HOLT["P"]
+    return u.select(
+        "user_id",
+        "n_obs",
+        F.round(P[0][0] * F.col("u1") + P[0][1] * F.col("u2"), 6).alias("level"),
+        F.round(P[1][0] * F.col("u1") + P[1][1] * F.col("u2"), 6).alias("trend"),
+        F.round(
+            (P[0][0] + P[1][0]) * F.col("u1") + (P[0][1] + P[1][1]) * F.col("u2"), 6
+        ).alias("forecast_1"),
+    )

@@ -195,3 +195,44 @@ def test_categorical_entropy_matches_pure_python(spark):
         assert gn == n and gd == len(cnt)
         assert ge == pytest.approx(round(ent, 6), abs=1e-9)
         assert gt == pytest.approx(round(top, 6), abs=1e-9)
+
+
+def test_holt_matches_sequential_recursion(spark):
+    """Golden twin: the textbook two-line Holt recursion evaluated
+    sequentially in Python must reproduce the fold's (level, trend)
+    per user (1e-6 — Python may fuse differently than the engines)."""
+    from spark_text_clustering_spark.operators.analytics import (
+        _HOLT_ALPHA,
+        _HOLT_BETA,
+        timeseries_holt_linear,
+    )
+
+    ev = sorted(
+        load_table(spark, SF_SMALL, "events")
+        .select("event_id", "user_id", "value", "ts")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    state: dict = {}
+    counts: dict = {}
+    for r in ev:
+        u = r["user_id"]
+        x = float(r["value"])
+        counts[u] = counts.get(u, 0) + 1
+        if u not in state:
+            state[u] = (x, 0.0)
+            continue
+        l_prev, b_prev = state[u]
+        l_new = _HOLT_ALPHA * x + (1 - _HOLT_ALPHA) * (l_prev + b_prev)
+        b_new = _HOLT_BETA * (l_new - l_prev) + (1 - _HOLT_BETA) * b_prev
+        state[u] = (l_new, b_new)
+    got = {
+        r["user_id"]: (r["n_obs"], r["level"], r["trend"])
+        for r in timeseries_holt_linear(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(state)
+    for u, (l, b) in state.items():
+        n, gl, gt = got[u]
+        assert n == counts[u]
+        assert gl == pytest.approx(l, abs=2e-6), u
+        assert gt == pytest.approx(b, abs=2e-6), u
