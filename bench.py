@@ -145,6 +145,7 @@ HEADLINE = [
     "profile_categorical_entropy",
     "funnel_windowed",
     "timeseries_holt_linear",
+    "graph_degree_histogram",
 ]
 
 

@@ -798,3 +798,46 @@ def personalized_pagerank_until_convergence(
         )
         pr = new_pr
     return pr, it, float(delta)
+
+
+_DEGREE_HIST_ORACLE = f"""
+WITH {_COPURCHASE_EDGES_SQL},
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+b AS (SELECT CAST(floor(ln(d) / ln(2) + 1e-9) AS INTEGER) AS bucket_log2, d
+      FROM deg)
+SELECT bucket_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(d) AS BIGINT) AS min_degree,
+       CAST(MAX(d) AS BIGINT) AS max_degree
+FROM b GROUP BY bucket_log2
+"""
+
+
+@REG.register("graph_degree_histogram", oracle=_DEGREE_HIST_ORACLE)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the co-purchase graph —
+    the first diagnostic every graph job runs BEFORE committing to a
+    plan: the bucket profile decides whether wedge enumeration needs
+    blocking (near-uniform degrees — this repo's measured case) or
+    hub-splitting/salting (power-law tail), and it is the evidence
+    behind the triangle family's brand-blocking decision. One degree
+    aggregation + one ~log(max_degree)-row rollup. Bucket edges are
+    float-flip-proof by construction: ln(d)/ln(2) is integral only at
+    exact powers of two, where a 1-ulp libm difference could floor to
+    k-1 on one engine — the +1e-9 nudge absorbs that, and cannot
+    misbucket any non-power (their distance from an integer is
+    >= 1/(d ln 2), orders of magnitude above the nudge for any
+    realistic degree)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    b = deg.select(
+        F.floor(F.log(F.col("d").cast("double")) / F.log(F.lit(2.0)) + F.lit(1e-9))
+        .cast("int")
+        .alias("bucket_log2"),
+        "d",
+    )
+    return b.groupBy("bucket_log2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
