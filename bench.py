@@ -146,6 +146,8 @@ HEADLINE = [
     "funnel_windowed",
     "timeseries_holt_linear",
     "graph_degree_histogram",
+    "stats_chi2_independence",
+    "histogram_equidepth",
 ]
 
 
@@ -196,6 +198,8 @@ def main() -> None:
         "graph_link_prediction_jaccard",
         # the basket-count scalar runs at construction
         "assoc_triple_rules",
+        # the grid-size scalars (n, r, c) run at construction
+        "stats_chi2_independence",
         # the basket-count scalar runs at construction
         "assoc_copurchase_rules",
         # basket count + FPGrowth fit run at construction

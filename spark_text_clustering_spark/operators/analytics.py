@@ -1438,3 +1438,125 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             (P[0][0] + P[1][0]) * F.col("u1") + (P[0][1] + P[1][1]) * F.col("u2"), 6
         ).alias("forecast_1"),
     )
+
+
+_CHI2_BUCKET_W = 25.0  # fixed-width value buckets (0..3, clamped)
+
+_CHI2_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type AS t,
+         CAST(least(greatest(floor(value / {_CHI2_BUCKET_W}), 0), 3) AS INTEGER) AS b
+  FROM events WHERE value IS NOT NULL),
+obs AS (SELECT t, b, COUNT(*) AS o FROM ev GROUP BY t, b),
+rows_ AS (SELECT t, COUNT(*) AS rt FROM ev GROUP BY t),
+cols_ AS (SELECT b, COUNT(*) AS ct FROM ev GROUP BY b),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ev),
+cells AS (
+  SELECT r.t, c.b, r.rt, c.ct, COALESCE(o.o, 0) AS o
+  FROM rows_ r CROSS JOIN cols_ c
+  LEFT JOIN obs o ON o.t = r.t AND o.b = c.b)
+SELECT round(SUM(pow(o - rt * ct / nn.n, 2) / (rt * ct / nn.n)), 6) AS chi2,
+       CAST((SELECT COUNT(*) FROM rows_) - 1 AS BIGINT)
+         * CAST((SELECT COUNT(*) FROM cols_) - 1 AS BIGINT) AS dof,
+       CAST(nn.n AS BIGINT) AS n
+FROM cells CROSS JOIN n nn
+GROUP BY nn.n
+"""
+
+
+@REG.register("stats_chi2_independence", oracle=_CHI2_ORACLE)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event_type and
+    a fixed-width value bucket (4 buckets, clamped) — the categorical
+    association test the validation side was missing next to the
+    drift monitors: drift compares the SAME feature across time, chi2
+    asks whether TWO fields are associated at all (feature leakage
+    checks, stratification sanity, A/B invariance). chi2 =
+    sum (O−E)²/E over the FULL r×c grid — empty cells contribute E
+    (the full cross join of the two margins restores them; dropping
+    them understates the statistic), dof = (r−1)(c−1).
+
+    Scale: the only full-data pass is the (type, bucket) count —
+    map-side combined, grid-sized output (r×c = 20 cells here); the
+    margins and the final sum are grid-sized aggregations. Fixed-width
+    buckets keep the cell boundaries engine-exact (the drift-family
+    convention); data-dependent terciles would add a quantile pass."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("t"),
+            F.least(
+                F.greatest(F.floor(F.col("value") / _CHI2_BUCKET_W), F.lit(0)),
+                F.lit(3),
+            )
+            .cast("int")
+            .alias("b"),
+        )
+    )
+    obs = ev.groupBy("t", "b").agg(F.count(F.lit(1)).alias("o"))
+    rows_ = ev.groupBy("t").agg(F.count(F.lit(1)).alias("rt"))
+    cols_ = ev.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    n = ev.count()  # driver scalar (grid-sized frames below)
+    if n == 0:
+        return spark.createDataFrame([], "chi2 double, dof bigint, n bigint")
+    r_cnt = rows_.count()
+    c_cnt = cols_.count()
+    cells = (
+        rows_.crossJoin(cols_)
+        .join(obs, ["t", "b"], "left")
+        .select("rt", "ct", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+    )
+    e = F.col("rt") * F.col("ct") / F.lit(float(n))
+    return cells.agg(
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+        F.lit((r_cnt - 1) * (c_cnt - 1)).cast("long").alias("dof"),
+        F.lit(n).cast("long").alias("n"),
+    )
+
+
+_EQUIDEPTH_TILES = 10
+
+_EQUIDEPTH_ORACLE = f"""
+WITH v AS (
+  SELECT value AS x,
+         NTILE({_EQUIDEPTH_TILES}) OVER (ORDER BY value, event_id) AS tile
+  FROM events WHERE value IS NOT NULL)
+SELECT CAST(tile AS INTEGER) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(MIN(x), 6) AS lo,
+       round(MAX(x), 6) AS hi
+FROM v GROUP BY tile
+"""
+
+
+@REG.register("histogram_equidepth", oracle=_EQUIDEPTH_ORACLE)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of events.value (10 tiles of equal row
+    count, with per-tile [lo, hi] bounds) — the profiling complement
+    of the fixed-width `histogram_bins`: equal-width buckets starve on
+    skewed data (one bucket hoards everything) while equal-depth
+    bounds ARE the empirical deciles, the summary optimizers and
+    samplers actually want. NTILE over a TOTAL order (value, event_id
+    — the tiebreak makes tile assignment deterministic, so both
+    engines split ties identically and the per-tile extrema
+    value-hash).
+
+    Scale note, stated honestly: a global NTILE is a single total
+    sort — fine for the profiling pass it is, wrong as a recurring
+    10 TB operator; at scale the same deciles come from
+    `quantile_exact_bracket` (GK bracket + rank-select, no global
+    sort) or percentile_approx, and this key exists to pin their
+    ground truth."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = ev.select(
+        F.col("value").alias("x"),
+        F.ntile(_EQUIDEPTH_TILES)
+        .over(Window.orderBy("value", "event_id"))
+        .alias("tile"),
+    )
+    return v.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("x"), 6).alias("lo"),
+        F.round(F.max("x"), 6).alias("hi"),
+    ).select(F.col("tile").cast("int").alias("tile"), "n", "lo", "hi")

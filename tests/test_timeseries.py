@@ -236,3 +236,54 @@ def test_holt_matches_sequential_recursion(spark):
         assert n == counts[u]
         assert gl == pytest.approx(l, abs=2e-6), u
         assert gt == pytest.approx(b, abs=2e-6), u
+
+
+def test_chi2_matches_pure_python(spark):
+    """Golden twin: textbook chi-square over the full r x c grid
+    (zero cells contribute E) computed from Counters at sf0.001."""
+    from collections import Counter
+
+    from spark_text_clustering_spark.operators.analytics import (
+        _CHI2_BUCKET_W,
+        stats_chi2_independence,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "value").collect()
+    obs: Counter = Counter()
+    for r in ev:
+        if r["value"] is None:
+            continue
+        b = min(max(int(r["value"] // _CHI2_BUCKET_W), 0), 3)
+        obs[(r["event_type"], b)] += 1
+    n = sum(obs.values())
+    rows = Counter()
+    cols = Counter()
+    for (t, b), o in obs.items():
+        rows[t] += o
+        cols[b] += o
+    chi2 = 0.0
+    for t in rows:
+        for b in cols:
+            e = rows[t] * cols[b] / n
+            chi2 += (obs.get((t, b), 0) - e) ** 2 / e
+    got = stats_chi2_independence(spark, SF_SMALL).collect()[0]
+    assert got["n"] == n
+    assert got["dof"] == (len(rows) - 1) * (len(cols) - 1)
+    assert got["chi2"] == pytest.approx(chi2, abs=1e-5)
+
+
+def test_equidepth_tiles_balanced_and_ordered(spark):
+    """Equi-depth property: tile sizes differ by at most 1, bounds are
+    non-overlapping and ordered, and the union covers all rows."""
+    from spark_text_clustering_spark.operators.analytics import histogram_equidepth
+
+    rows = sorted(
+        histogram_equidepth(spark, SF_SMALL).collect(), key=lambda r: r["tile"]
+    )
+    assert [r["tile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    total = load_table(spark, SF_SMALL, "events").where("value IS NOT NULL").count()
+    assert sum(sizes) == total
+    for a, b in zip(rows, rows[1:]):
+        assert a["lo"] <= a["hi"] <= b["lo"] <= b["hi"]
