@@ -148,6 +148,8 @@ HEADLINE = [
     "graph_degree_histogram",
     "stats_chi2_independence",
     "histogram_equidepth",
+    "stats_ttest_welch",
+    "stats_mannwhitney_u",
 ]
 
 

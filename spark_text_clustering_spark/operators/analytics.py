@@ -1560,3 +1560,113 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("x"), 6).alias("lo"),
         F.round(F.max("x"), 6).alias("hi"),
     ).select(F.col("tile").cast("int").alias("tile"), "n", "lo", "hi")
+
+
+_TT_A, _TT_B = "view", "error"  # the drift family's slice pair
+
+_WELCH_ORACLE = f"""
+WITH g AS (
+  SELECT avg(CASE WHEN event_type = '{_TT_A}' THEN value END) AS m1,
+         var_samp(CASE WHEN event_type = '{_TT_A}' THEN value END) AS v1,
+         count(CASE WHEN event_type = '{_TT_A}' THEN value END) AS n1,
+         avg(CASE WHEN event_type = '{_TT_B}' THEN value END) AS m2,
+         var_samp(CASE WHEN event_type = '{_TT_B}' THEN value END) AS v2,
+         count(CASE WHEN event_type = '{_TT_B}' THEN value END) AS n2
+  FROM events WHERE value IS NOT NULL)
+SELECT round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+       round(pow(v1 / n1 + v2 / n2, 2)
+             / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 6) AS dof,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+FROM g
+"""
+
+
+@REG.register("stats_ttest_welch", oracle=_WELCH_ORACLE)
+def stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the drift family's two
+    slices ('view' vs 'error' values): t = (m1−m2)/√(v1/n1+v2/n2),
+    Welch–Satterthwaite dof — the parametric two-sample test next to
+    the nonparametric Mann-Whitney twin below; together with chi2 they
+    make the validation side a real stats-test family, not only drift
+    scores. ONE full-data pass: conditional aggregates (CASE inside
+    avg/var_samp/count) compute both groups' moments in a single
+    map-side-combined aggregation — no join, no second scan, the
+    1-row result frame is the whole downstream."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    a = F.when(F.col("event_type") == _TT_A, F.col("value"))
+    b = F.when(F.col("event_type") == _TT_B, F.col("value"))
+    g = ev.agg(
+        F.avg(a).alias("m1"), F.var_samp(a).alias("v1"), F.count(a).alias("n1"),
+        F.avg(b).alias("m2"), F.var_samp(b).alias("v2"), F.count(b).alias("n2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return g.select(
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("dof"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+    )
+
+
+_MW_ORACLE = f"""
+WITH pool AS (
+  SELECT event_type AS t, value AS x, event_id
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('{_TT_A}', '{_TT_B}')),
+rn AS (
+  SELECT t, x, ROW_NUMBER() OVER (ORDER BY x, event_id) AS pos FROM pool),
+mid AS (
+  SELECT t, AVG(pos) OVER (PARTITION BY x) AS midrank FROM rn)
+SELECT round(SUM(CASE WHEN t = '{_TT_A}' THEN midrank ELSE 0 END)
+             - SUM(CASE WHEN t = '{_TT_A}' THEN 1 ELSE 0 END)
+               * (SUM(CASE WHEN t = '{_TT_A}' THEN 1 ELSE 0 END) + 1) / 2.0, 6) AS u1,
+       round(SUM(CASE WHEN t = '{_TT_B}' THEN midrank ELSE 0 END)
+             - SUM(CASE WHEN t = '{_TT_B}' THEN 1 ELSE 0 END)
+               * (SUM(CASE WHEN t = '{_TT_B}' THEN 1 ELSE 0 END) + 1) / 2.0, 6) AS u2,
+       CAST(SUM(CASE WHEN t = '{_TT_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(SUM(CASE WHEN t = '{_TT_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+FROM mid
+"""
+
+
+@REG.register("stats_mannwhitney_u", oracle=_MW_ORACLE)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the same two slices
+    — the NONPARAMETRIC twin of the Welch test: distribution-free,
+    outlier-robust, the right default when values are heavy-tailed.
+    Midrank tie handling done relationally: ROW_NUMBER over the total
+    (value, event_id) order, then AVG(pos) per tied value group —
+    exactly the textbook average-rank, deterministic on both engines.
+    U_g = R_g − n_g(n_g+1)/2; U1 + U2 = n1·n2 (pinned in the twin
+    test). Cost: one global rank (a range-partitioned sort — the same
+    honest posture as histogram_equidepth: profiling-pass shape; a
+    recurring test at 10 TB ranks within pre-bucketed value ranges and
+    offsets by bucket counts, a two-pass refinement of this plan)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin(_TT_A, _TT_B)
+    )
+    rn = ev.select(
+        F.col("event_type").alias("t"),
+        F.col("value").alias("x"),
+        F.row_number().over(Window.orderBy("value", "event_id")).alias("pos"),
+    )
+    mid = rn.select("t", F.avg("pos").over(Window.partitionBy("x")).alias("midrank"))
+    is1 = F.when(F.col("t") == _TT_A, 1).otherwise(0)
+    is2 = F.when(F.col("t") == _TT_B, 1).otherwise(0)
+    r1 = F.sum(F.when(F.col("t") == _TT_A, F.col("midrank")).otherwise(F.lit(0.0)))
+    r2 = F.sum(F.when(F.col("t") == _TT_B, F.col("midrank")).otherwise(F.lit(0.0)))
+    n1 = F.sum(is1)
+    n2 = F.sum(is2)
+    return mid.agg(
+        F.round(r1 - n1 * (n1 + 1) / 2.0, 6).alias("u1"),
+        F.round(r2 - n2 * (n2 + 1) / 2.0, 6).alias("u2"),
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+    )

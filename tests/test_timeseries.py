@@ -287,3 +287,68 @@ def test_equidepth_tiles_balanced_and_ordered(spark):
     assert sum(sizes) == total
     for a, b in zip(rows, rows[1:]):
         assert a["lo"] <= a["hi"] <= b["lo"] <= b["hi"]
+
+
+def test_mannwhitney_identity_and_scipy_free_twin(spark):
+    """U1 + U2 must equal n1*n2 (the rank-sum identity), and a pure-
+    Python midrank computation reproduces both statistics exactly."""
+    from collections import defaultdict as dd
+
+    from spark_text_clustering_spark.operators.analytics import (
+        _TT_A,
+        _TT_B,
+        stats_mannwhitney_u,
+    )
+
+    ev = [
+        (r["event_type"], r["value"], r["event_id"])
+        for r in load_table(spark, SF_SMALL, "events")
+        .select("event_type", "value", "event_id")
+        .collect()
+        if r["value"] is not None and r["event_type"] in (_TT_A, _TT_B)
+    ]
+    ev.sort(key=lambda e: (e[1], e[2]))
+    groups = dd(list)
+    for pos, (t, x, _) in enumerate(ev, start=1):
+        groups[x].append((t, pos))
+    r = {_TT_A: 0.0, _TT_B: 0.0}
+    n = {_TT_A: 0, _TT_B: 0}
+    for x, members in groups.items():
+        mid = sum(p for _, p in members) / len(members)
+        for t, _ in members:
+            r[t] += mid
+            n[t] += 1
+    u1 = r[_TT_A] - n[_TT_A] * (n[_TT_A] + 1) / 2
+    u2 = r[_TT_B] - n[_TT_B] * (n[_TT_B] + 1) / 2
+    got = stats_mannwhitney_u(spark, SF_SMALL).collect()[0]
+    assert got["n1"] == n[_TT_A] and got["n2"] == n[_TT_B]
+    assert got["u1"] == pytest.approx(u1, abs=1e-6)
+    assert got["u2"] == pytest.approx(u2, abs=1e-6)
+    assert got["u1"] + got["u2"] == pytest.approx(got["n1"] * got["n2"], abs=1e-6)
+
+
+def test_welch_matches_pure_python(spark):
+    import statistics
+
+    from spark_text_clustering_spark.operators.analytics import (
+        _TT_A,
+        _TT_B,
+        stats_ttest_welch,
+    )
+
+    vals = dd = {_TT_A: [], _TT_B: []}
+    for r in (
+        load_table(spark, SF_SMALL, "events").select("event_type", "value").collect()
+    ):
+        if r["value"] is not None and r["event_type"] in vals:
+            vals[r["event_type"]].append(r["value"])
+    m1, m2 = statistics.fmean(vals[_TT_A]), statistics.fmean(vals[_TT_B])
+    v1, v2 = statistics.variance(vals[_TT_A]), statistics.variance(vals[_TT_B])
+    n1, n2 = len(vals[_TT_A]), len(vals[_TT_B])
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / se2**0.5
+    dof = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    got = stats_ttest_welch(spark, SF_SMALL).collect()[0]
+    assert got["n1"] == n1 and got["n2"] == n2
+    assert got["t_stat"] == pytest.approx(t, abs=1e-5)
+    assert got["dof"] == pytest.approx(dof, abs=1e-4)
