@@ -234,9 +234,10 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     by every warehouse runtime filter (and Spark's own
     ``spark.sql.optimizer.runtime.bloomFilter``): build a Bloom bitset
     over the filtered dim keys with a distributed mergeable build (one
-    bitset per partition, OR-merged driver-side — P×16 KiB, never
-    data-sized), broadcast it, and drop non-matching fact rows map-side
-    BEFORE the shuffle. Bloom false positives survive the prefilter, so a
+    bitset per partition, tree-OR-merged through ``build_bloom``'s
+    shuffle layer so driver traffic is min(P, fanin)×16 KiB, never
+    data- or partition-count-sized), broadcast it, and drop
+    non-matching fact rows map-side BEFORE the shuffle. Bloom false positives survive the prefilter, so a
     normal (now much smaller) join runs afterwards to make the result
     exact — the oracle is the plain join.
 
@@ -244,31 +245,13 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join itself); the point is the mechanism, which works when the
     dim's keys are 10 GB but its Bloom is 16 KiB.
     """
-    import numpy as np
-
     cust = (
         load_table(spark, sf_dir, "customer")
         .where(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
-    part_rows = cust.mapInPandas(_bloom_build, schema="words array<long>").collect()
-    merged = np.zeros(_BLOOM_BITS // 64, dtype=np.int64)
-    for row in part_rows:
-        merged |= np.asarray(row["words"], dtype=np.int64)
-    bloom = merged.astype(np.uint64)
-
-    @F.pandas_udf("boolean")
-    def maybe_in_dim(keys: pd.Series) -> pd.Series:
-        import numpy as np  # noqa: F811 — executor-side import
-
-        valid = keys.notna().to_numpy()
-        out = np.zeros(len(keys), dtype=bool)
-        if valid.any():
-            kv = keys[valid].to_numpy(dtype=np.int64)
-            pos = _bloom_positions_vec(kv)  # (n, k), fully vectorized
-            bits = (bloom[(pos // 64).astype(np.int64)] >> (pos % 64)) & np.uint64(1)
-            out[valid] = bits.all(axis=1)
-        return pd.Series(out, dtype="boolean")
+    bloom = build_bloom(cust, "c_custkey", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES)
+    maybe_in_dim = bloom_contains_udf(bloom, n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES)
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -306,11 +289,36 @@ def bloom_positions(keys, n_bits: int, n_hashes: int):
         return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)
 
 
-def build_bloom(df: DataFrame, col: str, n_bits: int, n_hashes: int = 3):
+def build_bloom(
+    df: DataFrame, col: str, n_bits: int, n_hashes: int = 3, merge_fanin: int = 64
+):
     """Distributed mergeable Bloom build over a long column: one bitset
-    per partition via mapInPandas, OR-merged driver-side. Driver traffic
-    is P x (n_bits/8) bytes — sketch-sized, never data-sized. Returns the
-    merged uint64 word array (length n_bits/64)."""
+    per partition via mapInPandas, OR-merged through a tree before the
+    driver sees anything. Driver traffic is min(P, merge_fanin) x
+    (n_bits/8) bytes — INDEPENDENT of the input partition count P: when
+    P > merge_fanin, the per-partition bitsets shuffle on
+    (partition_id % merge_fanin) and a second mapInPandas layer
+    streaming-ORs each group (one accumulator + one Arrow batch resident
+    per task, never the whole group), so at most merge_fanin bitsets are
+    collected. At P = 10^6 partitions x 16 KiB bitsets the flat collect
+    would push ~16 GB through the driver; the tree caps it at ~1 MiB.
+    Returns the merged uint64 word array (length n_bits/64)."""
+    import numpy as np
+
+    merged = np.zeros(n_bits // 64, dtype=np.int64)
+    frame = bloom_driver_frame(df, col, n_bits, n_hashes, merge_fanin)
+    for row in frame.select("words").collect():
+        merged |= np.asarray(row["words"], dtype=np.int64)
+    return merged.astype(np.uint64)
+
+
+def bloom_driver_frame(
+    df: DataFrame, col: str, n_bits: int, n_hashes: int = 3, merge_fanin: int = 64
+) -> DataFrame:
+    """The DataFrame of bitset rows that ``build_bloom`` collects —
+    exposed so tests can assert its row count is bounded by merge_fanin
+    (driver traffic independent of input partition count P), not just
+    that the merged bits come out right."""
     import numpy as np
 
     if n_bits % 64:
@@ -318,20 +326,38 @@ def build_bloom(df: DataFrame, col: str, n_bits: int, n_hashes: int = 3):
 
     def _build(batches: Iterator[pd.DataFrame]):
         words = np.zeros(n_bits // 64, dtype=np.uint64)
+        seen, g = False, 0
         for pdf in batches:
+            if len(pdf) and not seen:
+                g = int(pdf["_g"].iloc[0]) % merge_fanin
             keys = pdf[col].dropna().to_numpy(dtype=np.int64)
             if not len(keys):
                 continue
+            seen = True
             pos = bloom_positions(keys, n_bits, n_hashes).ravel()
             np.bitwise_or.at(
                 words, (pos // 64).astype(np.int64), np.uint64(1) << (pos % 64)
             )
-        yield pd.DataFrame({"words": [words.astype(np.int64).tolist()]})
+        if seen:  # empty partitions contribute nothing — don't ship zeros
+            yield pd.DataFrame({"g": [g], "words": [words.astype(np.int64).tolist()]})
 
-    merged = np.zeros(n_bits // 64, dtype=np.int64)
-    for row in df.select(col).mapInPandas(_build, schema="words array<long>").collect():
-        merged |= np.asarray(row["words"], dtype=np.int64)
-    return merged.astype(np.uint64)
+    def _or_merge(batches: Iterator[pd.DataFrame]):
+        acc = np.zeros(n_bits // 64, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            for w in pdf["words"]:
+                acc |= np.asarray(w, dtype=np.int64)
+                seen = True
+        if seen:
+            yield pd.DataFrame({"words": [acc.tolist()]})
+
+    src = df.select(F.col(col).alias(col), F.spark_partition_id().alias("_g"))
+    parts = src.mapInPandas(_build, schema="g int, words array<long>")
+    if df.rdd.getNumPartitions() > merge_fanin:
+        parts = parts.repartition(merge_fanin, "g").mapInPandas(
+            _or_merge, schema="words array<long>"
+        )
+    return parts
 
 
 def bloom_contains_udf(words, n_bits: int, n_hashes: int = 3):

@@ -1,7 +1,8 @@
-"""Association-rules cross-validation: the rows-only FPGrowth key's k=2
-slice must equal the ORACLED pairwise key item-for-item — the strongest
-gate a model-state key can have, since the pairwise side is value-hash
-checked against DuckDB every run."""
+"""Association-rules cross-validation. The FPGrowth key is fully
+oracled (SQL enumerates the k=2/k=3 lattice); these tests pin the two
+facts the oracle's completeness rests on — the k=2 slice equals the
+independently-oracled pairwise key, and the k>=4 frontier is empty at
+every SF where an oracle runs."""
 
 from __future__ import annotations
 
@@ -26,6 +27,17 @@ def test_fpgrowth_pairs_match_oracled_pairwise(spark):
     }
     assert len(sql_pairs) > 10
     assert fp_pairs == sql_pairs
+
+
+def test_fpgrowth_frontier_empty_beyond_k3(spark):
+    """_ITEMSETS_ORACLE enumerates only k=2 and k=3; its completeness
+    requires the k>=4 frontier to be empty wherever the oracle runs.
+    FPGrowth is the unbounded-k enumerator, so its own output IS the
+    frontier check — pinned at both oracle-bearing SFs."""
+    for sf in (SF_SMALL, SF_ORACLE):
+        rows = assoc_itemsets_fp(spark, sf).collect()
+        assert rows, sf
+        assert max(r["k"] for r in rows) <= 3, sf
 
 
 def test_fpgrowth_k_above_two_supported(spark):

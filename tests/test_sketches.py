@@ -123,6 +123,33 @@ def test_bloom_prefilter_is_superset_and_small(spark):
     assert got == expected
 
 
+def test_bloom_tree_merge_bounds_driver_traffic(spark):
+    """build_bloom's two-level OR-merge: with P input partitions >
+    merge_fanin, at most merge_fanin bitset rows reach the driver
+    (traffic independent of P), and the merged bits are identical to the
+    flat small-P build bit-for-bit."""
+    import numpy as np
+
+    from spark_text_clustering_spark.catalog import load_table
+
+    cust = load_table(spark, SF_SMALL, "customer").select("c_custkey")
+    many = cust.repartition(96)  # P = 96 >> fanin
+    few = cust.coalesce(2)  # P = 2 <= fanin -> flat path
+
+    frame = sk.bloom_driver_frame(many, "c_custkey", n_bits=1 << 12, merge_fanin=8)
+    assert frame.count() <= 8  # driver collects <= fanin rows, not P
+
+    b_tree = sk.build_bloom(many, "c_custkey", n_bits=1 << 12, merge_fanin=8)
+    b_flat = sk.build_bloom(few, "c_custkey", n_bits=1 << 12, merge_fanin=8)
+    assert np.array_equal(b_tree, b_flat)
+
+    # zero false negatives through the tree path
+    keys = [r["c_custkey"] for r in cust.collect()]
+    pos = sk.bloom_positions(np.asarray(keys, dtype=np.int64), 1 << 12, 3)
+    bits = (b_tree[(pos // 64).astype(np.int64)] >> (pos % 64)) & np.uint64(1)
+    assert bool(bits.all())
+
+
 def test_merge_full_clauses_semantics(spark):
     from spark_text_clustering_spark.catalog import load_table
 
