@@ -44,8 +44,14 @@ def main() -> None:
     import tempfile
 
     corpus_path = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_CORPUS
+    # Second arg: optimizer ("em" default, or "online"). The reference
+    # supports both (LDAClustering.scala:41-44); BASELINE.md publishes
+    # s/iter only for EM, so the online row is this engine's own number
+    # on the same corpus/protocol — comparable across rounds, and
+    # apples-to-apples with the EM row above it.
+    optimizer = sys.argv[2] if len(sys.argv) > 2 else "em"
     lang = corpus_path.rstrip("/").rsplit("/", 1)[-1]
-    ref_iter = REFERENCE_S_PER_ITER.get(lang, 0.792)
+    ref_iter = REFERENCE_S_PER_ITER.get(lang, 0.792) if optimizer == "em" else None
     spark = get_session("bench-reference-lda", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     # EM LDA's GraphX lineage grows per iteration; without a checkpoint
@@ -75,19 +81,22 @@ def main() -> None:
     prep_sec = time.perf_counter() - t_prep0
 
     t0 = time.perf_counter()
-    train_lda(corpus, k=5, max_iter=50, optimizer="em", seed=42)
+    train_lda(corpus, k=5, max_iter=50, optimizer=optimizer, seed=42, corpus_size=n_docs)
     total = time.perf_counter() - t0
 
     print(
         json.dumps(
             {
                 "corpus": corpus_path,
+                "optimizer": optimizer,
                 "n_docs": n_docs,
                 "prep_sec": round(prep_sec, 3),
-                "lda_em_train_50iter_sec": round(total, 3),
-                "lda_em_sec_per_iter": round(total / 50, 4),
+                "lda_train_50iter_sec": round(total, 3),
+                "lda_sec_per_iter": round(total / 50, 4),
                 "reference_sec_per_iter": ref_iter,
-                "ratio_vs_reference": round(total / 50 / ref_iter, 3),
+                "ratio_vs_reference": (
+                    round(total / 50 / ref_iter, 3) if ref_iter else None
+                ),
             }
         )
     )
