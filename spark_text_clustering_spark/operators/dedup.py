@@ -1134,6 +1134,56 @@ def dedup_minhash_fast(
     )
 
 
+# rows-only: the pair graph is seeded MinHash (xxhash64 + universal-hash
+# permutations, not ANSI-SQL-expressible); the CLUSTER step on top of it is
+# equality-locked instead — tests/test_dedup_clusters.py recomputes the
+# transitive closure of the Spark-emitted pair graph with a pure-Python
+# union-find and asserts label-for-label agreement, plus min-id canonical
+# uniqueness. The CC iteration itself is the DuckDB-recursive-CTE-oracled
+# `graph_connected_components` / `dedup_transitive` machinery.
+@REG.register("dedup_minhash_clusters")
+def dedup_minhash_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Near-duplicate CLUSTERING — the canonical-pick stage a 100 TB
+    corpus dedup runs after candidate generation (the consumer that
+    graph.py's connected-components comment promises): hash-min connected
+    components over the MinHash candidate-pair graph
+    (`dedup_minhash_fast`, k=64 signatures, 16x4 LSH bands), then one
+    canonical document per cluster by min doc_id.
+
+    Output: (doc_id, cluster_id, is_canonical) for EVERY document —
+    documents with no near-dup candidate (or no shingles) are their own
+    singleton cluster and canonical; a downstream `WHERE is_canonical`
+    is the full near-dedup filter, keeping exactly one representative
+    per transitive near-dup group (A~B, B~C => one survivor of {A,B,C}).
+
+    Scale shape: the pair graph is candidate-sized (banded LSH, never
+    n²); `_hash_min_cc` runs one edge-sized equi-join + one node-sized
+    min-agg per round for O(cluster diameter) rounds — near-dup clusters
+    are short-diameter (dup groups, not web chains), so this converges
+    in a handful of rounds; the final singleton fill-in is one left join
+    against the doc-id spine. The reference has no dedup at all
+    (SURVEY §2.9 north-star scope)."""
+    from .graph import _hash_min_cc
+
+    pairs = dedup_minhash_fast(spark, sf_dir, threshold).select("id_a", "id_b")
+    und = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    comp = _hash_min_cc(und)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labeled = docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 @REG.register("dedup_duplicate_spans_segmented", oracle=_DUP_SPANS_ORACLE)
 def dedup_duplicate_spans_segmented(
     spark: SparkSession,
