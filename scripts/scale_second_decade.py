@@ -103,6 +103,11 @@ TPCH_KEYS = [
     "assoc_triple_rules",
     "timeseries_ewma",
     "concurrency_sweepline",
+    # round 9 (VERDICT r8 #4): the CC key walks the same brand-blocked
+    # graph as the triangle family — replicas keep their brands and are
+    # key-disjoint, so components grow exactly 10x with UNCHANGED
+    # diameter: the O(diameter)-rounds claim predicts ~linear cold time
+    "graph_connected_components",
 ]
 
 
