@@ -152,6 +152,7 @@ HEADLINE = [
     "stats_mannwhitney_u",
     "graph_connected_components",
     "dedup_minhash_clusters",
+    "graph_connected_components_twostar",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION
@@ -210,6 +211,9 @@ EAGER_KEYS = {
     "graph_connected_components",
     # MinHash signature checkpoint + hash-min CC rounds at construction
     "dedup_minhash_clusters",
+    # large-star/small-star rounds (checkpoint + convergence probe per
+    # round) run at construction, same class as graph_connected_components
+    "graph_connected_components_twostar",
     # round-9 audit (tests/test_bench_eager.py found these by counting
     # construction-time Spark jobs): model fits / sketch builds / stored-
     # index loads that run driver-side actions before the returned frame

@@ -947,3 +947,115 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("part_id"),
         F.col("comp").cast("long").alias("component"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components, web-scale variant (round 9) — the alternating
+# large-star/small-star algorithm that `_hash_min_cc`'s docstring names as
+# the long-chain upgrade path, now implemented rather than merely cited.
+# ---------------------------------------------------------------------------
+
+
+def _two_star_cc(und: DataFrame, max_rounds: int = 40) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star connected components (Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+    MapReduce and Beyond", SoCC 2014): the round count is bounded by
+    O(log² n) worst-case (O(log n) observed) regardless of component
+    DIAMETER, which is the property hash-min lacks — on a length-d chain
+    hash-min needs d rounds while the star operations halve path lengths
+    every pass (tests/test_graph_twostar.py pins a 512-node path to ≤14
+    rounds where hash-min would need ~511). This is the kernel you swap in
+    when the 100 TB dup graph is not guaranteed short-diameter.
+
+    State is the EDGE SET itself (canonical orientation x > y), never an
+    adjacency list or a label vector, so every round is edge-sized:
+
+    * large-star: for each node u, attach every LARGER neighbor to
+      m = min(Γ(u) ∪ {u}) — one groupBy-min over the symmetrized edges
+      plus one equi-join back, emitting (v, m) pairs with v > u ≥ m.
+    * small-star: with edges oriented child=x > parent=y, re-point x and
+      all its smaller neighbors at m = min(Γ_small(x)) — the same
+      groupBy-min + join shape.
+
+    Both phases only ever emit (node, smaller-node) pairs, monotonically
+    driving every component toward the star rooted at its minimum id — the
+    unique fixpoint, at which both operations are identity maps. The
+    convergence probe is count-equality plus an `exceptAll` emptiness
+    check (both edge-sized, no driver-held data beyond two longs), and
+    each round's frame is localCheckpoint'ed per the module's
+    iterative-lineage discipline. Skew note: a high-degree root makes the
+    groupBy-min key hot, but min() is a map-side-combinable aggregate, so
+    the hot key ships one partial row per upstream partition — the reason
+    this survives power-law graphs at 100 TB where a collect-neighbors
+    formulation would not. Raises rather than returning partial labels if
+    max_rounds is hit. Returns (labels: (id, comp), rounds_used)."""
+    pairs = (
+        und.where(F.col("u") > F.col("v"))
+        .select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("u").alias("id")).distinct().localCheckpoint(eager=True)
+    n_prev = pairs.count()
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        sym = pairs.unionAll(
+            pairs.select(F.col("y").alias("x"), F.col("x").alias("y"))
+        ).select(F.col("x").alias("u"), F.col("y").alias("v"))
+        mn = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mnv"))
+            .select("u", F.least("u", "mnv").alias("m"))
+        )
+        large = (
+            sym.join(mn, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .distinct()
+        )
+        mn2 = large.groupBy("x").agg(F.min("y").alias("m"))
+        re_rooted = (
+            large.join(mn2, "x")
+            .where(F.col("y") != F.col("m"))
+            .select(F.col("y").alias("x"), F.col("m").alias("y"))
+        )
+        nxt = (
+            mn2.select("x", F.col("m").alias("y"))
+            .unionAll(re_rooted)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_prev and nxt.exceptAll(pairs).limit(1).count() == 0:
+            labels = nodes.join(
+                nxt.select(F.col("x").alias("id"), F.col("y").alias("comp")),
+                "id",
+                "left",
+            ).select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+            return labels, rounds
+        pairs, n_prev = nxt, n_nxt
+    raise RuntimeError(f"two-star CC did not converge in {max_rounds} rounds")
+
+
+@REG.register("graph_connected_components_twostar", oracle=_CONNCOMP_ORACLE)
+def graph_connected_components_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the SAME intra-brand co-purchase graph as
+    `graph_connected_components`, computed by the alternating
+    large-star/small-star kernel (`_two_star_cc`) instead of hash-min —
+    the two keys share `_brand_edges` and the recursive-CTE oracle, so the
+    driver value-hashes both kernels against the identical ground truth
+    and tests/test_graph_twostar.py equality-locks them to each other.
+    Diameter-independent round bound: the variant to reach for when the
+    component structure is unknown (web graphs, transitive dup chains);
+    hash-min remains the cheaper kernel when diameter is known-small.
+    Output: (part_id, component)."""
+    edges = _brand_edges(spark, sf_dir)
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    comp, _rounds = _two_star_cc(und)
+    return comp.select(
+        F.col("id").cast("long").alias("part_id"),
+        F.col("comp").cast("long").alias("component"),
+    )

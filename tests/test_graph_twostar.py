@@ -1,0 +1,72 @@
+"""Large-star/small-star CC (round 9): the web-scale kernel `_hash_min_cc`'s
+docstring promised is now real, and these tests pin the two properties that
+justify its existence next to hash-min:
+
+1. SAME ANSWER — `graph_connected_components_twostar` must agree
+   label-for-label with the hash-min key on the shared brand graph (the
+   recursive-CTE oracle covers both via the parity suite; this is the
+   direct kernel-vs-kernel lock, independent of DuckDB).
+2. DIAMETER-INDEPENDENT ROUNDS — on a 512-node path (diameter 511, the
+   adversarial case for hash-min, whose round count equals diameter) the
+   star kernel must converge in O(log n) rounds, not O(n).
+"""
+
+from pyspark.sql import functions as F
+
+from spark_text_clustering_spark.operators.graph import (
+    _hash_min_cc,
+    _two_star_cc,
+    graph_connected_components,
+    graph_connected_components_twostar,
+)
+
+from .conftest import SF_SMALL
+
+
+def _sym_chain(spark, start, n):
+    e = spark.range(start, start + n - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    return e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def test_twostar_matches_hashmin_on_brand_graph(spark):
+    a = {
+        (r["part_id"], r["component"])
+        for r in graph_connected_components(spark, SF_SMALL).collect()
+    }
+    b = {
+        (r["part_id"], r["component"])
+        for r in graph_connected_components_twostar(spark, SF_SMALL).collect()
+    }
+    assert a == b
+    # non-vacuous: brand blocking yields many components and non-trivial ones
+    comps = {c for _, c in a}
+    assert len(comps) >= 5
+    assert len(a) > len(comps), "at least one multi-node component"
+
+
+def test_twostar_long_chain_logarithmic_rounds(spark):
+    """512-node path: hash-min needs ~511 rounds (one hop of label
+    propagation per round); the star kernel must stay logarithmic. The
+    bound 14 is ~1.5x the observed count — tight enough that an accidental
+    regression to per-hop propagation (O(n) rounds) trips max_rounds=40
+    long before it could pass."""
+    und = _sym_chain(spark, 0, 512)
+    labels, rounds = _two_star_cc(und)
+    rows = labels.collect()
+    assert len(rows) == 512
+    assert all(r["comp"] == 0 for r in rows)
+    assert rounds <= 14, f"expected O(log n) rounds on a path, got {rounds}"
+
+
+def test_twostar_two_components_and_hashmin_agreement(spark):
+    """Two disjoint chains with distinct minima; both kernels must produce
+    the identical label map (hash-min is affordable here: diameter 31)."""
+    und = _sym_chain(spark, 0, 32).unionAll(_sym_chain(spark, 1000, 32))
+    star, _ = _two_star_cc(und)
+    got = {r["id"]: r["comp"] for r in star.collect()}
+    expected = {i: 0 for i in range(32)} | {i: 1000 for i in range(1000, 1032)}
+    assert got == expected
+    hm = {r["id"]: r["comp"] for r in _hash_min_cc(und, max_rounds=64).collect()}
+    assert hm == expected
