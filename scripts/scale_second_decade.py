@@ -108,6 +108,11 @@ TPCH_KEYS = [
     # key-disjoint, so components grow exactly 10x with UNCHANGED
     # diameter: the O(diameter)-rounds claim predicts ~linear cold time
     "graph_connected_components",
+    # round 9: the star kernel on the same graph — replicas keep the
+    # diameter unchanged, so round count should be IDENTICAL at both
+    # scales (the log bound depends on n only through path-halving,
+    # and brand components converge in 5 rounds at sf0.1 already)
+    "graph_connected_components_twostar",
 ]
 
 
