@@ -4,7 +4,10 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Execution is measured with the noop sink (full plan runs, nothing
-collects) — engine time, not driver-materialization time.
+collects) — engine time, not driver-materialization time. Each key gets
+one warmup + N_RUNS (default 3) measured runs; the reported number is the
+MEDIAN, with min/max/per-run spread (and, for EAGER keys, the
+t_construct/t_write phase split) recorded in BENCH_FULL.json.
 """
 
 from __future__ import annotations
@@ -232,6 +235,50 @@ EAGER_KEYS = {
 }
 
 
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def _measure(build, *, eager: bool) -> tuple[float, dict]:
+    """One warmup + N_RUNS measured executions; returns (median, detail).
+
+    Round 10 (VERDICT r9 #1/#4): three rounds in a row burned judge time
+    adjudicating single-run numbers against machine-load artifacts (r5
+    JPEG, r7 truecase, r8 streaming cluster, r9 stored-ANN). The headline
+    number is now the MEDIAN of N_RUNS measured runs (min/max/runs kept in
+    BENCH_FULL.json), and for EAGER keys each run records t_construct
+    (plan-construction work: model fits, iterative loops, stored-index
+    loads) and t_write (the noop materialization) SEPARATELY — so a
+    divergent future number names its slow phase itself instead of
+    spawning another round of memo-miss-vs-load forensics."""
+    build().write.format("noop").mode("overwrite").save()  # warmup (codegen/JIT)
+    totals: list[float] = []
+    constructs: list[float] = []
+    writes: list[float] = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        df = build()
+        t1 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t2 = time.perf_counter()
+        # lazy keys do no construction work (enforced by
+        # tests/test_bench_eager.py), so their timed number is the write
+        totals.append((t2 - t0) if eager else (t2 - t1))
+        constructs.append(t1 - t0)
+        writes.append(t2 - t1)
+    srt = sorted(totals)
+    med = srt[len(srt) // 2]
+    detail = {
+        "median": round(med, 3),
+        "min": round(min(totals), 3),
+        "max": round(max(totals), 3),
+        "runs": [round(x, 3) for x in totals],
+    }
+    if eager:
+        detail["t_construct"] = [round(x, 3) for x in constructs]
+        detail["t_write"] = [round(x, 3) for x in writes]
+    return round(med, 3), detail
+
+
 def main() -> None:
     spark = get_session("bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -239,20 +286,14 @@ def main() -> None:
     QUERIES["count_rows"](spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
+    details: dict[str, dict] = {}
     failed: dict[str, str] = {}
     for key in HEADLINE:
         try:
-            # one warmup run (codegen/JIT), one measured run
-            QUERIES[key](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            if key in EAGER_KEYS:
-                t0 = time.perf_counter()
-                df = QUERIES[key](spark, SF_DIR)
-                df.write.format("noop").mode("overwrite").save()
-            else:
-                df = QUERIES[key](spark, SF_DIR)
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-            timings[key] = round(time.perf_counter() - t0, 3)
+            timings[key], details[key] = _measure(
+                lambda k=key: QUERIES[k](spark, SF_DIR),
+                eager=key in EAGER_KEYS,
+            )
         except Exception as e:  # one broken key must not void the round's metric
             failed[key] = f"{type(e).__name__}: {e}"[:200]
 
@@ -283,10 +324,9 @@ def main() -> None:
                 j = o_df.join(l_df, o_df.o_orderkey == l_df.l_orderkey).select(
                     "o_orderkey", "l_quantity", "o_totalprice"
                 )
-                j.write.format("noop").mode("overwrite").save()  # warmup
-                t0 = time.perf_counter()
-                j.write.format("noop").mode("overwrite").save()
-                timings[label] = round(time.perf_counter() - t0, 3)
+                timings[label], details[label] = _measure(
+                    lambda j=j: j, eager=False
+                )
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
             spark.sql("DROP TABLE IF EXISTS bench_b.orders_b")
@@ -318,10 +358,7 @@ def main() -> None:
     )
     for label, df in [("agg_skew_plain", plain), ("agg_skew_salted", salted)]:
         try:
-            df.write.format("noop").mode("overwrite").save()  # warmup
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            timings[label] = round(time.perf_counter() - t0, 3)
+            timings[label], details[label] = _measure(lambda df=df: df, eager=False)
         except Exception as e:
             failed[label] = f"{type(e).__name__}: {e}"[:200]
 
@@ -342,10 +379,11 @@ def main() -> None:
                 sample_fraction=0.01,
             )
 
-        build_auto().write.format("noop").mode("overwrite").save()  # warmup
-        t0 = time.perf_counter()
-        build_auto().write.format("noop").mode("overwrite").save()
-        timings["agg_skew_auto"] = round(time.perf_counter() - t0, 3)
+        # the sketch pass runs at construction — eager timing, like
+        # EAGER_KEYS (its cost is part of the auto-salting mechanism)
+        timings["agg_skew_auto"], details["agg_skew_auto"] = _measure(
+            build_auto, eager=True
+        )
     except Exception as e:
         failed["agg_skew_auto"] = f"{type(e).__name__}: {e}"[:200]
 
@@ -403,14 +441,9 @@ def main() -> None:
         # tracked number, not just training.
         from spark_text_clustering_spark.ml.lda import score_documents
 
-        score_documents(model, corpus).write.format("noop").mode(
-            "overwrite"
-        ).save()  # warmup
-        t0 = time.perf_counter()
-        score_documents(model, corpus).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings["lda_score_documents"] = round(time.perf_counter() - t0, 3)
+        timings["lda_score_documents"], details["lda_score_documents"] = _measure(
+            lambda: score_documents(model, corpus), eager=False
+        )
     except Exception as e:
         failed["lda_em_section"] = f"{type(e).__name__}: {e}"[:200]
 
@@ -425,6 +458,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # round 10: every per-key number above is the MEDIAN of N_RUNS
+        # measured runs; the spread (min/max/runs) and, for EAGER keys,
+        # the t_construct/t_write phase split live here so a divergent
+        # number is self-diagnosing (VERDICT r9 #1/#4)
+        "n_runs": N_RUNS,
+        "query_detail": details,
     }
     if failed:
         # the total is computed over an incomplete query set — flag it so
@@ -456,6 +495,7 @@ def main() -> None:
 
     TAIL_BUDGET = 1880  # driver tail is 2000; leave margin for newline/wrap
     bounded = dict(out)
+    bounded.pop("query_detail", None)  # full spread lives in BENCH_FULL.json
     bounded["detail"] = "BENCH_FULL.json"
     by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
     picked: dict[str, float] = {}
