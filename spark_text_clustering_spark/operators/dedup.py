@@ -1143,7 +1143,10 @@ def dedup_minhash_fast(
 # `graph_connected_components` / `dedup_transitive` machinery.
 @REG.register("dedup_minhash_clusters")
 def dedup_minhash_clusters(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    kernel: str = "hashmin",
 ) -> DataFrame:
     """Near-duplicate CLUSTERING — the canonical-pick stage a 100 TB
     corpus dedup runs after candidate generation (the consumer that
@@ -1164,14 +1167,29 @@ def dedup_minhash_clusters(
     are short-diameter (dup groups, not web chains), so this converges
     in a handful of rounds; the final singleton fill-in is one left join
     against the doc-id spine. The reference has no dedup at all
-    (SURVEY §2.9 north-star scope)."""
-    from .graph import _hash_min_cc
+    (SURVEY §2.9 north-star scope).
+
+    `kernel` selects the CC iteration (round 10, VERDICT r9 #2):
+    "hashmin" (default — cheapest on the short-diameter graphs near-dup
+    clustering produces) or "twostar" (Kiveris et al. large-star/
+    small-star, graph.py — diameter-INDEPENDENT round bound: the kernel
+    to pass on an unknown corpus where boilerplate or templated text can
+    chain candidates into long paths that would cost hash-min one round
+    per hop). Both kernels produce identical labels
+    (tests/test_dedup_clusters.py parametrizes the union-find equality
+    lock over both)."""
+    from .graph import _hash_min_cc, _two_star_cc
 
     pairs = dedup_minhash_fast(spark, sf_dir, threshold).select("id_a", "id_b")
     und = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
         pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     )
-    comp = _hash_min_cc(und)
+    if kernel == "hashmin":
+        comp = _hash_min_cc(und)
+    elif kernel == "twostar":
+        comp, _rounds = _two_star_cc(und)
+    else:
+        raise ValueError(f"unknown CC kernel {kernel!r}: use 'hashmin' or 'twostar'")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     labeled = docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
         "doc_id",

@@ -967,6 +967,13 @@ def _two_star_cc(und: DataFrame, max_rounds: int = 40) -> tuple[DataFrame, int]:
     rounds where hash-min would need ~511). This is the kernel you swap in
     when the 100 TB dup graph is not guaranteed short-diameter.
 
+    Input contract: `und` is an edge frame with columns (u, v) in ANY
+    orientation — one-directional, symmetrized, or mixed; edges are
+    canonicalized internally and self-loops dropped (contrast
+    `_hash_min_cc`, which requires both directions present). Isolated
+    nodes (no edges at all) don't appear and should be filled in by the
+    caller's left join, as the registered keys do.
+
     State is the EDGE SET itself (canonical orientation x > y), never an
     adjacency list or a label vector, so every round is edge-sized:
 
@@ -989,13 +996,24 @@ def _two_star_cc(und: DataFrame, max_rounds: int = 40) -> tuple[DataFrame, int]:
     this survives power-law graphs at 100 TB where a collect-neighbors
     formulation would not. Raises rather than returning partial labels if
     max_rounds is hit. Returns (labels: (id, comp), rounds_used)."""
+    # Unlike _hash_min_cc (which REQUIRES a symmetrized input and says
+    # so), this helper is orientation-robust (round-10 ADVICE fix): edges
+    # are canonicalized with greatest/least — so one-directional,
+    # symmetrized, or mixed inputs all produce the same edge set — and
+    # the node spine is derived from BOTH endpoint columns, so a node
+    # appearing only on the v side still gets a label row.
     pairs = (
-        und.where(F.col("u") > F.col("v"))
-        .select(F.col("u").alias("x"), F.col("v").alias("y"))
+        und.where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("x"), F.least("u", "v").alias("y"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = und.select(F.col("u").alias("id")).distinct().localCheckpoint(eager=True)
+    nodes = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_prev = pairs.count()
     rounds = 0
     for _ in range(max_rounds):

@@ -7,6 +7,8 @@ and here the clustering stage on top of it is verified exactly — transitive
 closure, min-id labels, singleton fill-in, and one canonical per cluster.
 """
 
+import pytest
+
 from spark_text_clustering_spark.catalog import load_table
 from spark_text_clustering_spark.operators.dedup import (
     dedup_minhash_clusters,
@@ -33,7 +35,7 @@ def _union_find_labels(all_ids, pairs):
     return {i: find(i) for i in all_ids}
 
 
-def _check_sf(spark, sf_dir):
+def _check_sf(spark, sf_dir, kernel="hashmin"):
     pairs = [
         (r["id_a"], r["id_b"])
         for r in dedup_minhash_fast(spark, sf_dir).select("id_a", "id_b").collect()
@@ -43,7 +45,7 @@ def _check_sf(spark, sf_dir):
     ]
     expected = _union_find_labels(all_ids, pairs)
 
-    out = dedup_minhash_clusters(spark, sf_dir).collect()
+    out = dedup_minhash_clusters(spark, sf_dir, kernel=kernel).collect()
     assert len(out) == len(all_ids), "one row per document, singletons included"
     got = {r["doc_id"]: r["cluster_id"] for r in out}
     assert got == expected, "cluster labels must equal the union-find closure"
@@ -57,8 +59,15 @@ def _check_sf(spark, sf_dir):
     return pairs, expected
 
 
-def test_clusters_match_union_find_sf0001(spark):
-    pairs, expected = _check_sf(spark, SF_SMALL)
+# Both CC kernels must produce identical clusters (round 10, VERDICT r9
+# #2: the twostar kernel is the unknown-diameter escape hatch the dedup
+# consumer now exposes via kernel="twostar"; default stays hashmin).
+_KERNELS = ["hashmin", "twostar"]
+
+
+@pytest.mark.parametrize("kernel", _KERNELS)
+def test_clusters_match_union_find_sf0001(spark, kernel):
+    pairs, expected = _check_sf(spark, SF_SMALL, kernel)
     # non-vacuous: the sf0.001 corpus has candidate pairs AND a transitive
     # chain (a cluster larger than one pair), so closure is exercised
     assert len(pairs) >= 10
@@ -68,8 +77,14 @@ def test_clusters_match_union_find_sf0001(spark):
     assert max(sizes.values()) >= 3, "need a >=3-doc cluster to exercise transitivity"
 
 
-def test_clusters_match_union_find_sf001(spark):
-    _check_sf(spark, SF_ORACLE)
+@pytest.mark.parametrize("kernel", _KERNELS)
+def test_clusters_match_union_find_sf001(spark, kernel):
+    _check_sf(spark, SF_ORACLE, kernel)
+
+
+def test_unknown_kernel_raises(spark):
+    with pytest.raises(ValueError, match="unknown CC kernel"):
+        dedup_minhash_clusters(spark, SF_SMALL, kernel="bfs")
 
 
 def test_canonical_filter_is_a_near_dedup(spark):

@@ -70,3 +70,23 @@ def test_twostar_two_components_and_hashmin_agreement(spark):
     assert got == expected
     hm = {r["id"]: r["comp"] for r in _hash_min_cc(und, max_rounds=64).collect()}
     assert hm == expected
+
+
+def test_twostar_orientation_robust(spark):
+    """Round-10 ADVICE fix: `_two_star_cc` canonicalizes edges internally
+    (greatest/least) and derives the node spine from BOTH endpoint
+    columns, so a one-directional edge list — in either orientation — a
+    mixed list, and a fully symmetrized one all yield the same labels;
+    self-loops are dropped. Before the fix, a u<v-only input produced an
+    EMPTY edge set (every node its own component) silently."""
+    fwd = spark.range(0, 63).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )  # u < v only — the silently-wrong case pre-fix
+    rev = fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))  # u > v only
+    loops = spark.range(0, 64).select(F.col("id").alias("u"), F.col("id").alias("v"))
+    sym = fwd.unionAll(rev)
+    expected = {(r["id"], r["comp"]) for r in _two_star_cc(sym)[0].collect()}
+    assert expected == {(i, 0) for i in range(64)}
+    for und in (fwd, rev, fwd.unionAll(loops)):
+        got = {(r["id"], r["comp"]) for r in _two_star_cc(und)[0].collect()}
+        assert got == expected
