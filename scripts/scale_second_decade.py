@@ -31,6 +31,13 @@ KEYS = [
     "dedup_duplicate_spans_strided",
     "dedup_minhash_fast",
     "knn_cosine_ivfpq_stored",
+    # round 10 (VERDICT r9 #5): the clustering consumer on the same synth
+    # corpus — replicas are near-dups of their original, so every
+    # original doc becomes a ~10-replica near-dup CLIQUE: the pair graph
+    # grows ~45× (10C2 intra-group pairs) while components grow only as
+    # the original doc count — the adversarial densest-graph regime for
+    # the CC step, with diameter pinned at 1 (cliques)
+    "dedup_minhash_clusters",
 ]
 
 
@@ -184,6 +191,13 @@ def time_key(key: str, sf_dir: str) -> float:
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
+    # optional second arg: comma-separated key filter (round 10 — lets a
+    # round measure only its new keys instead of re-running every family)
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    global TPCH_KEYS, KEYS
+    if only is not None:
+        TPCH_KEYS = [k for k in TPCH_KEYS if k in only]
+        KEYS = [k for k in KEYS if k in only]
     if not os.path.exists(f"{out_dir}/documents.parquet"):
         synthesize(out_dir)
     if not os.path.exists(f"{out_dir}/events.parquet"):
