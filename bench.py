@@ -156,6 +156,8 @@ HEADLINE = [
     "graph_connected_components",
     "dedup_minhash_clusters",
     "graph_connected_components_twostar",
+    "dedup_shingle_containment",
+    "dedup_cluster_best_quality",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION
@@ -214,6 +216,8 @@ EAGER_KEYS = {
     "graph_connected_components",
     # MinHash signature checkpoint + hash-min CC rounds at construction
     "dedup_minhash_clusters",
+    # hash-min CC over the ngram-Jaccard pair graph at construction
+    "dedup_cluster_best_quality",
     # large-star/small-star rounds (checkpoint + convergence probe per
     # round) run at construction, same class as graph_connected_components
     "graph_connected_components_twostar",

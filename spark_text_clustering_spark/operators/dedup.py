@@ -30,6 +30,7 @@ from pyspark.sql.functions import pandas_udf
 
 from .._registry import Registry
 from ..catalog import load_table
+from ..functions.textnorm import stopwords_sql_list
 
 REG = Registry()
 
@@ -1312,4 +1313,234 @@ def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws(" ", F.transform("k", lambda x: x.line)),
             ).alias("clean_text"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: the two dedup axes still uncovered after r9 — ASYMMETRIC
+# containment (subset-duplicates that symmetric Jaccard structurally
+# misses) and QUALITY-AWARE survivor selection (real pipelines keep the
+# best cluster member, not the smallest id).
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS l FROM documents),
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(generate_series(1, len(l) - 2),
+                                      i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS shingles
+  FROM toks WHERE len(l) >= 3),
+ex AS (SELECT doc_id, lang, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+exj AS (
+  SELECT * FROM (
+    SELECT ex.*, COUNT(*) OVER (PARTITION BY s, lang) AS df FROM ex)
+  WHERE df <= 100),
+common AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         any_value(a.n) AS n_a, any_value(b.n) AS n_b
+  FROM exj a JOIN exj b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+directed AS (
+  SELECT ia AS id_a, ib AS id_b, n_common, n_a AS n_self FROM common
+  UNION ALL
+  SELECT ib AS id_a, ia AS id_b, n_common, n_b AS n_self FROM common)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / n_self, 6) AS containment
+FROM directed
+WHERE n_self >= 5 AND CAST(n_common AS DOUBLE) / n_self >= 0.8
+"""
+
+
+@REG.register("dedup_shingle_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC shingle containment C(a,b) = |S(a) ∩ S(b)| / |S(a)| ≥ 0.8
+    — the subset-duplicate detector: a short document quoted or wrapped
+    inside a longer one has high containment in it but low symmetric
+    Jaccard (the union is dominated by the long doc), so every
+    Jaccard-family key in this module misses that pair class by
+    construction (Broder 1997 distinguishes resemblance vs containment for
+    exactly this reason). In a 100 TB corpus this is the boilerplate-
+    wrapper / quoted-reply / excerpt case.
+
+    Plan: the same lang-blocked trigram machinery as `dedup_ngram_jaccard`
+    (distinct shingles, df ≤ 100 candidate cap against boilerplate
+    pair-space blowup — denominators keep full shingle counts), with the
+    heavy shingle self-join computed ONCE over unordered pairs; both
+    directed containments are then derived from that candidate-sized frame
+    (a cheap unionAll), so asymmetry costs no second shuffle. n_self ≥ 5
+    drops trivially-tiny shingle sets whose containment is noise.
+    Output: (id_a, id_b, containment) meaning "a is contained in b".
+    Integer counts → the division is bit-identical to the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    tok_rows = docs.select("doc_id", "lang", F.posexplode(toks).alias("pos", "token"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = tok_rows.select(
+        "doc_id",
+        "lang",
+        F.concat_ws(
+            " ", "token", F.lead("token", 1).over(w), F.lead("token", 2).over(w)
+        ).alias("s"),
+        F.lead("token", 2).over(w).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    distinct_sh = tri.select("doc_id", "lang", "s").distinct()
+    ex = distinct_sh.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    ex_j = ex.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("s", "lang"))
+    ).where(F.col("df") <= 100)
+    a = ex_j.alias("a")
+    b = ex_j.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.n")).alias("n_a"),
+            F.first(F.col("b.n")).alias("n_b"),
+        )
+    )
+    # both directions from ONE pass over the candidate frame: a unionAll
+    # of two selects would duplicate the whole shingle-join subtree in
+    # the plan (relying on runtime ReuseExchange to dedup it); explode of
+    # a 2-struct array keeps a single subtree by construction
+    directed = common.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ia").alias("id_a"),
+                    F.col("ib").alias("id_b"),
+                    F.col("n_common").alias("n_common"),
+                    F.col("n_a").alias("n_self"),
+                ),
+                F.struct(
+                    F.col("ib").alias("id_a"),
+                    F.col("ia").alias("id_b"),
+                    F.col("n_common").alias("n_common"),
+                    F.col("n_b").alias("n_self"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    cont = F.col("n_common").cast("double") / F.col("n_self")
+    return directed.where((F.col("n_self") >= 5) & (cont >= 0.8)).select(
+        "id_a", "id_b", F.round(cont, 6).alias("containment")
+    )
+
+
+_BEST_QUALITY_ORACLE_TPL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS l FROM documents),
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(generate_series(1, len(l) - 2),
+                                      i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS shingles
+  FROM toks WHERE len(l) >= 3),
+ex AS (SELECT doc_id, lang, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+exj AS (
+  SELECT * FROM (
+    SELECT ex.*, COUNT(*) OVER (PARTITION BY s, lang) AS df FROM ex)
+  WHERE df <= 100),
+common AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         any_value(a.n) AS n_a, any_value(b.n) AS n_b
+  FROM exj a JOIN exj b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT ia, ib FROM common
+  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5),
+undirected AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT u.u AS doc_id, reach.r
+  FROM undirected u JOIN reach ON u.v = reach.doc_id),
+labels AS (
+  SELECT doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc_id),
+qt AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+qm AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> list_contains({stop}, x))) AS BIGINT) AS n_stop,
+         CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS BIGINT) AS sum_len
+  FROM qt),
+q AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END
+              + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens <= 0.5 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN CAST(sum_len AS DOUBLE) / n_tokens >= 3.0 THEN 0.2 ELSE 0.0 END
+              AS DOUBLE) AS quality
+  FROM qm),
+ranked AS (
+  SELECT labels.doc_id, labels.cluster_id, q.quality,
+         row_number() OVER (PARTITION BY labels.cluster_id
+                            ORDER BY q.quality DESC, labels.doc_id) AS rn
+  FROM labels JOIN q ON labels.doc_id = q.doc_id)
+SELECT doc_id, cluster_id, quality,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_survivor
+FROM ranked
+"""
+
+# the {stop} hole is the same committed stopword list quality_score's
+# oracle uses — the two quality computations must stay bit-identical
+_BEST_QUALITY_ORACLE = _BEST_QUALITY_ORACLE_TPL.format(stop=stopwords_sql_list())
+
+
+@REG.register("dedup_cluster_best_quality", oracle=_BEST_QUALITY_ORACLE)
+def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical pick — the survivor-selection policy a real
+    training-data pipeline runs instead of min-id: transitive near-dup
+    clusters over the EXACT 3-gram-Jaccard pair graph
+    (`dedup_ngram_jaccard`, fully deterministic), each cluster keeping its
+    HIGHEST-`quality_score` member (doc_id ascending as the tie-break, so
+    the pick is total-ordered and reproducible). min-id canonicalization
+    (`dedup_minhash_clusters`) throws away quality signal: when a clean
+    original and a truncated/mangled copy share a cluster, min-id keeps
+    whichever was crawled first.
+
+    Plan shape at 100 TB: pair graph from the lang-blocked shingle join
+    (candidate-sized, df-capped), `_hash_min_cc` transitive closure
+    (edge-sized joins, O(diameter) rounds), one left join against the doc
+    spine for singleton fill-in, one broadcast-friendly join to the
+    map-side quality scores, one per-cluster window for the argmax. The
+    cluster_id is the component's min doc_id — same label convention as
+    every CC consumer in this module. Output: (doc_id, cluster_id,
+    quality, is_survivor 0/1) for every document; `WHERE is_survivor = 1`
+    is the full quality-aware near-dedup filter.
+
+    Oracled end-to-end: the pair graph, the recursive-CTE closure, and
+    the quality arithmetic are each the already-oracled formulations
+    (dedup_ngram_jaccard / dedup_transitive / quality_score), composed in
+    one DuckDB statement."""
+    from .graph import _hash_min_cc
+    from .text import quality_score
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    und = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    comp = _hash_min_cc(und)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labeled = docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    scored = labeled.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.row_number().over(w) == 1).cast("int").alias("is_survivor"),
     )
