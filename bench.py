@@ -158,6 +158,7 @@ HEADLINE = [
     "graph_connected_components_twostar",
     "dedup_shingle_containment",
     "dedup_cluster_best_quality",
+    "split_assign_cluster_safe",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION
@@ -218,6 +219,8 @@ EAGER_KEYS = {
     "dedup_minhash_clusters",
     # hash-min CC over the ngram-Jaccard pair graph at construction
     "dedup_cluster_best_quality",
+    # same CC pass at construction (split keyed on the cluster labels)
+    "split_assign_cluster_safe",
     # large-star/small-star rounds (checkpoint + convergence probe per
     # round) run at construction, same class as graph_connected_components
     "graph_connected_components_twostar",

@@ -1323,8 +1323,11 @@ def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # best cluster member, not the smallest id).
 # ---------------------------------------------------------------------------
 
-_CONTAINMENT_ORACLE = """
-WITH toks AS (
+# The lang-blocked distinct-trigram pair machinery, as a reusable CTE
+# block (round 10): shared verbatim by the containment, best-quality, and
+# split-assignment oracles so the three stay keyed to the IDENTICAL pair
+# graph as `dedup_ngram_jaccard`'s committed oracle.
+NGRAM_PAIR_CTES = """toks AS (
   SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS l FROM documents),
 sh AS (
   SELECT doc_id, lang,
@@ -1341,7 +1344,28 @@ common AS (
          CAST(COUNT(*) AS BIGINT) AS n_common,
          any_value(a.n) AS n_a, any_value(b.n) AS n_b
   FROM exj a JOIN exj b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id),
+  GROUP BY a.doc_id, b.doc_id)"""
+
+# the recursive min-reachable-id closure over the >= 0.5 Jaccard pairs,
+# shared by the best-quality and split-assignment oracles
+NGRAM_CLUSTER_CTES = (
+    NGRAM_PAIR_CTES
+    + """,
+pairs AS (
+  SELECT ia, ib FROM common
+  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5),
+undirected AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT u.u AS doc_id, reach.r
+  FROM undirected u JOIN reach ON u.v = reach.doc_id),
+labels AS (
+  SELECT doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc_id)"""
+)
+
+_CONTAINMENT_ORACLE = f"""
+WITH {NGRAM_PAIR_CTES},
 directed AS (
   SELECT ia AS id_a, ib AS id_b, n_common, n_a AS n_self FROM common
   UNION ALL
@@ -1436,36 +1460,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BEST_QUALITY_ORACLE_TPL = """
-WITH RECURSIVE toks AS (
-  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS l FROM documents),
-sh AS (
-  SELECT doc_id, lang,
-         list_distinct(list_transform(generate_series(1, len(l) - 2),
-                                      i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS shingles
-  FROM toks WHERE len(l) >= 3),
-ex AS (SELECT doc_id, lang, unnest(shingles) AS s, len(shingles) AS n FROM sh),
-exj AS (
-  SELECT * FROM (
-    SELECT ex.*, COUNT(*) OVER (PARTITION BY s, lang) AS df FROM ex)
-  WHERE df <= 100),
-common AS (
-  SELECT a.doc_id AS ia, b.doc_id AS ib,
-         CAST(COUNT(*) AS BIGINT) AS n_common,
-         any_value(a.n) AS n_a, any_value(b.n) AS n_b
-  FROM exj a JOIN exj b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id),
-pairs AS (
-  SELECT ia, ib FROM common
-  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5),
-undirected AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
-reach(doc_id, r) AS (
-  SELECT doc_id, doc_id AS r FROM documents
-  UNION
-  SELECT u.u AS doc_id, reach.r
-  FROM undirected u JOIN reach ON u.v = reach.doc_id),
-labels AS (
-  SELECT doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc_id),
+_BEST_QUALITY_ORACLE_TPL = "\nWITH RECURSIVE " + NGRAM_CLUSTER_CTES + """,
 qt AS (
   SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
 qm AS (

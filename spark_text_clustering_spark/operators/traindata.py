@@ -602,3 +602,86 @@ def mixture_temperature_weights(
         F.round(weight, 6).alias("weight"),
         F.round(rate, 6).alias("sample_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: leakage-safe split assignment — the stage between dedup and
+# training that the shard/pack/mixture keys above all assume has already
+# happened correctly.
+# ---------------------------------------------------------------------------
+
+from .dedup import NGRAM_CLUSTER_CTES  # noqa: E402 — one pair graph, one oracle text
+
+_SPLIT_ORACLE = (
+    "WITH RECURSIVE "
+    + NGRAM_CLUSTER_CTES
+    + f""",
+keyed AS (
+  SELECT doc_id, cluster_id,
+         md5(concat(CAST(cluster_id AS VARCHAR), ':', '{SEED}')) AS skey
+  FROM labels),
+b AS (
+  SELECT doc_id, cluster_id,
+         CAST(({_sql_nibble('skey', 1)} * 16 + {_sql_nibble('skey', 2)})
+              % 100 AS INT) AS bucket
+  FROM keyed)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+)
+
+
+@REG.register("split_assign_cluster_safe", oracle=_SPLIT_ORACLE)
+def split_assign_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a seeded hash
+    of the NEAR-DUP CLUSTER id, not the document id — so a document and
+    its near-duplicates land in the same split BY CONSTRUCTION, and
+    held-out evaluation can never be contaminated by a paraphrase of a
+    training doc (doc-keyed random splits leak exactly this way; it is
+    the split-time twin of the contamination_ngram_overlap check).
+
+    Clusters are the transitive closure of the exact 3-gram-Jaccard pair
+    graph (`dedup_ngram_jaccard` ≥ 0.5, `_hash_min_cc`), labeled by min
+    member id; the bucket is the same md5-nibble formula as
+    `shard_assign_shuffle` (the module's ONE hash idiom Spark and DuckDB
+    compute bit-identically), 80/10/10 over buckets 0-99. Keyed on
+    cluster_id, so every cluster maps to exactly one split
+    (tests/test_split_cluster_safe.py asserts no pair straddles).
+
+    At 100 TB: one CC pass over the candidate-sized pair graph (already
+    required for dedup itself), then pure map-side arithmetic — the
+    assignment adds no shuffle beyond the singleton fill-in join, and
+    re-runs reproduce the same split for unchanged clusters (stable ids
+    → stable buckets), which is what makes incremental corpus refreshes
+    auditable. Output: (doc_id, cluster_id, split)."""
+    from .dedup import dedup_ngram_jaccard
+    from .graph import _hash_min_cc
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    und = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    comp = _hash_min_cc(und)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labeled = docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+    keyed = labeled.withColumn(
+        "skey",
+        F.md5(
+            F.concat(_nullsafe_str(F.col("cluster_id")), F.lit(":"), F.lit(SEED))
+        ),
+    )
+    bucket = ((_nibble("skey", 1) * 16 + _nibble("skey", 2)) % 100).cast("int")
+    return keyed.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
