@@ -295,7 +295,32 @@ def main() -> None:
     timings: dict[str, float] = {}
     details: dict[str, dict] = {}
     failed: dict[str, str] = {}
-    for key in HEADLINE:
+
+    def _checkpoint() -> None:
+        # partial-progress write (round 10): with median-of-3 the full
+        # run is ~3x longer, so if the harness kills it mid-flight the
+        # keys measured so far must survive on disk rather than vanish
+        here = os.path.dirname(os.path.abspath(__file__))
+        try:
+            with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+                json.dump(
+                    {
+                        "metric": "headline_queries_total",
+                        "value": round(sum(timings.values()), 3),
+                        "unit": "sec",
+                        "queries": timings,
+                        "n_runs": N_RUNS,
+                        "query_detail": details,
+                        "failed": failed,
+                        "partial": True,
+                    },
+                    f,
+                )
+                f.write("\n")
+        except OSError:
+            pass
+
+    for i, key in enumerate(HEADLINE):
         try:
             timings[key], details[key] = _measure(
                 lambda k=key: QUERIES[k](spark, SF_DIR),
@@ -303,6 +328,8 @@ def main() -> None:
             )
         except Exception as e:  # one broken key must not void the round's metric
             failed[key] = f"{type(e).__name__}: {e}"[:200]
+        if i % 10 == 9:
+            _checkpoint()
 
     # Bucketed vs shuffle join (docs/SCALE.md): write both fact tables
     # bucketed by the join key once (untimed setup), then time the same
