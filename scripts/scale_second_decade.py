@@ -38,6 +38,13 @@ KEYS = [
     # the original doc count — the adversarial densest-graph regime for
     # the CC step, with diameter pinned at 1 (cliques)
     "dedup_minhash_clusters",
+    # round 10: the three new pair-space consumers. The replica corpus is
+    # adversarial for all three the same way: every doc group becomes a
+    # ~10-member near-dup clique, so the shingle-join candidate space and
+    # the Jaccard pair graph grow ~1-2 orders beyond the 10x data growth
+    "dedup_shingle_containment",
+    "dedup_cluster_best_quality",
+    "split_assign_cluster_safe",
 ]
 
 
