@@ -159,6 +159,7 @@ HEADLINE = [
     "dedup_shingle_containment",
     "dedup_cluster_best_quality",
     "split_assign_cluster_safe",
+    "dedup_containment_filter",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION

@@ -1539,3 +1539,77 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         (F.row_number().over(w) == 1).cast("int").alias("is_survivor"),
     )
+
+
+_CONTAINMENT_FILTER_ORACLE = f"""
+WITH {NGRAM_PAIR_CTES},
+directed AS (
+  SELECT ia AS id_a, ib AS id_b, n_common, n_a AS n_self FROM common
+  UNION ALL
+  SELECT ib AS id_a, ia AS id_b, n_common, n_b AS n_self FROM common),
+contained AS (
+  SELECT id_a, id_b FROM directed
+  WHERE n_self >= 5 AND CAST(n_common AS DOUBLE) / n_self >= 0.8)
+SELECT d.doc_id,
+       CAST(CASE WHEN EXISTS (
+         SELECT 1 FROM contained c
+         JOIN documents h ON h.doc_id = c.id_b
+         WHERE c.id_a = d.doc_id
+           AND (h.n_chars > d.n_chars
+                OR (h.n_chars = d.n_chars AND h.doc_id < d.doc_id))
+       ) THEN 0 ELSE 1 END AS INTEGER) AS is_kept
+FROM documents d
+"""
+
+
+@REG.register("dedup_containment_filter", oracle=_CONTAINMENT_FILTER_ORACLE)
+def dedup_containment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION on top of `dedup_shingle_containment`: a document
+    is dropped when it is ≥ 0.8-contained in a strictly longer document
+    (n_chars; equal lengths tie-break to the smaller doc_id, so mutual
+    containment between near-identical docs always keeps exactly one).
+    This is the subset-duplicate filter a real corpus pipeline runs after
+    the detector — the excerpt/quoted-reply/wrapper class contributes no
+    novel text when its host survives.
+
+    Policy note (stated, not hidden): "contained in any longer doc", the
+    industrial-simple form — NOT "contained in any KEPT doc". A chain
+    A ⊂ B ⊂ C with B dropped also drops A; A's content survives in C only
+    to the (threshold-compounded) degree containment composes, which is
+    the accepted trade for a policy that needs no iteration. The
+    iterative keep-set fixpoint would be `_hash_min_cc`-shaped if wanted.
+
+    Scale: the containment pair frame is candidate-sized (df-capped
+    shingle join, computed once); the drop decision is one semi-join of
+    that frame against the doc spine with a broadcast-friendly length
+    lookup — no new quadratic term. Output: (doc_id, is_kept 0/1) for
+    every document; `WHERE is_kept = 1` is the filter."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cont = dedup_shingle_containment(spark, sf_dir).select("id_a", "id_b")
+    hosts = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("n_chars").alias("host_chars")
+    )
+    # ids with at least one strictly-longer (or equal-length smaller-id)
+    # containing host — the drop set, candidate-sized
+    dropped = (
+        cont.join(hosts, "id_b")
+        .join(
+            docs.select(
+                F.col("doc_id").alias("id_a"), F.col("n_chars").alias("self_chars")
+            ),
+            "id_a",
+        )
+        .where(
+            (F.col("host_chars") > F.col("self_chars"))
+            | (
+                (F.col("host_chars") == F.col("self_chars"))
+                & (F.col("id_b") < F.col("id_a"))
+            )
+        )
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(dropped.withColumn("dropped", F.lit(1)), "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_kept"),
+    )

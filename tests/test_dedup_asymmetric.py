@@ -24,6 +24,7 @@ import pytest
 
 from spark_text_clustering_spark.operators.dedup import (
     dedup_cluster_best_quality,
+    dedup_containment_filter,
     dedup_ngram_jaccard,
     dedup_shingle_containment,
 )
@@ -97,8 +98,24 @@ def test_best_quality_survivor_beats_min_id(spark, corpus_dir):
         assert rows[doc_id]["is_survivor"] == 1
 
 
+def test_containment_filter_drops_excerpt_and_worse_twin(spark, corpus_dir):
+    """The ACTION on top of the detector: the excerpt (2 ⊂ longer 1) and
+    the shorter mutual-containment twin (10, 2 chars shorter than 11)
+    are dropped; their hosts and the loner survive."""
+    kept = {
+        r["doc_id"]: r["is_kept"]
+        for r in dedup_containment_filter(spark, corpus_dir).collect()
+    }
+    assert kept == {1: 1, 2: 0, 10: 0, 11: 1, 20: 1}
+
+
 @pytest.mark.parametrize(
-    "key", ["dedup_shingle_containment", "dedup_cluster_best_quality"]
+    "key",
+    [
+        "dedup_shingle_containment",
+        "dedup_cluster_best_quality",
+        "dedup_containment_filter",
+    ],
 )
 def test_oracle_agrees_on_the_asymmetric_corpus(spark, corpus_dir, key):
     from spark_text_clustering_spark.registry import QUERIES
