@@ -160,6 +160,8 @@ HEADLINE = [
     "dedup_cluster_best_quality",
     "split_assign_cluster_safe",
     "dedup_containment_filter",
+    "wordpiece_train_merges",
+    "wordpiece_encode_corpus",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION
@@ -184,6 +186,10 @@ EAGER_KEYS = {
     # the unigram-LM EM loop runs at construction (driver M-steps)
     "unigram_train_pieces",
     "unigram_encode_corpus",
+    # the WordPiece merge loop (and the vocab build inside encode) runs
+    # at construction, same class as bpe_train_merges
+    "wordpiece_train_merges",
+    "wordpiece_encode_corpus",
     # the GK-bracket passes (approx agg + below-counts) run at
     # construction; only the final bracket sort is lazy
     "quantile_exact_bracket",

@@ -540,3 +540,210 @@ def bpe_load_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
     tests/test_lm.py)."""
     rows = spark.read.parquet(path).orderBy("step").collect()
     return [(r["left"], r["right"]) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (round 10) — completes the tokenizer-training trio: BPE
+# (frequency-scored merges, GPT-family), unigram-LM (EM pruning,
+# T5-family, operators/unigram.py), and WordPiece (likelihood-scored
+# merges + longest-match encode, BERT-family; Schuster & Nakajima 2012,
+# Wu et al. 2016). The reference has no tokenizer training at all
+# (SURVEY §2.9 north-star scope).
+# ---------------------------------------------------------------------------
+
+_WP_N_MERGES = 10
+_WP_UNK = "[UNK]"
+
+
+def _wp_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same corpus-weighted distinct-word table every trainer in this
+    module works over (lowercase, whitespace split, len >= 2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+_WP_INIT_SYMS = (
+    "transform(sequence(1, length(word)),"
+    " i -> CASE WHEN i = 1 THEN substring(word, 1, 1)"
+    "      ELSE concat('##', substring(word, i, 1)) END)"
+)
+
+
+@REG.register("wordpiece_train_merges")  # rows-only: iterative algorithm
+# (driver merge loop); golden-tested against a pure-Python WordPiece
+# reference over the identical word-frequency table in tests/test_wordpiece.py
+def wordpiece_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = _WP_N_MERGES
+) -> DataFrame:
+    """WordPiece tokenizer training: like BPE, repeatedly merge the best
+    adjacent symbol pair over the DISTINCT-word table — but the selection
+    criterion is the LIKELIHOOD score count(ab) / (count(a)·count(b))
+    (the pair whose merge most increases a unigram LM's corpus
+    likelihood), not raw pair frequency, and continuation symbols carry
+    the '##' prefix so "word" segments as [w, ##o, ##r, ##d] and merging
+    (w, ##o) yields "wo" while (##o, ##r) yields "##or".
+
+    Scale shape is BPE's (cf. `bpe_train_merges`): the corpus is scanned
+    ONCE for word counts; every iteration touches only the vocab-sized
+    (freq, syms) frame. WordPiece adds a second vocab-sized aggregation
+    per round (unit-symbol counts for the score's denominator) and two
+    broadcast-sized joins of pair counts against it; the only driver
+    traffic is one winning pair per round. Deterministic tiebreak
+    (score desc, cnt desc, a asc, b asc) with integer counts feeding the
+    one double division, so the Python golden twin reproduces the merge
+    table exactly. Returns (step, left, right, score, pair_count)."""
+    words = _wp_words(spark, sf_dir)
+    syms = words.select("freq", F.expr(_WP_INIT_SYMS).alias("syms")).localCheckpoint(
+        eager=True
+    )
+
+    out_schema = "step int, left string, right string, score double, pair_count long"
+    merges: list[tuple[int, str, str, float, int]] = []
+    for step in range(n_merges):
+        # words reduced to one symbol contribute no pairs; exclude BEFORE
+        # sequence() (sequence(1, 0) is a DESCENDING [1, 0] in Spark)
+        pairs = syms.where(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS a,"
+                    "             element_at(syms, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        pair_cnt = pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt"))
+        unit_cnt = (
+            syms.select(F.explode("syms").alias("s"), "freq")
+            .groupBy("s")
+            .agg(F.sum("freq").alias("ucnt"))
+        )
+        ua = unit_cnt.select(F.col("s").alias("a"), F.col("ucnt").alias("cnt_a"))
+        ub = unit_cnt.select(F.col("s").alias("b"), F.col("ucnt").alias("cnt_b"))
+        top = (
+            pair_cnt.join(F.broadcast(ua), "a")
+            .join(F.broadcast(ub), "b")
+            .select(
+                "a",
+                "b",
+                "cnt",
+                (
+                    F.col("cnt").cast("double")
+                    / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        cnt, score = int(top[0]["cnt"]), float(top[0]["score"])
+        merged = a + (b[2:] if b.startswith("##") else b)
+        merges.append((step, a, b, score, cnt))
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+        apply_merge = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.get(acc, F.size(acc) - 1) == la) & (x == lb),
+                F.concat(
+                    F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+                    F.array(lm),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.select("freq", apply_merge.alias("syms")).localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(merges, out_schema)
+
+
+def wordpiece_vocab(
+    spark: SparkSession, sf_dir: str, n_merges: int = _WP_N_MERGES
+) -> set[str]:
+    """The learned WordPiece vocabulary: the initial alphabet (word-start
+    chars + '##'-continuations present in the word table) plus every
+    merged symbol, the artifact the longest-match encoder needs."""
+    words = _wp_words(spark, sf_dir)
+    alpha_rows = (
+        words.select(F.explode(F.expr(_WP_INIT_SYMS)).alias("s"))
+        .distinct()
+        .collect()
+    )  # alphabet-sized
+    vocab = {r["s"] for r in alpha_rows}
+    for r in wordpiece_train_merges(spark, sf_dir, n_merges).collect():
+        left, right = r["left"], r["right"]
+        vocab.add(left + (right[2:] if right.startswith("##") else right))
+    return vocab
+
+
+@REG.register("wordpiece_encode_corpus")  # rows-only: encodes with the
+# iteratively-trained vocab; golden-tested vs a pure-Python train+encode
+# in tests/test_wordpiece.py
+def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece ENCODE — greedy longest-match-first ("maximal munch")
+    against the trained vocabulary, the algorithm BERT tokenizers run at
+    serving time. Unlike BPE's encode (which replays merges in training
+    order), WordPiece matching needs per-position variable-length prefix
+    trials — a genuinely non-relational per-word scan, so it runs as an
+    Arrow-batched mapInPandas over the VOCAB-SIZED distinct-word table
+    (the corpus is scanned once for word counts; the Python stage sees
+    thousands of distinct words, never the 100 TB token stream) with the
+    alphabet+merges vocabulary in the closure (KBs). A word containing
+    any unmatched position encodes as [UNK], per the standard. Output:
+    corpus-weighted subword frequencies, top-50, deterministic
+    (cnt desc, token asc) tiebreak — `bpe_encode_corpus`'s shape, so the
+    two tokenizer lifecycles are directly comparable."""
+    import pandas as pd
+
+    vocab = wordpiece_vocab(spark, sf_dir)
+    max_len = max((len(s) for s in vocab), default=1)
+
+    def encode_iter(batches):
+        def enc(word: str) -> list[str]:
+            out, i, n = [], 0, len(word)
+            while i < n:
+                end = min(n, i + max_len)
+                piece = None
+                while end > i:
+                    sub = word[i:end]
+                    if i > 0:
+                        sub = "##" + sub
+                    if sub in vocab:
+                        piece = sub
+                        break
+                    end -= 1
+                if piece is None:
+                    return [_WP_UNK]
+                out.append(piece)
+                i = end
+            return out
+
+        for pdf in batches:
+            toks = pdf["word"].map(enc)
+            yield pd.DataFrame(
+                {
+                    "token": [t for ts in toks for t in ts],
+                    "freq": [
+                        f
+                        for ts, f in zip(toks, pdf["freq"])
+                        for _ in ts
+                    ],
+                }
+            )
+
+    words = _wp_words(spark, sf_dir)
+    encoded = words.mapInPandas(encode_iter, schema="token string, freq long")
+    return (
+        encoded.groupBy("token")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(50)
+    )

@@ -56,6 +56,8 @@ EXCLUDED_KEYS = {
     "incremental_dedup_minhash": "3-batch persistent-store loop at construction",
     "unigram_train_pieces": "unigram-LM EM loop runs at construction",
     "unigram_encode_corpus": "trains pieces at construction",
+    "wordpiece_train_merges": "driver-side WordPiece merge loop at construction",
+    "wordpiece_encode_corpus": "trains the vocab at construction (~10 s)",
     "assoc_itemsets_fp": "FPGrowth fit at construction; result is model state",
     "stream_drift_psi": "streaming replay + store merge at construction",
     "stream_ewma_serving": "stateful replay + epoch-store merge at construction",
