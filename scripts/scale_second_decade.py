@@ -45,6 +45,11 @@ KEYS = [
     "dedup_shingle_containment",
     "dedup_cluster_best_quality",
     "split_assign_cluster_safe",
+    # round 10: tokenizer-trainer claim check — the corpus is scanned
+    # once (word counts) and every merge iteration is vocab-sized, so
+    # cold time should grow far slower than 10x (the replica corpus
+    # barely grows the DISTINCT-word vocabulary: replicas repeat words)
+    "wordpiece_train_merges",
 ]
 
 
