@@ -747,3 +747,21 @@ def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(50)
     )
+
+
+def wordpiece_save_vocab(
+    spark: SparkSession, vocab: set[str], path: str
+) -> None:
+    """Persist a learned WordPiece vocabulary as parquet — the artifact a
+    BERT-family tokenizer ships (cf. `bpe_save_merges`, the unigram piece
+    table); overwrite-idempotent."""
+    spark.createDataFrame(
+        [(s,) for s in sorted(vocab)], "piece string"
+    ).write.mode("overwrite").parquet(path)
+
+
+def wordpiece_load_vocab(spark: SparkSession, path: str) -> set[str]:
+    """Load a WordPiece vocabulary back; encoding with the loaded vocab
+    must reproduce encoding with the in-session one exactly (asserted in
+    tests/test_wordpiece.py)."""
+    return {r["piece"] for r in spark.read.parquet(path).collect()}
