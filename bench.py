@@ -162,6 +162,7 @@ HEADLINE = [
     "dedup_containment_filter",
     "wordpiece_train_merges",
     "wordpiece_encode_corpus",
+    "text_nfc_normalize",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION

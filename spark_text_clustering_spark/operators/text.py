@@ -1505,3 +1505,51 @@ def quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("label"),
         F.col("predicted_lang").alias("predicted_label"),
     )
+
+
+@REG.register(
+    "text_nfc_normalize",
+    oracle="""
+    SELECT doc_id, nfc_normalize(text) AS text_nfc,
+           CAST(CASE WHEN nfc_normalize(text) = text THEN 0 ELSE 1 END
+                AS INTEGER) AS changed
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+)
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — stage ZERO of a real corpus pipeline
+    (round 10): 'é' as one codepoint and 'e'+COMBINING ACUTE are distinct
+    byte strings, so exact-hash dedup, shingle joins, and stopword
+    matching all silently miss equivalences until the corpus is
+    normalized to a canonical composition form. Runs as an Arrow-batched
+    mapInPandas (Spark has no JVM NFC builtin; `unicodedata.normalize`
+    per batch is the sanctioned Python path — one pass, map-side, no
+    shuffle), with the `changed` flag so a pipeline can audit how much of
+    the corpus was non-canonical. Oracled against DuckDB's utf8proc-based
+    `nfc_normalize` — both implement Unicode NFC, agreement asserted on a
+    constructed combining-character corpus in tests/test_nfc.py (the
+    synthetic testdata is ASCII, where NFC is the identity — the
+    constructed corpus is where the behavior lives)."""
+    import pandas as pd
+    import unicodedata
+
+    def norm_iter(batches):
+        for pdf in batches:
+            nfc = pdf["text"].map(lambda t: unicodedata.normalize("NFC", t))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text_nfc": nfc,
+                    "changed": (nfc != pdf["text"]).astype("int32"),
+                }
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
+    return docs.mapInPandas(
+        norm_iter, schema="doc_id long, text_nfc string, changed int"
+    )
