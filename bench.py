@@ -250,7 +250,7 @@ EAGER_KEYS = {
 }
 
 
-N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
 def _measure(build, *, eager: bool) -> tuple[float, dict]:
@@ -280,8 +280,10 @@ def _measure(build, *, eager: bool) -> tuple[float, dict]:
         totals.append((t2 - t0) if eager else (t2 - t1))
         constructs.append(t1 - t0)
         writes.append(t2 - t1)
-    srt = sorted(totals)
-    med = srt[len(srt) // 2]
+    import statistics
+
+    med = statistics.median(totals)  # true median (averages the middle pair
+    # for even N_RUNS; srt[n//2] would report the upper-middle run)
     detail = {
         "median": round(med, 3),
         "min": round(min(totals), 3),
@@ -338,6 +340,7 @@ def main() -> None:
             failed[key] = f"{type(e).__name__}: {e}"[:200]
         if i % 10 == 9:
             _checkpoint()
+    _checkpoint()  # the loop tail (last i%10 block) must survive a kill too
 
     # Bucketed vs shuffle join (docs/SCALE.md): write both fact tables
     # bucketed by the join key once (untimed setup), then time the same
@@ -376,6 +379,7 @@ def main() -> None:
             spark.sql("DROP DATABASE IF EXISTS bench_b")
     except Exception as e:
         failed["bucketed_join_section"] = f"{type(e).__name__}: {e}"[:200]
+    _checkpoint()
 
     # Skewed aggregation: plain vs two-stage salted (operators/skew.py).
     # Synthetic hot key: ~60% of lineitem rows collapse onto one key, the
@@ -428,6 +432,7 @@ def main() -> None:
         )
     except Exception as e:
         failed["agg_skew_auto"] = f"{type(e).__name__}: {e}"[:200]
+    _checkpoint()  # skew + auto-salt sections now on disk; LDA is longest
 
     # LDA EM training (the reference's only published numbers are EM
     # iteration timings — BASELINE.md: 0.79 s/iter EN, 2.10 s/iter GE at

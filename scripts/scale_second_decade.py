@@ -208,6 +208,9 @@ def main() -> None:
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     global TPCH_KEYS, KEYS
     if only is not None:
+        unknown = only - set(TPCH_KEYS) - set(KEYS)
+        if unknown:  # a typo'd filter must fail loudly, not "measure" nothing
+            raise SystemExit(f"unknown keys in filter: {sorted(unknown)}")
         TPCH_KEYS = [k for k in TPCH_KEYS if k in only]
         KEYS = [k for k in KEYS if k in only]
     if not os.path.exists(f"{out_dir}/documents.parquet"):

@@ -257,28 +257,24 @@ WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
 """
 
 
-@REG.register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard similarity pairs (≥ 0.5), blocked by language.
+def _ngram_pair_counts(docs: DataFrame) -> DataFrame:
+    """The lang-blocked distinct-trigram candidate machinery — ONE Spark
+    implementation shared by `dedup_ngram_jaccard` and
+    `dedup_shingle_containment` (round-10 refactor: the SQL side was
+    already unified in `NGRAM_PAIR_CTES`; the Spark side must not be able
+    to drift either). Returns the unordered-pair aggregate
+    (id_a < id_b, n_common, n_a, n_b).
 
-    Plan: distinct shingles per doc → explode → self-join on (shingle,
-    lang) with id_a < id_b → count common shingles per pair → Jaccard =
-    |∩| / (|A| + |B| − |∩|). Integer counts → the division is bit-identical
-    to the oracle.
-
-    Scale: the shingle join is the candidate generator; frequency-skewed
-    shingles (boilerplate) explode the pair space, so at 100 TB drop
-    too-frequent shingles first (a WHERE on a windowed count) — noted in
-    docs/SCALE.md.
-    """
+    Tokenize ONCE per row, then build trigrams with window lead() — the
+    array-lambda formulation (transform + element_at over the split) makes
+    Catalyst re-inline the tokenizer per element access, which is O(T²)
+    re-splits per document once a filter forces re-evaluation. The df ≤
+    100 candidate cap (docs/SCALE.md) excludes boilerplate shingles from
+    the join — they contribute pair-space quadratically and no dedup
+    signal; denominators (n_a, n_b) keep the full shingle-set sizes."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), r"\s+")
-    # Tokenize ONCE per row, then build trigrams with window lead() — the
-    # array-lambda formulation (transform + element_at over the split) makes
-    # Catalyst re-inline the tokenizer per element access, which is O(T²)
-    # re-splits per document once a filter forces re-evaluation.
     tok_rows = docs.select(
         "doc_id", "lang", F.posexplode(toks).alias("pos", "token")
     )
@@ -293,16 +289,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("t2").isNotNull())
     distinct_sh = tri.select("doc_id", "lang", "s").distinct()
     ex = distinct_sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    # candidate cap (docs/SCALE.md): boilerplate shingles (document
-    # frequency > 100 within a language) are excluded from the candidate
-    # join — they contribute pair-space quadratically and no dedup signal.
-    # Denominators (n) keep the full shingle-set sizes.
     ex_j = ex.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("s", "lang"))
     ).where(F.col("df") <= 100)
     a = ex_j.alias("a")
     b = ex_j.alias("b")
-    common = (
+    return (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
@@ -316,6 +308,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first(F.col("b.n")).alias("n_b"),
         )
     )
+
+
+@REG.register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity pairs (≥ 0.5), blocked by language.
+
+    Plan: distinct shingles per doc → explode → self-join on (shingle,
+    lang) with id_a < id_b → count common shingles per pair → Jaccard =
+    |∩| / (|A| + |B| − |∩|). Integer counts → the division is bit-identical
+    to the oracle. Candidate machinery shared with the containment key
+    via `_ngram_pair_counts`; scale notes there and in docs/SCALE.md.
+    """
+    common = _ngram_pair_counts(load_table(spark, sf_dir, "documents"))
     jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return common.where(jac >= 0.5).select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
@@ -1135,6 +1140,38 @@ def dedup_minhash_fast(
     )
 
 
+def _cluster_labels(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame, kernel: str = "hashmin"
+) -> DataFrame:
+    """Transitive-closure cluster labels over a candidate pair frame
+    (id_a, id_b) — the ONE labeling convention every CC consumer shares
+    (round-10 refactor: `dedup_minhash_clusters`,
+    `dedup_cluster_best_quality`, and traindata's
+    `split_assign_cluster_safe` previously each carried a copy of this
+    block; a labeling change applied to one copy would silently
+    desynchronize split assignment from survivor selection). Symmetrize,
+    run the selected CC kernel ("hashmin" default; "twostar" for
+    unknown-diameter graphs), left-join the doc-id spine so documents
+    with no candidate pair label themselves. Output (doc_id, cluster_id),
+    cluster_id = min member id."""
+    from .graph import _hash_min_cc, _two_star_cc
+
+    und = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    if kernel == "hashmin":
+        comp = _hash_min_cc(und)
+    elif kernel == "twostar":
+        comp, _rounds = _two_star_cc(und)
+    else:
+        raise ValueError(f"unknown CC kernel {kernel!r}: use 'hashmin' or 'twostar'")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+
+
 # rows-only: the pair graph is seeded MinHash (xxhash64 + universal-hash
 # permutations, not ANSI-SQL-expressible); the CLUSTER step on top of it is
 # equality-locked instead — tests/test_dedup_clusters.py recomputes the
@@ -1179,23 +1216,8 @@ def dedup_minhash_clusters(
     per hop). Both kernels produce identical labels
     (tests/test_dedup_clusters.py parametrizes the union-find equality
     lock over both)."""
-    from .graph import _hash_min_cc, _two_star_cc
-
     pairs = dedup_minhash_fast(spark, sf_dir, threshold).select("id_a", "id_b")
-    und = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
-        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
-    )
-    if kernel == "hashmin":
-        comp = _hash_min_cc(und)
-    elif kernel == "twostar":
-        comp, _rounds = _two_star_cc(und)
-    else:
-        raise ValueError(f"unknown CC kernel {kernel!r}: use 'hashmin' or 'twostar'")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labeled = docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
-        "doc_id",
-        F.coalesce(F.col("comp"), F.col("doc_id")).cast("long").alias("cluster_id"),
-    )
+    labeled = _cluster_labels(spark, sf_dir, pairs, kernel=kernel)
     return labeled.select(
         "doc_id",
         "cluster_id",
@@ -1388,50 +1410,15 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly this reason). In a 100 TB corpus this is the boilerplate-
     wrapper / quoted-reply / excerpt case.
 
-    Plan: the same lang-blocked trigram machinery as `dedup_ngram_jaccard`
-    (distinct shingles, df ≤ 100 candidate cap against boilerplate
-    pair-space blowup — denominators keep full shingle counts), with the
-    heavy shingle self-join computed ONCE over unordered pairs; both
-    directed containments are then derived from that candidate-sized frame
-    (a cheap unionAll), so asymmetry costs no second shuffle. n_self ≥ 5
-    drops trivially-tiny shingle sets whose containment is noise.
-    Output: (id_a, id_b, containment) meaning "a is contained in b".
-    Integer counts → the division is bit-identical to the oracle."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
-    tok_rows = docs.select("doc_id", "lang", F.posexplode(toks).alias("pos", "token"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tri = tok_rows.select(
-        "doc_id",
-        "lang",
-        F.concat_ws(
-            " ", "token", F.lead("token", 1).over(w), F.lead("token", 2).over(w)
-        ).alias("s"),
-        F.lead("token", 2).over(w).alias("t2"),
-    ).where(F.col("t2").isNotNull())
-    distinct_sh = tri.select("doc_id", "lang", "s").distinct()
-    ex = distinct_sh.withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    )
-    ex_j = ex.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("s", "lang"))
-    ).where(F.col("df") <= 100)
-    a = ex_j.alias("a")
-    b = ex_j.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first(F.col("a.n")).alias("n_a"),
-            F.first(F.col("b.n")).alias("n_b"),
-        )
-    )
+    Plan: the shared `_ngram_pair_counts` candidate machinery (one Spark
+    implementation with `dedup_ngram_jaccard`, mirroring the shared
+    NGRAM_PAIR_CTES oracle block — neither side can drift alone), with
+    the heavy shingle self-join computed ONCE over unordered pairs; both
+    directed containments are then derived from that candidate-sized
+    frame. n_self ≥ 5 drops trivially-tiny shingle sets whose containment
+    is noise. Output: (id_a, id_b, containment) meaning "a is contained
+    in b". Integer counts → the division is bit-identical to the oracle."""
+    common = _ngram_pair_counts(load_table(spark, sf_dir, "documents"))
     # both directions from ONE pass over the candidate frame: a unionAll
     # of two selects would duplicate the whole shingle-join subtree in
     # the plan (relying on runtime ReuseExchange to dedup it); explode of
@@ -1440,14 +1427,14 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 F.struct(
-                    F.col("ia").alias("id_a"),
-                    F.col("ib").alias("id_b"),
+                    F.col("id_a").alias("id_a"),
+                    F.col("id_b").alias("id_b"),
                     F.col("n_common").alias("n_common"),
                     F.col("n_a").alias("n_self"),
                 ),
                 F.struct(
-                    F.col("ib").alias("id_a"),
-                    F.col("ia").alias("id_b"),
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
                     F.col("n_common").alias("n_common"),
                     F.col("n_b").alias("n_self"),
                 ),
@@ -1487,8 +1474,11 @@ FROM ranked
 """
 
 # the {stop} hole is the same committed stopword list quality_score's
-# oracle uses — the two quality computations must stay bit-identical
-_BEST_QUALITY_ORACLE = _BEST_QUALITY_ORACLE_TPL.format(stop=stopwords_sql_list())
+# oracle uses — the two quality computations must stay bit-identical.
+# replace(), not format(): the template embeds the shared CTE blocks, and
+# format() would choke at import time on any future brace in them (DuckDB
+# struct literals use {...})
+_BEST_QUALITY_ORACLE = _BEST_QUALITY_ORACLE_TPL.replace("{stop}", stopwords_sql_list())
 
 
 @REG.register("dedup_cluster_best_quality", oracle=_BEST_QUALITY_ORACLE)
@@ -1517,19 +1507,10 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quality arithmetic are each the already-oracled formulations
     (dedup_ngram_jaccard / dedup_transitive / quality_score), composed in
     one DuckDB statement."""
-    from .graph import _hash_min_cc
     from .text import quality_score
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-    und = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
-        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
-    )
-    comp = _hash_min_cc(und)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labeled = docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
-        "doc_id",
-        F.coalesce(F.col("comp"), F.col("doc_id")).cast("long").alias("cluster_id"),
-    )
+    labeled = _cluster_labels(spark, sf_dir, pairs)
     q = quality_score(spark, sf_dir).select("doc_id", "quality")
     scored = labeled.join(q, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))

@@ -578,7 +578,10 @@ _WP_INIT_SYMS = (
 # (driver merge loop); golden-tested against a pure-Python WordPiece
 # reference over the identical word-frequency table in tests/test_wordpiece.py
 def wordpiece_train_merges(
-    spark: SparkSession, sf_dir: str, n_merges: int = _WP_N_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = _WP_N_MERGES,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """WordPiece tokenizer training: like BPE, repeatedly merge the best
     adjacent symbol pair over the DISTINCT-word table — but the selection
@@ -596,8 +599,11 @@ def wordpiece_train_merges(
     traffic is one winning pair per round. Deterministic tiebreak
     (score desc, cnt desc, a asc, b asc) with integer counts feeding the
     one double division, so the Python golden twin reproduces the merge
-    table exactly. Returns (step, left, right, score, pair_count)."""
-    words = _wp_words(spark, sf_dir)
+    table exactly. Returns (step, left, right, score, pair_count).
+    Pass `words` (the `_wp_words` frame, ideally checkpointed) to share
+    the one corpus scan with the vocab/encode stages."""
+    if words is None:
+        words = _wp_words(spark, sf_dir)
     syms = words.select("freq", F.expr(_WP_INIT_SYMS).alias("syms")).localCheckpoint(
         eager=True
     )
@@ -633,8 +639,13 @@ def wordpiece_train_merges(
                 "b",
                 "cnt",
                 (
+                    # cast each count BEFORE multiplying: the long*long
+                    # product silently wraps past int64 at corpus-sized
+                    # unit counts (round-10 review find); double*double
+                    # cannot, and the test-scale values are exact either
+                    # way so the Python golden twin still matches
                     F.col("cnt").cast("double")
-                    / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+                    / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double"))
                 ).alias("score"),
             )
             .orderBy(F.desc("score"), F.desc("cnt"), F.asc("a"), F.asc("b"))
@@ -666,19 +677,24 @@ def wordpiece_train_merges(
 
 
 def wordpiece_vocab(
-    spark: SparkSession, sf_dir: str, n_merges: int = _WP_N_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = _WP_N_MERGES,
+    words: DataFrame | None = None,
 ) -> set[str]:
     """The learned WordPiece vocabulary: the initial alphabet (word-start
     chars + '##'-continuations present in the word table) plus every
-    merged symbol, the artifact the longest-match encoder needs."""
-    words = _wp_words(spark, sf_dir)
+    merged symbol, the artifact the longest-match encoder needs. Pass
+    `words` to share one corpus scan across alphabet + training."""
+    if words is None:
+        words = _wp_words(spark, sf_dir).localCheckpoint(eager=True)
     alpha_rows = (
         words.select(F.explode(F.expr(_WP_INIT_SYMS)).alias("s"))
         .distinct()
         .collect()
     )  # alphabet-sized
     vocab = {r["s"] for r in alpha_rows}
-    for r in wordpiece_train_merges(spark, sf_dir, n_merges).collect():
+    for r in wordpiece_train_merges(spark, sf_dir, n_merges, words=words).collect():
         left, right = r["left"], r["right"]
         vocab.add(left + (right[2:] if right.startswith("##") else right))
     return vocab
@@ -703,7 +719,11 @@ def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     two tokenizer lifecycles are directly comparable."""
     import pandas as pd
 
-    vocab = wordpiece_vocab(spark, sf_dir)
+    # ONE word-count corpus scan shared by alphabet, training, and the
+    # encode below (round-10 review find: three independent _wp_words
+    # frames each rescanned the corpus)
+    words = _wp_words(spark, sf_dir).localCheckpoint(eager=True)
+    vocab = wordpiece_vocab(spark, sf_dir, words=words)
     max_len = max((len(s) for s in vocab), default=1)
 
     def encode_iter(batches):
@@ -739,7 +759,6 @@ def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    words = _wp_words(spark, sf_dir)
     encoded = words.mapInPandas(encode_iter, schema="token string, freq long")
     return (
         encoded.groupBy("token")

@@ -657,19 +657,10 @@ def split_assign_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-runs reproduce the same split for unchanged clusters (stable ids
     → stable buckets), which is what makes incremental corpus refreshes
     auditable. Output: (doc_id, cluster_id, split)."""
-    from .dedup import dedup_ngram_jaccard
-    from .graph import _hash_min_cc
+    from .dedup import _cluster_labels, dedup_ngram_jaccard
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-    und = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
-        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
-    )
-    comp = _hash_min_cc(und)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labeled = docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
-        "doc_id",
-        F.coalesce(F.col("comp"), F.col("doc_id")).cast("long").alias("cluster_id"),
-    )
+    labeled = _cluster_labels(spark, sf_dir, pairs)
     keyed = labeled.withColumn(
         "skey",
         F.md5(
