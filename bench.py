@@ -253,6 +253,49 @@ EAGER_KEYS = {
 N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
+def _sf_value() -> float | str:
+    """Scale factor parsed from SF_DIR ('.../sf0.1' -> 0.1), the raw
+    suffix string if non-numeric — same value in partial and final
+    summaries."""
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(sf)
+    except ValueError:
+        return sf
+
+
+def _summary(
+    timings: dict, details: dict, failed: dict, *, partial: bool
+) -> dict:
+    """ONE summary field set for partial checkpoints and the final write
+    (round-10 advice: a killed run used to leave a different schema —
+    sf/detail missing — breaking downstream readers); "partial": true is
+    the only differentiator."""
+    out: dict = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_value(),
+        # round 10: every per-key number above is the MEDIAN of N_RUNS
+        # measured runs; the spread (min/max/runs) and, for EAGER keys,
+        # the t_construct/t_write phase split live here so a divergent
+        # number is self-diagnosing (VERDICT r9 #1/#4)
+        "n_runs": N_RUNS,
+        "detail": "BENCH_FULL.json",
+        "query_detail": details,
+    }
+    if partial:
+        out["partial"] = True
+    if failed:
+        # the total is computed over an incomplete query set — flag it so
+        # cross-round comparisons of "value" are not read as a speedup
+        out["failed"] = failed
+        out["n_failed"] = len(failed)
+        out["value_complete"] = False
+    return out
+
+
 def _measure(build, *, eager: bool) -> tuple[float, dict]:
     """One warmup + N_RUNS measured executions; returns (median, detail).
 
@@ -313,19 +356,7 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         try:
             with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
-                json.dump(
-                    {
-                        "metric": "headline_queries_total",
-                        "value": round(sum(timings.values()), 3),
-                        "unit": "sec",
-                        "queries": timings,
-                        "n_runs": N_RUNS,
-                        "query_detail": details,
-                        "failed": failed,
-                        "partial": True,
-                    },
-                    f,
-                )
+                json.dump(_summary(timings, details, failed, partial=True), f)
                 f.write("\n")
         except OSError:
             pass
@@ -494,30 +525,7 @@ def main() -> None:
     except Exception as e:
         failed["lda_em_section"] = f"{type(e).__name__}: {e}"[:200]
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
-    out = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_val,
-        # round 10: every per-key number above is the MEDIAN of N_RUNS
-        # measured runs; the spread (min/max/runs) and, for EAGER keys,
-        # the t_construct/t_write phase split live here so a divergent
-        # number is self-diagnosing (VERDICT r9 #1/#4)
-        "n_runs": N_RUNS,
-        "query_detail": details,
-    }
-    if failed:
-        # the total is computed over an incomplete query set — flag it so
-        # cross-round comparisons of "value" are not read as a speedup
-        out["failed"] = failed
-        out["n_failed"] = len(failed)
-        out["value_complete"] = False
+    out = _summary(timings, details, failed, partial=False)
 
     # --- Output, sized for the driver's capture (round-5 finding) ---
     # The driver keeps only a fixed ~2000-char TAIL of stdout and parses
@@ -543,7 +551,7 @@ def main() -> None:
     TAIL_BUDGET = 1880  # driver tail is 2000; leave margin for newline/wrap
     bounded = dict(out)
     bounded.pop("query_detail", None)  # full spread lives in BENCH_FULL.json
-    bounded["detail"] = "BENCH_FULL.json"
+    # "detail": "BENCH_FULL.json" already present via _summary()
     by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
     picked: dict[str, float] = {}
     for k, v in by_cost:

@@ -1547,8 +1547,13 @@ FROM documents d
 def dedup_containment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ACTION on top of `dedup_shingle_containment`: a document
     is dropped when it is ≥ 0.8-contained in a strictly longer document
-    (n_chars; equal lengths tie-break to the smaller doc_id, so mutual
-    containment between near-identical docs always keeps exactly one).
+    (n_chars). Equal lengths tie-break by id: an equal-length containment
+    edge drops a doc only when its host has the SMALLER doc_id — so
+    MUTUAL containment between equal-length near-identical docs keeps
+    exactly one (the smaller id), while a one-directional ≥ 0.8 edge
+    whose equal-length host has the larger id drops nothing and both
+    survive (round-10 advice: exactly-one is guaranteed only for MUTUAL
+    equal-length containment — deliberate policy, stated here).
     This is the subset-duplicate filter a real corpus pipeline runs after
     the detector — the excerpt/quoted-reply/wrapper class contributes no
     novel text when its host survives.

@@ -13,6 +13,8 @@ UDFs) so the hot path is whole-stage-codegen'd.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -552,6 +554,17 @@ def bpe_load_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
 # ---------------------------------------------------------------------------
 
 _WP_N_MERGES = 10
+# candidate band collected per merge round before the exact-integer pick;
+# driver traffic stays O(band), and a full 1e-9-band re-collect triggers
+# only if all _WP_BAND rows tie within double noise
+_WP_BAND = 32
+
+
+def _wp_exact_key(a: str, b: str, cnt: int, cnt_a: int, cnt_b: int):
+    """Exact WordPiece merge-selection key: likelihood score as an
+    arbitrary-precision Fraction (count products past 2^53 cannot round),
+    then cnt desc, then (a, b) asc. min() over this key picks the winner."""
+    return (-Fraction(cnt, cnt_a * cnt_b), -cnt, a, b)
 _WP_UNK = "[UNK]"
 
 
@@ -596,10 +609,15 @@ def wordpiece_train_merges(
     (freq, syms) frame. WordPiece adds a second vocab-sized aggregation
     per round (unit-symbol counts for the score's denominator) and two
     broadcast-sized joins of pair counts against it; the only driver
-    traffic is one winning pair per round. Deterministic tiebreak
-    (score desc, cnt desc, a asc, b asc) with integer counts feeding the
-    one double division, so the Python golden twin reproduces the merge
-    table exactly. Returns (step, left, right, score, pair_count).
+    traffic is one small candidate band per round. Deterministic tiebreak
+    (score desc, cnt desc, a asc, b asc) — and the selection is EXACT at
+    any corpus size: Spark orders by the double score only to cut a
+    narrow top band (double relative error is ~2^-52, the band keeps
+    1e-9), then the winner inside the band is picked driver-side with
+    arbitrary-precision integer Fractions, so count products past 2^53
+    cannot flip a near-tie (round-10 advice). The Python golden twin uses
+    the same exact-Fraction key. The reported `score` column stays a
+    double (display only). Returns (step, left, right, score, pair_count).
     Pass `words` (the `_wp_words` frame, ideally checkpointed) to share
     the one corpus scan with the vocab/encode stages."""
     if words is None:
@@ -631,31 +649,49 @@ def wordpiece_train_merges(
         )
         ua = unit_cnt.select(F.col("s").alias("a"), F.col("ucnt").alias("cnt_a"))
         ub = unit_cnt.select(F.col("s").alias("b"), F.col("ucnt").alias("cnt_b"))
-        top = (
+        scored = (
             pair_cnt.join(F.broadcast(ua), "a")
             .join(F.broadcast(ub), "b")
             .select(
                 "a",
                 "b",
                 "cnt",
+                "cnt_a",
+                "cnt_b",
                 (
                     # cast each count BEFORE multiplying: the long*long
                     # product silently wraps past int64 at corpus-sized
                     # unit counts (round-10 review find); double*double
-                    # cannot, and the test-scale values are exact either
-                    # way so the Python golden twin still matches
+                    # cannot. The double score only PRE-FILTERS — final
+                    # selection below is exact-integer, so double
+                    # rounding past 2^53 can't flip near-ties
                     F.col("cnt").cast("double")
                     / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double"))
                 ).alias("score"),
             )
-            .orderBy(F.desc("score"), F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
         )
-        if not top:
+        band = scored.orderBy(
+            F.desc("score"), F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(_WP_BAND).collect()
+        if not band:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        cnt, score = int(top[0]["cnt"]), float(top[0]["score"])
+        # Anything outside the collected band has double score <= the
+        # band's last row; if that is below best*(1 - 1e-9) it cannot
+        # exactly beat the best (double relative error ~2^-52 << 1e-9).
+        # Otherwise widen to every candidate inside the tie band.
+        best_d = band[0]["score"]
+        if len(band) == _WP_BAND and band[-1]["score"] >= best_d * (1.0 - 1e-9):
+            band = scored.where(
+                F.col("score") >= F.lit(best_d * (1.0 - 1e-9))
+            ).collect()
+        win = min(
+            band,
+            key=lambda r: _wp_exact_key(
+                r["a"], r["b"], int(r["cnt"]), int(r["cnt_a"]), int(r["cnt_b"])
+            ),
+        )
+        a, b = win["a"], win["b"]
+        cnt, score = int(win["cnt"]), float(win["score"])
         merged = a + (b[2:] if b.startswith("##") else b)
         merges.append((step, a, b, score, cnt))
         la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)

@@ -93,3 +93,25 @@ def test_stored_ann_remeasure_construction_skips_the_fits(spark, key):
         f"fits are re-running; the bench's measured pass would pay the "
         f"full index-build cost (the BENCH_r09 21.8 s mystery class)."
     )
+
+
+def test_summary_schema_identical_partial_vs_final():
+    """Round-10 advice: a killed bench run's partial BENCH_FULL.json used
+    to omit 'sf' and 'detail', so partial and final files had different
+    schemas. The shared _summary() builder must emit the SAME field set,
+    with 'partial' as the only differentiator — in both the clean and the
+    has-failures variants."""
+    t = {"q1": 1.0}
+    d = {"q1": {"runs": [1.0]}}
+    for failed in ({}, {"qbad": "Boom: x"}):
+        part = bench._summary(t, d, failed, partial=True)
+        fin = bench._summary(t, d, failed, partial=False)
+        assert set(part) - set(fin) == {"partial"}
+        assert part["partial"] is True
+        assert "partial" not in fin
+        for k in ("metric", "value", "unit", "queries", "sf", "n_runs",
+                  "detail", "query_detail"):
+            assert k in fin, f"missing {k}"
+        assert fin["detail"] == "BENCH_FULL.json"
+    bad = bench._summary(t, d, {"qbad": "Boom"}, partial=False)
+    assert bad["n_failed"] == 1 and bad["value_complete"] is False

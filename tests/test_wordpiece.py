@@ -7,6 +7,7 @@ application, same longest-match-first encode with [UNK] fallback."""
 
 import re
 from collections import Counter
+from fractions import Fraction
 
 import pandas as pd
 
@@ -48,10 +49,12 @@ def _python_wordpiece_train(freqs, n_merges):
                 pair_cnt[(s[i], s[i + 1])] += f
         if not pair_cnt:
             break
+        # exact-integer selection (Fraction), matching the engine's
+        # band-then-exact pick: double rounding past 2^53 can't flip ties
         (a, b), cnt = min(
             pair_cnt.items(),
             key=lambda kv: (
-                -(kv[1] / (unit_cnt[kv[0][0]] * unit_cnt[kv[0][1]])),
+                -Fraction(kv[1], unit_cnt[kv[0][0]] * unit_cnt[kv[0][1]]),
                 -kv[1],
                 kv[0],
             ),
@@ -107,6 +110,29 @@ def test_wordpiece_scoring_differs_from_bpe(spark):
     ]
     stripped = [(a.replace("##", ""), b.replace("##", "")) for a, b in wp]
     assert stripped != bpe
+
+
+def test_wordpiece_exact_pick_beats_double_rounding():
+    """Adversarial near-tie past 2^53 (round-10 advice): two pairs whose
+    exact scores differ, but whose double-product scores collide because
+    cnt_a = 2^53+1 is not representable and rounds to 2^53. The old
+    double-only ordering would then fall to the lexicographic tiebreak and
+    pick the WRONG pair; the exact-Fraction key must not."""
+    from spark_text_clustering_spark.operators.textprep import _wp_exact_key
+
+    p53 = 2**53
+    # (a, b, cnt, cnt_a, cnt_b): exact scores 1/2^53  vs  1/(2^53+1)
+    rows = [
+        ("z", "##z", 1, p53, 1),  # exact winner (larger exact score)
+        ("a", "##a", 1, p53 + 1, 1),  # double-rounds to the same score
+    ]
+    # double path: product rounds, scores tie, 'a' < 'z' picks the wrong one
+    dbl = min(
+        rows, key=lambda r: (-(r[2] / (float(r[3]) * float(r[4]))), -r[2], r[0], r[1])
+    )
+    assert dbl[0] == "a"  # the failure mode is real, not hypothetical
+    exact = min(rows, key=lambda r: _wp_exact_key(*r))
+    assert exact[0] == "z"
 
 
 def test_wordpiece_encode_matches_python_reference(spark):
