@@ -163,6 +163,11 @@ HEADLINE = [
     "wordpiece_train_merges",
     "wordpiece_encode_corpus",
     "text_nfc_normalize",
+    # round 11
+    "stats_ks_exact",
+    "join_skew_hot_split",
+    "table_diff_snapshot",
+    "sessionize_paths_topk",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION
@@ -247,6 +252,9 @@ EAGER_KEYS = {
     "knn_cosine_pq_stored",  # stored codebook load at construction
     "knn_cosine_ivfpq_stored",  # stored centroid/codebook load
     "quality_classifier_nb",  # NB training-score aggregation
+    # round 11: the hot-key sketch chooser (sample + freqItems + verify
+    # count) runs at construction before the split join plan exists
+    "join_skew_hot_split",
 }
 
 

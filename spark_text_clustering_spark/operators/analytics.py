@@ -1703,3 +1703,85 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1.cast("long").alias("n1"),
         n2.cast("long").alias("n2"),
     )
+
+
+_KS_EXACT_ORACLE = f"""
+WITH pool AS (
+  SELECT event_type AS t, value AS x FROM events
+  WHERE value IS NOT NULL AND event_type IN ('{_TT_A}', '{_TT_B}')),
+per AS (
+  SELECT x, SUM(CASE WHEN t = '{_TT_A}' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN t = '{_TT_B}' THEN 1 ELSE 0 END) AS c2
+  FROM pool GROUP BY x),
+cum AS (
+  SELECT SUM(c1) OVER (ORDER BY x) AS k1, SUM(c2) OVER (ORDER BY x) AS k2,
+         SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2 FROM per),
+a AS (
+  SELECT MAX(ABS(k1 / CAST(GREATEST(n1, 1) AS DOUBLE)
+               - k2 / CAST(GREATEST(n2, 1) AS DOUBLE))) AS d,
+         MAX(n1) AS n1, MAX(n2) AS n2 FROM cum)
+SELECT round(d, 6) AS ks_stat,
+       round(LEAST(1.0, 2 * exp(-2 * d * d
+             * (n1 * n2 / CAST(GREATEST(n1 + n2, 1) AS DOUBLE)))), 6) AS p_asym,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+FROM a
+"""
+
+
+@REG.register("stats_ks_exact", oracle=_KS_EXACT_ORACLE)
+def stats_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov between the stats family's
+    slices ('view' vs 'error' values) — no binning: D = sup over the
+    pooled distinct values of |ECDF_1 − ECDF_2|, evaluated relationally
+    as a groupBy on the raw value (ties collapse once, both samples
+    counted per distinct value in one pass) followed by a cumulative
+    window over the DISTINCT-value frame. That ordering pass is the
+    honest cost difference vs `drift_ks_binned` (whose docstring names
+    this exact form as the expensive sibling): the global-ordered window
+    runs over distinct values only — profiling-pass shape, the same
+    posture as `stats_mannwhitney_u`'s global rank; the full-data work
+    is one map-side-combinable aggregation. p_asym is the standard
+    asymptotic 2·exp(−2·D²·n1n2/(n1+n2)) tail bound (clamped to 1), the
+    number a drift monitor actually alerts on. One row out:
+    (ks_stat, p_asym, n1, n2); empty slices guarded to D-terms of 0
+    identically on both engines."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin(_TT_A, _TT_B)
+    )
+    per = ev.groupBy(F.col("value").alias("x")).agg(
+        F.sum(F.when(F.col("event_type") == _TT_A, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == _TT_B, 1).otherwise(0)).alias("c2"),
+    )
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per.select(
+        F.sum("c1").over(wcum).alias("k1"),
+        F.sum("c2").over(wcum).alias("k2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    a = cum.agg(
+        F.max(
+            F.abs(
+                F.col("k1") / F.greatest(F.col("n1"), F.lit(1)).cast("double")
+                - F.col("k2") / F.greatest(F.col("n2"), F.lit(1)).cast("double")
+            )
+        ).alias("d"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    lam2 = (
+        F.col("d")
+        * F.col("d")
+        * (
+            F.col("n1")
+            * F.col("n2")
+            / F.greatest(F.col("n1") + F.col("n2"), F.lit(1)).cast("double")
+        )
+    )
+    return a.select(
+        F.round("d", 6).alias("ks_stat"),
+        F.round(F.least(F.lit(1.0), 2 * F.exp(-2 * lam2)), 6).alias("p_asym"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+    )

@@ -927,3 +927,68 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(big, o.o_orderkey == big.l_orderkey).select(
         "o_orderkey", "o_totalprice", "total_qty"
     )
+
+
+@REG.register(
+    "table_diff_snapshot",
+    oracle="""
+    WITH b_core AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 3 THEN text || ' [v2]' ELSE text END AS text,
+             lang, source, n_chars
+      FROM documents WHERE doc_id % 10 <> 7),
+    b_added AS (
+      SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 10 = 1),
+    b AS (SELECT * FROM b_core UNION ALL SELECT * FROM b_added)
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN (a.text IS DISTINCT FROM b.text)
+                     OR (a.lang IS DISTINCT FROM b.lang)
+                     OR (a.source IS DISTINCT FROM b.source)
+                     OR (a.n_chars IS DISTINCT FROM b.n_chars)
+                THEN 'changed' ELSE 'unchanged' END AS status
+    FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    """,
+)
+def table_diff_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF — the dataset-versioning primitive a corpus pipeline
+    runs between two builds of the same table: one co-partitioned FULL
+    OUTER join on the key, then a per-column null-safe compare classifies
+    every id as added / removed / changed / unchanged. No engine-specific
+    row hash (xxhash64 vs DuckDB's hash would never agree): the compare
+    is explicit IS-DISTINCT-FROM per column, portable and null-correct.
+    Snapshot B is derived deterministically so the key is self-contained
+    and oracled (every id%10==7 doc removed, ==3 text-amended, ==1
+    duplicated at id+1e6 as an add). At 100 TB both snapshots bucket or
+    repartition by the key → sort-merge join with map-side column
+    compares, no shuffle beyond the two key exchanges and no full-row
+    driver traffic; the (doc_id, status) output feeds the incremental
+    stages (e.g. `incremental_dedup_minhash` takes the 'added' slice)."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = load_table(spark, sf_dir, "documents").select(*cols)
+    amended = F.when(
+        F.col("doc_id") % 10 == 3, F.concat(F.col("text"), F.lit(" [v2]"))
+    ).otherwise(F.col("text"))
+    b_core = docs.where(F.col("doc_id") % 10 != 7).select(
+        "doc_id", amended.alias("text"), "lang", "source", "n_chars"
+    )
+    b_added = docs.where(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    b = b_core.unionByName(b_added)
+    a, bb = docs.alias("a"), b.alias("b")
+    j = a.join(bb, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    col_changed = None
+    for c in cols[1:]:
+        diff = ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        col_changed = diff if col_changed is None else (col_changed | diff)
+    return j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(col_changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

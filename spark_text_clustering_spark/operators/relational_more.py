@@ -549,3 +549,85 @@ def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem_gba"
     )
     return spark.sql(_GROUP_BY_ALL_SQL.format(lineitem="lineitem_gba"))
+
+
+@REG.register(
+    "sessionize_paths_topk",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged),
+    paths AS (
+      SELECT user_id, session_no,
+             array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+      FROM sess GROUP BY user_id, session_no),
+    cnt AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM paths GROUP BY path)
+    SELECT path, n_sessions FROM cnt
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def sessionize_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION PATH MINING — the navigation-sequence rollup on top of
+    `sessionize_gap`'s session assignment: per session, the ordered
+    sequence of event types truncated to the first 5 steps joins into a
+    '>'-path string, and the top-20 most common paths come back — the
+    "what do users actually do" query behind funnel design, and the
+    sequence-mining shape (ordered collect → prefix slice → frequency)
+    no other key exercises. Ordering inside a session is total
+    (ts, event_id), so the path strings are deterministic on both
+    engines. Scale: session assignment rides ONE hash partitioning on
+    user_id (lag + running sum, as in sessionize_gap); the per-session
+    collect is bounded by session length (gap-capped), the path
+    frequency count is an ordinary map-side-combinable agg on a short
+    string key, and top-20 is a TakeOrdered — no global sort of the
+    session frame."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn("session_no", F.sum("new_sess").over(run))
+    paths = (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.slice(
+                    F.transform(F.col("evs"), lambda s: s["event_type"]), 1, 5
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )

@@ -194,3 +194,76 @@ def agg_skew_auto_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_fraction=0.05,
     )
     return out.select("k", F.col("q").cast("double").alias("q"), "n")
+
+
+def hot_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    support: float = 0.2,
+    sample_fraction: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Skewed-fact × unique-key dim join via HOT-KEY SPLIT: the sketch
+    chooser nominates the fact side's heavy keys, those rows join a
+    broadcast of the (≤ 1/support rows) hot slice of the dim, and only
+    the cold remainder takes the shuffle join — so no reducer ever owns
+    a heavy key's full row set. AQE's skew-join splitting is the
+    first-line defense for sort-merge joins (enabled in session.py);
+    this is the explicit, plan-deterministic form for when the skewed
+    join must not depend on runtime re-planning (e.g. feeding a stateful
+    stage) or the join is not SMJ-shaped. With no hot keys detected the
+    plain single-shuffle join is returned untouched."""
+    hot = choose_hot_keys(fact, fact_key, support, sample_fraction, seed)
+    cond = fact[fact_key] == dim[dim_key]
+    if not hot:
+        return fact.join(dim, cond)
+    hot_part = fact.where(F.col(fact_key).isin(hot)).join(
+        F.broadcast(dim.where(F.col(dim_key).isin(hot))), cond
+    )
+    cold_part = fact.where(~F.col(fact_key).isin(hot)).join(
+        dim.where(~F.col(dim_key).isin(hot)), cond
+    )
+    return hot_part.unionByName(cold_part)
+
+
+_HOT_SPLIT_ORACLE = """
+WITH l AS (SELECT CASE WHEN l_orderkey % 5 < 3 THEN 1 ELSE l_orderkey END AS k,
+                  CAST(l_quantity AS DECIMAL(18,2)) AS q
+           FROM lineitem)
+SELECT l.k, o.o_orderstatus, COUNT(*) AS n, CAST(SUM(l.q) AS DOUBLE) AS qty
+FROM l JOIN orders o ON l.k = o.o_orderkey
+GROUP BY l.k, o.o_orderstatus
+"""
+
+
+@REG.register("join_skew_hot_split", oracle=_HOT_SPLIT_ORACLE)
+def join_skew_hot_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-split join mechanism as an oracled query — the JOIN twin
+    of `agg_skew_auto_salted`, same synthetic worst case: ~60% of
+    lineitem rows collapse onto orderkey 1, the one shape where a plain
+    shuffle join puts most of the fact on a single reducer and AQE can
+    only split what lands in one SMJ partition after the fact. The
+    sketch chooser nominates exactly that key; its rows join a 1-row
+    broadcast dim slice map-side (zero shuffle for 60% of the data),
+    the cold long tail takes the ordinary co-partitioned join. Decimal
+    sums keep the unioned two-path aggregation bit-identical to the
+    oracle's single-pass sum (double addition is order-sensitive;
+    decimal is not); output (k, o_orderstatus, n, qty) per joined
+    group."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 5 < 3, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+    )
+    dim = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = hot_split_join(li, dim, "k", "o_orderkey", support=0.2)
+    return (
+        joined.groupBy("k", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").cast("double").alias("qty"),
+        )
+    )
