@@ -50,6 +50,11 @@ KEYS = [
     # cold time should grow far slower than 10x (the replica corpus
     # barely grows the DISTINCT-word vocabulary: replicas repeat words)
     "wordpiece_train_merges",
+    # round 11: snapshot diff — doc_id offsets (1e6 multiples) preserve
+    # doc_id % 10, so every status class scales exactly 10x; the added-
+    # row offset is 1e9, disjoint from the replica id space by design.
+    # Expect ~linear: one co-partitioned full-outer join, no pair space
+    "table_diff_snapshot",
 ]
 
 
@@ -132,6 +137,21 @@ TPCH_KEYS = [
     # scales (the log bound depends on n only through path-halving,
     # and brand components converge in 5 rounds at sf0.1 already)
     "graph_connected_components_twostar",
+    # round 11: hot-split join — orderkey offsets are multiples of 1e8
+    # (≡ 0 mod 5), so EVERY replica's ~60% slice still collapses onto
+    # global key 1: the hot key grows 10x rows while the dim row count
+    # grows 10x with the hot slice still 1 row. The broadcast path must
+    # absorb a 10x-heavier hot key with no reducer owning it — the
+    # exact regime the operator exists for
+    "join_skew_hot_split",
+    # round 11: user_id offsets make replica users disjoint — sessions
+    # and paths grow exactly 10x on one user_id exchange (expect ~linear)
+    "sessionize_paths_topk",
+    # round 11: values are replicated verbatim, so the DISTINCT-value
+    # frame the cumulative window runs over is UNCHANGED at 10x — only
+    # the map-side-combinable value-groupBy sees 10x rows (expect
+    # sublinear: flat window term + linear scan term)
+    "stats_ks_exact",
 ]
 
 
@@ -188,6 +208,26 @@ def synthesize_tpch(out_dir: str) -> None:
                       "lineitem": len(lreps) * len(li)}), flush=True)
 
 
+def warm_jvm() -> None:
+    """One throwaway session + tiny job before ANY measurement: the first
+    Spark job in a fresh JVM pays process-global warmup (class loading,
+    codegen infrastructure) that later sessions in the same process never
+    see. Round-11 finding: the FIRST measured key of every prior run ate
+    that cost in its sf0.1 number (join_skew_hot_split measured 9.9 s
+    first-in-process vs 2.4 s on an identical fresh session right after),
+    deflating its ratio. Per-key sessions below stay fresh, so every
+    number remains a cold FIRST CALL of its session — just not of the
+    JVM."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.session import get_session
+
+    spark = get_session("scale-warm", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).groupBy(F.col("id") % 10).count().collect()
+    spark.stop()
+
+
 def time_key(key: str, sf_dir: str) -> float:
     from spark_text_clustering_spark.registry import QUERIES
     from spark_text_clustering_spark.session import get_session
@@ -217,6 +257,7 @@ def main() -> None:
         synthesize(out_dir)
     if not os.path.exists(f"{out_dir}/events.parquet"):
         synthesize_tpch(out_dir)
+    warm_jvm()
     for key in TPCH_KEYS:
         t_small = time_key(key, SF01)
         t_big = time_key(key, out_dir)

@@ -851,6 +851,35 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _ckpt_tracked(df: DataFrame) -> tuple[DataFrame, set]:
+    """localCheckpoint(eager) + the set of persistent-RDD ids the call
+    pinned, so a superseded round's blocks can be freed explicitly.
+    Without this the iterative kernels leak one node/edge-sized pinned
+    RDD per round per call until driver GC + the async ContextCleaner
+    catch up (round-11 measurement: 4 bench constructions of hash-min CC
+    left 37 RDDs pinned) — harmless at sf0.1, an unbounded storage-pool
+    drag on a long-lived 100 TB session. Id-diffing is safe here because
+    the kernels are single-threaded on the driver."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet())
+    out = df.localCheckpoint(eager=True)
+    after = set(sc._jsc.getPersistentRDDs().keySet())
+    return out, after - before
+
+
+def _drop_ckpt(spark_df: DataFrame, ids: set) -> None:
+    """Free a SUPERSEDED checkpoint's blocks. Destructive for the frame
+    that owned them (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on reuse — the
+    lineage is severed, so there is nothing to recompute from): only
+    ever call this on a round frame whose successor has already been
+    eagerly materialized, never on the frame the return value reads."""
+    sc = spark_df.sparkSession.sparkContext
+    m = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        if m.containsKey(i):
+            m[i].unpersist()
+
+
 def _hash_min_cc(und: DataFrame, max_rounds: int = 50) -> DataFrame:
     """Hash-min connected components over an undirected edge frame
     (columns ``u``, ``v``; both directions present): every node starts
@@ -879,12 +908,11 @@ def _hash_min_cc(und: DataFrame, max_rounds: int = 50) -> DataFrame:
     # pin the edge frame once — without this every round re-derives it
     # from parquet (measured 8.3 s -> ~3 s at sf0.1, the same finding as
     # the pagerank family's edge-list checkpoint)
-    und = und.localCheckpoint(eager=True)
-    comp = (
+    und, und_ids = _ckpt_tracked(und)
+    comp, prev_ids = _ckpt_tracked(
         und.select(F.col("u").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
         nbr_min = (
@@ -892,20 +920,23 @@ def _hash_min_cc(und: DataFrame, max_rounds: int = 50) -> DataFrame:
             .groupBy(F.col("v").alias("id2"))
             .agg(F.min("comp").alias("nbr"))
         )
-        nxt = (
-            comp.join(nbr_min, comp["id"] == nbr_min["id2"], "left")
-            .select(
+        nxt, nxt_ids = _ckpt_tracked(
+            comp.join(nbr_min, comp["id"] == nbr_min["id2"], "left").select(
                 "id",
                 F.least(F.col("comp"), F.coalesce("nbr", F.col("comp"))).alias(
                     "comp"
                 ),
                 F.col("comp").alias("prev"),
             )
-            .localCheckpoint(eager=True)
         )
+        # nxt is eagerly materialized above: the previous round's label
+        # blocks can never be read again — free them now (bounded
+        # footprint: at most 2 label frames + the edge frame pinned)
+        _drop_ckpt(und, prev_ids)
         changed = nxt.where(F.col("comp") != F.col("prev")).count()
-        comp = nxt.select("id", "comp")
+        comp, prev_ids = nxt.select("id", "comp"), nxt_ids
         if changed == 0:
+            _drop_ckpt(und, und_ids)  # returned labels don't read edges
             return comp
     raise RuntimeError(f"hash-min CC did not converge in {max_rounds} rounds")
 
@@ -1002,11 +1033,10 @@ def _two_star_cc(und: DataFrame, max_rounds: int = 40) -> tuple[DataFrame, int]:
     # symmetrized, or mixed inputs all produce the same edge set — and
     # the node spine is derived from BOTH endpoint columns, so a node
     # appearing only on the v side still gets a label row.
-    pairs = (
+    pairs, prev_ids = _ckpt_tracked(
         und.where(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("x"), F.least("u", "v").alias("y"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nodes = (
         und.select(F.col("u").alias("id"))
@@ -1038,11 +1068,8 @@ def _two_star_cc(und: DataFrame, max_rounds: int = 40) -> tuple[DataFrame, int]:
             .where(F.col("y") != F.col("m"))
             .select(F.col("y").alias("x"), F.col("m").alias("y"))
         )
-        nxt = (
-            mn2.select("x", F.col("m").alias("y"))
-            .unionAll(re_rooted)
-            .distinct()
-            .localCheckpoint(eager=True)
+        nxt, nxt_ids = _ckpt_tracked(
+            mn2.select("x", F.col("m").alias("y")).unionAll(re_rooted).distinct()
         )
         n_nxt = nxt.count()
         if n_nxt == n_prev and nxt.exceptAll(pairs).limit(1).count() == 0:
@@ -1051,8 +1078,14 @@ def _two_star_cc(und: DataFrame, max_rounds: int = 40) -> tuple[DataFrame, int]:
                 "id",
                 "left",
             ).select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+            # the returned labels read nodes + the LAST nxt; every prior
+            # round's edge frame is dead — free it (the convergence probe
+            # above was this round's final read of `pairs`)
+            _drop_ckpt(nodes, prev_ids)
             return labels, rounds
-        pairs, n_prev = nxt, n_nxt
+        # nxt materialized; the superseded round's blocks are dead
+        _drop_ckpt(nodes, prev_ids)
+        pairs, n_prev, prev_ids = nxt, n_nxt, nxt_ids
     raise RuntimeError(f"two-star CC did not converge in {max_rounds} rounds")
 
 

@@ -938,7 +938,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              lang, source, n_chars
       FROM documents WHERE doc_id % 10 <> 7),
     b_added AS (
-      SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      SELECT doc_id + 1000000000 AS doc_id, text, lang, source, n_chars
       FROM documents WHERE doc_id % 10 = 1),
     b AS (SELECT * FROM b_core UNION ALL SELECT * FROM b_added)
     SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
@@ -961,7 +961,7 @@ def table_diff_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     is explicit IS-DISTINCT-FROM per column, portable and null-correct.
     Snapshot B is derived deterministically so the key is self-contained
     and oracled (every id%10==7 doc removed, ==3 text-amended, ==1
-    duplicated at id+1e6 as an add). At 100 TB both snapshots bucket or
+    duplicated at id+1e9 as an add). At 100 TB both snapshots bucket or
     repartition by the key → sort-merge join with map-side column
     compares, no shuffle beyond the two key exchanges and no full-row
     driver traffic; the (doc_id, status) output feeds the incremental
@@ -975,7 +975,7 @@ def table_diff_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", amended.alias("text"), "lang", "source", "n_chars"
     )
     b_added = docs.where(F.col("doc_id") % 10 == 1).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
     )
     b = b_core.unionByName(b_added)
     a, bb = docs.alias("a"), b.alias("b")

@@ -90,3 +90,33 @@ def test_twostar_orientation_robust(spark):
     for und in (fwd, rev, fwd.unionAll(loops)):
         got = {(r["id"], r["comp"]) for r in _two_star_cc(und)[0].collect()}
         assert got == expected
+
+
+def test_cc_kernels_free_superseded_round_checkpoints(spark):
+    """Round-11 hygiene lock: each CC construction may keep only the
+    frames its RETURN VALUE reads pinned (hash-min: the final label
+    frame; two-star: final edge frame + node spine). Before the
+    _ckpt_tracked/_drop_ckpt cleanup every ROUND leaked a pinned RDD
+    (4 bench constructions left 37 RDDs pinned) — an unbounded storage
+    drag on a long-lived session."""
+    from spark_text_clustering_spark.registry import QUERIES
+
+    sc = spark.sparkContext
+
+    def pinned() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    for key, per_call_bound in [
+        ("graph_connected_components", 2),
+        ("graph_connected_components_twostar", 3),
+    ]:
+        QUERIES[key](spark, SF_SMALL).count()  # warm (memos, parquet footers)
+        base = pinned()
+        for _ in range(2):
+            QUERIES[key](spark, SF_SMALL).count()
+        growth = pinned() - base
+        assert growth <= 2 * per_call_bound, (
+            f"{key}: {growth} RDDs pinned by 2 constructions "
+            f"(bound {2 * per_call_bound}) — a superseded round frame "
+            f"is no longer being dropped"
+        )
