@@ -1,0 +1,45 @@
+"""Tracked localCheckpoint + explicit release for iterative kernels
+(round 11).
+
+Every per-round ``localCheckpoint(eager=True)`` pins node/edge/vocab-sized
+blocks in the executors' storage pool, and nothing frees them until driver
+GC plus the async ContextCleaner catch up — 4 bench constructions of the
+hash-min CC kernel left 37 RDDs pinned (measured via getRDDStorageInfo).
+Harmless at sf0.1; an unbounded storage drag on a long-lived 100 TB
+session. The pattern here is GraphX/Pregel's: materialize round N
+eagerly, then explicitly unpersist round N-1's blocks, keeping the pinned
+set bounded per CALL (latest frame + loop-invariant inputs), not per
+ROUND.
+
+Releasing is DESTRUCTIVE for the released frame: a localCheckpoint severs
+lineage, so once its blocks are dropped any reuse fails with
+CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (there is nothing to recompute from).
+Only release a frame that is provably dead — its successor is eagerly
+materialized AND every other reader (convergence probes, deltas) has
+already run. Id-diffing in ``ckpt_tracked`` is safe because the kernels
+run single-threaded on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ckpt_tracked(df: DataFrame) -> tuple[DataFrame, set]:
+    """localCheckpoint(eager=True) + the set of persistent-RDD ids the
+    call pinned, for a later targeted ``drop_ckpt``."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet())
+    out = df.localCheckpoint(eager=True)
+    after = set(sc._jsc.getPersistentRDDs().keySet())
+    return out, after - before
+
+
+def drop_ckpt(any_df: DataFrame, ids: set) -> None:
+    """Free a SUPERSEDED checkpoint's blocks (see module docstring for
+    the safety contract). ``any_df`` is only used to reach the session."""
+    sc = any_df.sparkSession.sparkContext
+    m = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        if m.containsKey(i):
+            m[i].unpersist()

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from .._registry import Registry
 from ..catalog import load_table
+from ..ckpt import ckpt_tracked, drop_ckpt
 
 REG = Registry()
 
@@ -235,7 +236,7 @@ def pagerank_until_convergence(
         return spark.createDataFrame([], "id long, pr double"), 0, 0.0
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
     deg = deg.localCheckpoint(eager=True)
-    pr = nodes.select("id", F.lit(1.0 / n).alias("pr")).localCheckpoint(eager=True)
+    pr, pr_ids = _ckpt_tracked(nodes.select("id", F.lit(1.0 / n).alias("pr")))
     delta = float("inf")
     it = 0
     while it < max_iter and delta > tol:
@@ -248,8 +249,9 @@ def pagerank_until_convergence(
             .select(F.col("dst").alias("id"), "pr")
         )
         it += 1
+        new_ids = None
         if it % checkpoint_every == 0:
-            new_pr = new_pr.localCheckpoint(eager=True)
+            new_pr, new_ids = _ckpt_tracked(new_pr)
         # L1 delta: one broadcast-sized agg over the joined vectors
         delta = (
             new_pr.join(pr.withColumnRenamed("pr", "prev"), "id")
@@ -257,6 +259,13 @@ def pagerank_until_convergence(
             .collect()[0]["d"]
         )
         pr = new_pr
+        if new_ids is not None:
+            # a NEWER eager checkpoint exists and the delta (the last
+            # read through the old chain) is computed — the superseded
+            # rank checkpoint's blocks are dead (round-11 hygiene; see
+            # _ckpt_tracked). Bounded pinning: edges + deg + latest rank.
+            _drop_ckpt(edges, pr_ids)
+            pr_ids = new_ids
     return pr, it, float(delta)
 
 
@@ -481,15 +490,17 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as `pagerank_until_convergence`. Output: surviving
     (node_id, degree) after round 3; a production run loops to the
     fixpoint with the identical per-round body."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges, prev_ids = _ckpt_tracked(_copurchase_edges(spark, sf_dir))
     for _ in range(_KCORE_PEELS):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.where(F.col("d") >= _KCORE_K).select(F.col("src").alias("id"))
-        edges = (
+        edges, new_ids = _ckpt_tracked(
             edges.join(keep, keep["id"] == edges["src"]).drop("id")
             .join(keep, keep["id"] == edges["dst"]).drop("id")
-            .localCheckpoint(eager=True)
         )
+        # peeled frame eagerly materialized — the predecessor is dead
+        _drop_ckpt(edges, prev_ids)
+        prev_ids = new_ids
     return edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     ).select(F.col("src").alias("node_id"), "degree")
@@ -657,11 +668,10 @@ def label_propagation_until_stable(
     if oscillation is detected (change count alternating, not
     shrinking)."""
     edges = edges.localCheckpoint(eager=True)
-    labels = (
+    labels, lbl_ids = _ckpt_tracked(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("label").asc())
     it, changed = 0, -1
@@ -677,8 +687,9 @@ def label_propagation_until_stable(
             .select(F.col("dst").alias("id"), "label")
         )
         it += 1
+        new_ids = None
         if it % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels, new_ids = _ckpt_tracked(new_labels)
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("label", "prev"), "id"
@@ -687,6 +698,12 @@ def label_propagation_until_stable(
             .count()
         )
         labels = new_labels
+        if new_ids is not None:
+            # newer eager checkpoint in place, change-count (the final
+            # read through the old chain) done — free the superseded
+            # label checkpoint (round-11 hygiene, see _ckpt_tracked)
+            _drop_ckpt(edges, lbl_ids)
+            lbl_ids = new_ids
     return labels, it, int(changed)
 
 
@@ -705,20 +722,23 @@ def kcore_until_fixpoint(
     predecessor three times; the cut keeps cost linear in rounds). The
     stopping signal is the edge count — already materialized by the
     eager checkpoint, so it costs one count on checkpointed data."""
-    edges = edges.localCheckpoint(eager=True)
+    edges, prev_ids = _ckpt_tracked(edges)
     n_edges = edges.count()
     rounds = 0
     while rounds < max_rounds:
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.where(F.col("d") >= k).select(F.col("src").alias("id"))
-        new_edges = (
+        new_edges, new_ids = _ckpt_tracked(
             edges.join(keep, keep["id"] == edges["src"]).drop("id")
             .join(keep, keep["id"] == edges["dst"]).drop("id")
-            .localCheckpoint(eager=True)
         )
         rounds += 1
         n_new = new_edges.count()
         edges = new_edges
+        # the peeled round's survivors are eagerly materialized — the
+        # previous edge frame is dead (round-11 hygiene, _ckpt_tracked)
+        _drop_ckpt(edges, prev_ids)
+        prev_ids = new_ids
         if n_new == n_edges:
             break
         n_edges = n_new
@@ -762,7 +782,7 @@ def personalized_pagerank_until_convergence(
         F.count(F.lit(1)).cast("double").alias("d")
     ).localCheckpoint(eager=True)
     tele = seeds.select("id", F.lit((1 - damping) / ns).alias("t"))
-    pr = seeds.select("id", F.lit(1.0 / ns).alias("pr")).localCheckpoint(eager=True)
+    pr, pr_ids = _ckpt_tracked(seeds.select("id", F.lit(1.0 / ns).alias("pr")))
     it, delta = 0, float("inf")
     while it < max_iter and delta > tol:
         pushed = (
@@ -782,8 +802,9 @@ def personalized_pagerank_until_convergence(
             .where(F.col("pr") > 0)
         )
         it += 1
+        new_ids = None
         if it % checkpoint_every == 0:
-            new_pr = new_pr.localCheckpoint(eager=True)
+            new_pr, new_ids = _ckpt_tracked(new_pr)
         delta = (
             new_pr.join(pr.withColumnRenamed("pr", "prev"), "id", "full_outer")
             .agg(
@@ -797,6 +818,11 @@ def personalized_pagerank_until_convergence(
             .collect()[0]["d"]
         )
         pr = new_pr
+        if new_ids is not None:
+            # superseded sparse-rank checkpoint freed once the newer one
+            # is materialized and the delta read it for the last time
+            _drop_ckpt(edges, pr_ids)
+            pr_ids = new_ids
     return pr, it, float(delta)
 
 
@@ -851,33 +877,12 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ckpt_tracked(df: DataFrame) -> tuple[DataFrame, set]:
-    """localCheckpoint(eager) + the set of persistent-RDD ids the call
-    pinned, so a superseded round's blocks can be freed explicitly.
-    Without this the iterative kernels leak one node/edge-sized pinned
-    RDD per round per call until driver GC + the async ContextCleaner
-    catch up (round-11 measurement: 4 bench constructions of hash-min CC
-    left 37 RDDs pinned) — harmless at sf0.1, an unbounded storage-pool
-    drag on a long-lived 100 TB session. Id-diffing is safe here because
-    the kernels are single-threaded on the driver."""
-    sc = df.sparkSession.sparkContext
-    before = set(sc._jsc.getPersistentRDDs().keySet())
-    out = df.localCheckpoint(eager=True)
-    after = set(sc._jsc.getPersistentRDDs().keySet())
-    return out, after - before
-
-
-def _drop_ckpt(spark_df: DataFrame, ids: set) -> None:
-    """Free a SUPERSEDED checkpoint's blocks. Destructive for the frame
-    that owned them (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on reuse — the
-    lineage is severed, so there is nothing to recompute from): only
-    ever call this on a round frame whose successor has already been
-    eagerly materialized, never on the frame the return value reads."""
-    sc = spark_df.sparkSession.sparkContext
-    m = sc._jsc.getPersistentRDDs()
-    for i in ids:
-        if m.containsKey(i):
-            m[i].unpersist()
+# tracked-checkpoint helpers live in ckpt.py (shared with the tokenizer
+# trainers); kept under their historical private names here — the
+# round-11 hygiene measurement (37 pinned RDDs after 4 CC constructions)
+# is documented on the ckpt module
+_ckpt_tracked = ckpt_tracked
+_drop_ckpt = drop_ckpt
 
 
 def _hash_min_cc(und: DataFrame, max_rounds: int = 50) -> DataFrame:

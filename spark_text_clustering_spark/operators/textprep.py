@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from .._registry import Registry
 from ..catalog import load_table
+from ..ckpt import ckpt_tracked, drop_ckpt
 
 REG = Registry()
 
@@ -412,12 +413,14 @@ def bpe_train_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    syms = words.select(
-        "freq",
-        F.expr(
-            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-        ).alias("syms"),
-    ).localCheckpoint(eager=True)
+    syms, syms_ids = ckpt_tracked(
+        words.select(
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+    )
 
     out_schema = "step int, left string, right string, pair_count long"
     merges: list[tuple[int, str, str, int]] = []
@@ -459,9 +462,13 @@ def bpe_train_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        syms = syms.select("freq", apply_merge.alias("syms")).localCheckpoint(
-            eager=True
-        )
+        syms, new_ids = ckpt_tracked(syms.select("freq", apply_merge.alias("syms")))
+        # the merged round is eagerly materialized — the previous round's
+        # vocab-sized blocks are dead (round-11 hygiene, see ckpt.py)
+        drop_ckpt(syms, syms_ids)
+        syms_ids = new_ids
+    # the merge table is pure driver data; the last symbol frame is dead
+    drop_ckpt(syms, syms_ids)
     return spark.createDataFrame(merges, out_schema)
 
 
@@ -478,6 +485,7 @@ def bpe_apply_merges(
         "tokens",
         F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
     )
+    prev_ids: set = set()
     for step, (a, b) in enumerate(merges):
         la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
         apply_merge = F.aggregate(
@@ -493,7 +501,11 @@ def bpe_apply_merges(
         )
         syms = syms.withColumn("tokens", apply_merge)
         if (step + 1) % 4 == 0:
-            syms = syms.localCheckpoint(eager=True)
+            syms, new_ids = ckpt_tracked(syms)
+            if prev_ids:  # newer checkpoint live -> predecessor is dead
+                drop_ckpt(syms, prev_ids)
+            prev_ids = new_ids
+    # NOTE: the LAST checkpoint stays pinned — the returned frame reads it
     return syms
 
 
@@ -622,8 +634,8 @@ def wordpiece_train_merges(
     the one corpus scan with the vocab/encode stages."""
     if words is None:
         words = _wp_words(spark, sf_dir)
-    syms = words.select("freq", F.expr(_WP_INIT_SYMS).alias("syms")).localCheckpoint(
-        eager=True
+    syms, syms_ids = ckpt_tracked(
+        words.select("freq", F.expr(_WP_INIT_SYMS).alias("syms"))
     )
 
     out_schema = "step int, left string, right string, score double, pair_count long"
@@ -706,9 +718,12 @@ def wordpiece_train_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        syms = syms.select("freq", apply_merge.alias("syms")).localCheckpoint(
-            eager=True
-        )
+        syms, new_ids = ckpt_tracked(syms.select("freq", apply_merge.alias("syms")))
+        # merged round materialized — previous round's blocks are dead
+        drop_ckpt(syms, syms_ids)
+        syms_ids = new_ids
+    # the merge table is pure driver data; the last symbol frame is dead
+    drop_ckpt(syms, syms_ids)
     return spark.createDataFrame(merges, out_schema)
 
 

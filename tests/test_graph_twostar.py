@@ -109,6 +109,14 @@ def test_cc_kernels_free_superseded_round_checkpoints(spark):
     for key, per_call_bound in [
         ("graph_connected_components", 2),
         ("graph_connected_components_twostar", 3),
+        # the other round-11-patched iterative loops: the trainers return
+        # pure driver data (0 pinned per call), the graph keys keep only
+        # the returned frame's chain (1, bound 2 for slack)
+        ("bpe_train_merges", 1),
+        ("wordpiece_train_merges", 1),
+        ("graph_pagerank", 2),
+        ("graph_kcore_peel", 2),
+        ("graph_label_propagation", 2),
     ]:
         QUERIES[key](spark, SF_SMALL).count()  # warm (memos, parquet footers)
         base = pinned()
