@@ -168,6 +168,8 @@ HEADLINE = [
     "join_skew_hot_split",
     "table_diff_snapshot",
     "sessionize_paths_topk",
+    "stats_anova_oneway",
+    "winsorize_clip_group",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION

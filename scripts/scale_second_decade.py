@@ -152,6 +152,13 @@ TPCH_KEYS = [
     # the map-side-combinable value-groupBy sees 10x rows (expect
     # sublinear: flat window term + linear scan term)
     "stats_ks_exact",
+    # round 11b: k event-type groups unchanged at 10x rows — one grouped
+    # moment agg + k-row reduction (expect ~linear scan term)
+    "stats_anova_oneway",
+    # round 11b: l_returnflag groups unchanged; the exact percentile_disc
+    # buffers per-group values, the stated scale seam (approx swap named
+    # in the docstring) — the decade ratio is the evidence for that note
+    "winsorize_clip_group",
 ]
 
 
@@ -220,11 +227,24 @@ def warm_jvm() -> None:
     JVM."""
     from pyspark.sql import functions as F
 
+    from spark_text_clustering_spark.catalog import load_table
     from spark_text_clustering_spark.session import get_session
 
     spark = get_session("scale-warm", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).groupBy(F.col("id") % 10).count().collect()
+    # a range groupBy alone leaves the parquet datasource + aggregate
+    # codegen classes cold and the first real key still pays ~2 s
+    # (round-11 re-measure: anova 3.1 s first vs 1.0-1.3 s after) — touch
+    # the real read + agg + join paths on the tiny sf0.001 tables
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    ev.groupBy("event_type").agg(F.avg("value"), F.count(F.lit(1))).collect()
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).groupBy(
+        "o_orderstatus"
+    ).count().collect()
     spark.stop()
 
 

@@ -1785,3 +1785,69 @@ def stats_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
     )
+
+
+_ANOVA_ORACLE = """
+WITH g AS (
+  SELECT event_type, count(*) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+t AS (SELECT SUM(n) AS n_tot, SUM(n * m) / SUM(n) AS gm,
+             COUNT(*) AS k FROM g)
+SELECT round((SUM(g.n * (g.m - t.gm) * (g.m - t.gm)) / (t.k - 1))
+             / (SUM((g.n - 1) * g.v) / (t.n_tot - t.k)), 6) AS f_stat,
+       CAST(t.k - 1 AS BIGINT) AS df_between,
+       CAST(t.n_tot - t.k AS BIGINT) AS df_within,
+       CAST(t.k AS BIGINT) AS k,
+       CAST(t.n_tot AS BIGINT) AS n
+FROM g, t
+GROUP BY t.k, t.n_tot
+"""
+
+
+@REG.register("stats_anova_oneway", oracle=_ANOVA_ORACLE)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across ALL event-type slices — the k-group
+    extension of `stats_ttest_welch`'s two-group comparison, completing
+    the parametric family (t / F / chi2 / KS / U): F = MSB/MSW with
+    MSB = Σ n_g(m_g − m̄)²/(k−1) and MSW = Σ (n_g−1)v_g/(n−k), the
+    between/within variance decomposition. The grand mean is the
+    n-weighted mean of group means (≡ the pooled mean), so everything
+    derives from ONE map-side-combined grouped aggregation
+    (count/avg/var_samp per type — group-sized output) plus a k-row
+    reduction; no second data pass, no join against raw rows. The same
+    number a feature-vs-target screen computes per column at training
+    time. One row out: (f_stat, df_between, df_within, k, n)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    t = g.agg(
+        F.sum("n").alias("n_tot"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = g.crossJoin(F.broadcast(t))
+    return (
+        j.groupBy("k", "n_tot")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm")))
+                    / (F.col("k") - 1)
+                )
+                / (F.sum((F.col("n") - 1) * F.col("v")) / (F.col("n_tot") - F.col("k"))),
+                6,
+            ).alias("f_stat"),
+            (F.first("k") - 1).cast("long").alias("df_between"),
+            (F.first("n_tot") - F.first("k")).cast("long").alias("df_within"),
+        )
+        .select(
+            "f_stat",
+            "df_between",
+            "df_within",
+            F.col("k").cast("long").alias("k"),
+            F.col("n_tot").cast("long").alias("n"),
+        )
+    )

@@ -631,3 +631,60 @@ def sessionize_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(20)
     )
+
+
+@REG.register(
+    "winsorize_clip_group",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_disc(l_quantity, 0.05) AS lo,
+             quantile_disc(l_quantity, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l.l_quantity < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN l.l_quantity > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           CAST(SUM(CAST(LEAST(GREATEST(l.l_quantity, b.lo), b.hi)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS clipped_sum
+    FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def winsorize_clip_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group WINSORIZATION — the outlier treatment a feature-prep
+    pipeline applies before scaling: values clip to the group's
+    [p05, p95] band. Bounds use percentile_disc (actual data values,
+    never an interpolation — the cross-engine-exact choice, cf.
+    `percentile_disc_group`); the clipped sum aggregates in DECIMAL so
+    the two engines' addition orders cannot diverge. Two passes over
+    the fact in exchange for exact bounds: one grouped percentile agg
+    (group-sized output, broadcast back) + one clip-and-aggregate pass
+    riding a broadcast hash join — no row-level shuffle beyond the
+    final group agg; the approximate-bounds variant at 100 TB swaps
+    pass one for percentile_approx on the same plan. Output per group:
+    (n, n_clipped_low, n_clipped_high, clipped_sum)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("wins_lineitem")
+    bounds = spark.sql(
+        """
+        SELECT l_returnflag AS rf,
+               percentile_disc(0.05) WITHIN GROUP (ORDER BY l_quantity) AS lo,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity) AS hi
+        FROM wins_lineitem GROUP BY l_returnflag
+        """
+    )
+    j = li.join(F.broadcast(bounds), li["l_returnflag"] == bounds["rf"])
+    clipped = F.least(F.greatest(F.col("l_quantity"), F.col("lo")), F.col("hi"))
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_quantity") < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("l_quantity") > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+        F.sum(clipped.cast("decimal(18,2)")).cast("double").alias("clipped_sum"),
+    )

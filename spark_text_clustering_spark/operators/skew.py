@@ -214,7 +214,10 @@ def hot_split_join(
     this is the explicit, plan-deterministic form for when the skewed
     join must not depend on runtime re-planning (e.g. feeding a stateful
     stage) or the join is not SMJ-shaped. With no hot keys detected the
-    plain single-shuffle join is returned untouched."""
+    plain single-shuffle join is returned untouched. INNER semantics
+    only: the two paths partition the key space, which is sound because
+    an inner join drops unmatched (and null) keys on both sides anyway;
+    an outer variant would need the anti-join remainders re-appended."""
     hot = choose_hot_keys(fact, fact_key, support, sample_fraction, seed)
     cond = fact[fact_key] == dim[dim_key]
     if not hot:

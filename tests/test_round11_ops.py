@@ -80,7 +80,7 @@ def test_hot_split_join_hot_path_is_broadcast(spark):
 
 def test_table_diff_snapshot_status_counts(spark):
     """The derived snapshot plants exact populations per status class:
-    id%10==1 duplicated at +1e6 (added), id%10==7 dropped (removed),
+    id%10==1 duplicated at +1e9 (added), id%10==7 dropped (removed),
     id%10==3 text-amended (changed), everything else unchanged."""
     docs = load_table(spark, SF_SMALL, "documents")
     by_mod = {
@@ -167,3 +167,84 @@ def test_stats_ks_exact_matches_pure_python(spark):
 
     lam2 = d * d * (len(s1) * len(s2) / (len(s1) + len(s2)))
     assert abs(row["p_asym"] - min(1.0, 2 * math.exp(-2 * lam2))) < 1e-6
+
+
+def test_hot_split_join_randomized_equivalence(spark):
+    """Seeded randomized trials over adversarial key distributions
+    (one dominant key / several hot keys / uniform / disjoint ranges):
+    hot_split_join must equal the plain inner join row-for-row on every
+    shape, including when the chooser nominates nothing or the dim is
+    missing hot keys entirely."""
+    import random
+
+    rng = random.Random(1107)
+    for trial in range(5):
+        n_fact = rng.randint(50, 400)
+        shape = trial % 4
+        if shape == 0:  # one dominant key
+            keys = [1] * (n_fact // 2) + [rng.randint(2, 30) for _ in range(n_fact - n_fact // 2)]
+        elif shape == 1:  # two hot keys
+            keys = [rng.choice([7, 8]) for _ in range(n_fact // 2)] + [
+                rng.randint(9, 60) for _ in range(n_fact - n_fact // 2)
+            ]
+        elif shape == 2:  # uniform (no hot keys)
+            keys = [rng.randint(0, 40) for _ in range(n_fact)]
+        else:  # fact keys partially absent from dim
+            keys = [1] * (n_fact // 2) + [rng.randint(100, 160) for _ in range(n_fact - n_fact // 2)]
+        fact = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(keys)], "k long, rid long"
+        )
+        dim = spark.createDataFrame(
+            [(d, d * 10) for d in range(0, 80)], "dk long, attr long"
+        )
+        split = hot_split_join(fact, dim, "k", "dk", support=0.2, sample_fraction=1.0)
+        plain = fact.join(dim, fact["k"] == dim["dk"])
+        cols = ["k", "rid", "dk", "attr"]
+        assert _rows(split, *cols) == _rows(plain, *cols), f"trial {trial} shape {shape}"
+
+
+# ---------------------------------------------------- anova + winsorize
+
+
+def test_stats_anova_oneway_matches_pure_python(spark):
+    """statistics-module golden twin (the welch/mannwhitney discipline):
+    same F from the textbook between/within decomposition over the
+    collected slices."""
+    import statistics
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    )
+    groups: dict[str, list[float]] = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append(r["value"])
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    gm = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (statistics.fmean(v) - gm) ** 2 for v in groups.values())
+    ssw = sum((len(v) - 1) * statistics.variance(v) for v in groups.values())
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    row = QUERIES["stats_anova_oneway"](spark, SF_SMALL).collect()[0]
+    assert abs(row["f_stat"] - f) < 1e-5
+    assert row["k"] == k and row["n"] == n
+    assert row["df_between"] == k - 1 and row["df_within"] == n - k
+
+
+def test_winsorize_clip_bounds_and_counts(spark):
+    """Clip-count sanity: at percentile_disc(0.05/0.95) bounds, at most
+    5% of a group's rows can lie strictly below lo (rank definition) and
+    at most 5% strictly above hi; the clipped sum is between n*lo and
+    n*hi."""
+    out = {r["l_returnflag"]: r for r in QUERIES["winsorize_clip_group"](
+        spark, SF_SMALL).collect()}
+    li = load_table(spark, SF_SMALL, "lineitem")
+    assert set(out) == {r["l_returnflag"] for r in
+                        li.select("l_returnflag").distinct().collect()}
+    for rf, r in out.items():
+        assert r["n_clipped_low"] <= 0.05 * r["n"] + 1
+        assert r["n_clipped_high"] <= 0.05 * r["n"] + 1
+        assert r["n_clipped_low"] + r["n_clipped_high"] < r["n"]
+        assert r["clipped_sum"] > 0
