@@ -170,6 +170,7 @@ HEADLINE = [
     "sessionize_paths_topk",
     "stats_anova_oneway",
     "winsorize_clip_group",
+    "stats_levene_brownforsythe",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION

@@ -1851,3 +1851,87 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tot").cast("long").alias("n"),
         )
     )
+
+
+_LEVENE_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+z AS (
+  SELECT e.event_type, ABS(e.value - med.med) AS z
+  FROM events e JOIN med ON e.event_type = med.event_type
+  WHERE e.value IS NOT NULL),
+g AS (
+  SELECT event_type, count(*) AS n, avg(z) AS m, var_samp(z) AS v
+  FROM z GROUP BY event_type),
+t AS (SELECT SUM(n) AS n_tot, SUM(n * m) / SUM(n) AS gm,
+             COUNT(*) AS k FROM g)
+SELECT round((SUM(g.n * (g.m - t.gm) * (g.m - t.gm)) / (t.k - 1))
+             / (SUM((g.n - 1) * g.v) / (t.n_tot - t.k)), 6) AS w_stat,
+       CAST(t.k - 1 AS BIGINT) AS df_between,
+       CAST(t.n_tot - t.k AS BIGINT) AS df_within,
+       CAST(t.k AS BIGINT) AS k,
+       CAST(t.n_tot AS BIGINT) AS n
+FROM g, t
+GROUP BY t.k, t.n_tot
+"""
+
+
+@REG.register("stats_levene_brownforsythe", oracle=_LEVENE_ORACLE)
+def stats_levene_brownforsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (median-based Levene) for VARIANCE
+    homogeneity across the event-type slices — the assumption check a
+    careful analyst runs BEFORE trusting `stats_anova_oneway`'s pooled
+    within-variance: W is exactly the one-way ANOVA F computed on the
+    absolute deviations z = |x − group median|. The median is
+    percentile_disc(0.5) — an actual data value, cross-engine exact
+    (the `percentile_disc_group` discipline), which is also the robust
+    variant the literature recommends over mean-centered Levene for
+    skewed data. Two passes: one group-sized median agg broadcast back,
+    then the same ONE map-side-combined moment aggregation as ANOVA.
+    One row out: (w_stat, df_between, df_within, k, n)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev.createOrReplaceTempView("levene_events")
+    med = spark.sql(
+        """
+        SELECT event_type AS et,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+        FROM levene_events GROUP BY event_type
+        """
+    )
+    z = ev.join(F.broadcast(med), ev["event_type"] == med["et"]).select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("z").alias("m"),
+        F.var_samp("z").alias("v"),
+    )
+    t = g.agg(
+        F.sum("n").alias("n_tot"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = g.crossJoin(F.broadcast(t))
+    return (
+        j.groupBy("k", "n_tot")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm")))
+                    / (F.col("k") - 1)
+                )
+                / (F.sum((F.col("n") - 1) * F.col("v")) / (F.col("n_tot") - F.col("k"))),
+                6,
+            ).alias("w_stat"),
+            (F.first("k") - 1).cast("long").alias("df_between"),
+            (F.first("n_tot") - F.first("k")).cast("long").alias("df_within"),
+        )
+        .select(
+            "w_stat",
+            "df_between",
+            "df_within",
+            F.col("k").cast("long").alias("k"),
+            F.col("n_tot").cast("long").alias("n"),
+        )
+    )

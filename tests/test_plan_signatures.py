@@ -158,6 +158,8 @@ _BNLJ_WHITELIST = {
     "funnel_conversion",  # three 1-row step aggregates cross-joined
     "funnel_windowed",  # same: three 1-row step counts cross-joined
     "stats_chi2_independence",  # r-row x c-row margin grid cross-join (20 cells)
+    "stats_anova_oneway",  # 1-row totals frame cross-broadcast x k groups
+    "stats_levene_brownforsythe",  # same shape on the |x - median| moments
     "drift_psi",  # 1-row ref/cur stats frame cross-broadcast into binning
     "drift_ks_binned",  # same binning subplan; stats cross-broadcasts recur
     "drift_js_binned",  # same shared binning stage: 1-row stats frames cross-broadcast

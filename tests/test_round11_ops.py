@@ -248,3 +248,35 @@ def test_winsorize_clip_bounds_and_counts(spark):
         assert r["n_clipped_high"] <= 0.05 * r["n"] + 1
         assert r["n_clipped_low"] + r["n_clipped_high"] < r["n"]
         assert r["clipped_sum"] > 0
+
+
+def test_stats_levene_brownforsythe_matches_pure_python(spark):
+    """Brown-Forsythe W = ANOVA F on |x - group median| with the
+    lower-median (percentile_disc) convention — pure-Python twin."""
+    import statistics
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    )
+    groups: dict[str, list[float]] = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append(r["value"])
+
+    def disc_median(v):  # percentile_disc(0.5): lower median, a data value
+        s = sorted(v)
+        import math
+        return s[math.ceil(0.5 * len(s)) - 1]
+
+    zs = {g: [abs(x - disc_median(v)) for x in v] for g, v in groups.items()}
+    k = len(zs)
+    n = sum(len(v) for v in zs.values())
+    gm = sum(sum(v) for v in zs.values()) / n
+    ssb = sum(len(v) * (statistics.fmean(v) - gm) ** 2 for v in zs.values())
+    ssw = sum((len(v) - 1) * statistics.variance(v) for v in zs.values())
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    row = QUERIES["stats_levene_brownforsythe"](spark, SF_SMALL).collect()[0]
+    assert abs(row["w_stat"] - w) < 1e-5
+    assert row["k"] == k and row["n"] == n
