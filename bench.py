@@ -171,6 +171,8 @@ HEADLINE = [
     "stats_anova_oneway",
     "winsorize_clip_group",
     "stats_levene_brownforsythe",
+    "timeseries_acf",
+    "attribution_last_touch",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION

@@ -159,6 +159,12 @@ TPCH_KEYS = [
     # buffers per-group values, the stated scale seam (approx swap named
     # in the docstring) — the decade ratio is the evidence for that note
     "winsorize_clip_group",
+    # round 11c: 5 series x 10x rows — one per-series window sort plus a
+    # map-side corr agg (expect ~linear)
+    "timeseries_acf",
+    # round 11c: replica users are disjoint, purchases and lookback
+    # windows scale 10x on one user-co-partitioned join (expect ~linear)
+    "attribution_last_touch",
 ]
 
 

@@ -1935,3 +1935,126 @@ def stats_levene_brownforsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tot").cast("long").alias("n"),
         )
     )
+
+
+_ACF_LAGS = 5
+
+_ACF_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, value,
+         LAG(value, 1) OVER w AS l1, LAG(value, 2) OVER w AS l2,
+         LAG(value, 3) OVER w AS l3, LAG(value, 4) OVER w AS l4,
+         LAG(value, 5) OVER w AS l5
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+u AS (
+  SELECT event_type, 1 AS lag, value, l1 AS lv FROM s UNION ALL
+  SELECT event_type, 2, value, l2 FROM s UNION ALL
+  SELECT event_type, 3, value, l3 FROM s UNION ALL
+  SELECT event_type, 4, value, l4 FROM s UNION ALL
+  SELECT event_type, 5, value, l5 FROM s)
+SELECT event_type, CAST(lag AS INTEGER) AS lag,
+       round(corr(value, lv), 6) AS acf,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM u WHERE lv IS NOT NULL
+GROUP BY event_type, lag
+"""
+
+
+@REG.register("timeseries_acf", oracle=_ACF_ORACLE)
+def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series AUTOCORRELATION profile — corr(x_t, x_{t−L}) for lags
+    1..5 per event-type series, the first diagnostic a forecasting
+    pipeline computes before choosing model order (AR terms, seasonality
+    screens; the profiling companion to `timeseries_ewma`/`holt_linear`).
+    ONE window pass produces all five lagged columns on the same
+    (event_type | ts, event_id) total order the other time-series keys
+    use, an unpivot (stack) turns lag into a key column, and corr()
+    aggregates map-side per (series, lag) — so the full-data cost is one
+    hash partitioning by series plus one grouped co-moment agg, never a
+    self-join per lag. Output: (event_type, lag, acf, n_pairs)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        "value",
+        *[F.lag("value", i).over(w).alias(f"l{i}") for i in range(1, _ACF_LAGS + 1)],
+    )
+    stack_expr = ", ".join(f"{i}, l{i}" for i in range(1, _ACF_LAGS + 1))
+    u = lagged.select(
+        "event_type",
+        "value",
+        F.expr(f"stack({_ACF_LAGS}, {stack_expr}) AS (lag, lv)"),
+    ).where(F.col("lv").isNotNull())
+    return u.groupBy("event_type", F.col("lag").cast("int").alias("lag")).agg(
+        F.round(F.corr("value", "lv"), 6).alias("acf"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+_ATTRIB_ORACLE = """
+WITH p AS (SELECT event_id AS pid, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+e AS (SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type <> 'purchase'),
+j AS (
+  SELECT p.pid, e.event_type,
+         ROW_NUMBER() OVER (PARTITION BY p.pid
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM p JOIN e ON e.user_id = p.user_id
+     AND e.ts < p.ts
+     AND date_diff('microsecond', e.ts, p.ts) <= 1800000000),
+att AS (SELECT pid, event_type FROM j WHERE rn = 1)
+SELECT coalesce(att.event_type, 'unattributed') AS src_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM p LEFT JOIN att ON att.pid = p.pid
+GROUP BY 1
+"""
+
+
+@REG.register("attribution_last_touch", oracle=_ATTRIB_ORACLE)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION — for every purchase, credit the user's
+    most recent non-purchase event inside a 30-minute lookback, the
+    query behind every "which channel drives conversions" report and
+    the funnel family's causal-ish sibling. Deterministic last-touch:
+    the candidate window joins on user_id with a microsecond-bounded
+    time predicate, then ROW_NUMBER over (ts desc, event_id desc) per
+    purchase picks one winner — the same total-order discipline as the
+    sessionizers, identical on both engines (no engine-specific
+    arg_max/IGNORE NULLS frame semantics). Purchases with an empty
+    lookback stay in the output as 'unattributed' (left join back to
+    the purchase spine). Scale: ONE user_id-co-partitioned equi-join
+    with the time bound as a residual predicate (purchases and
+    touchpoints of a user land in the same partition — never a
+    cross-user pair), a purchase-keyed window over lookback-bounded
+    groups, and a small final agg. Output: (src_type, n_purchases)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_ts"),
+    )
+    e = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("e_user"),
+        F.unix_micros("ts").alias("e_ts"),
+        F.col("event_id").alias("e_id"),
+        F.col("event_type").alias("src"),
+    )
+    j = p.join(
+        e,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("e_ts") < F.col("p_ts"))
+        & (F.col("p_ts") - F.col("e_ts") <= F.lit(1_800_000_000)),
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("e_ts"), F.desc("e_id"))
+    att = (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("pid", "src")
+    )
+    return (
+        p.join(att, "pid", "left")
+        .groupBy(F.coalesce("src", F.lit("unattributed")).alias("src_type"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )

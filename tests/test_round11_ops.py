@@ -280,3 +280,65 @@ def test_stats_levene_brownforsythe_matches_pure_python(spark):
     row = QUERIES["stats_levene_brownforsythe"](spark, SF_SMALL).collect()[0]
     assert abs(row["w_stat"] - w) < 1e-5
     assert row["k"] == k and row["n"] == n
+
+
+def test_timeseries_acf_matches_pure_python(spark):
+    """Pure-Python ACF twin on the collected series (sample correlation
+    of (x_t, x_{t-L}) pairs, textbook formula)."""
+    import statistics
+
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    got = {
+        (r["event_type"], r["lag"]): (r["acf"], r["n_pairs"])
+        for r in QUERIES["timeseries_acf"](spark, SF_SMALL).collect()
+    }
+    for et, sv in series.items():
+        xs = [v for _, _, v in sorted(sv)]
+        for lag in (1, 3, 5):
+            a, b = xs[lag:], xs[:-lag]
+            exp = statistics.correlation(a, b)
+            acf, n = got[(et, lag)]
+            assert n == len(a)
+            assert abs(acf - exp) < 1e-5, (et, lag)
+
+
+def test_attribution_last_touch_mass_and_bounds(spark):
+    """Attribution conserves purchases: the per-source counts sum to the
+    total purchase count, sources are valid non-purchase types (plus
+    'unattributed'), and a brute-force per-purchase recompute on the
+    collected events agrees exactly."""
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    ).collect()
+    purchases = [r for r in ev if r["event_type"] == "purchase"]
+    by_user: dict[int, list] = {}
+    for r in ev:
+        if r["event_type"] != "purchase":
+            by_user.setdefault(r["user_id"], []).append(r)
+    expected: dict[str, int] = {}
+    for p in purchases:
+        cands = [
+            e for e in by_user.get(p["user_id"], [])
+            if e["us"] < p["us"] and p["us"] - e["us"] <= 1_800_000_000
+        ]
+        src = (
+            max(cands, key=lambda e: (e["us"], e["event_id"]))["event_type"]
+            if cands else "unattributed"
+        )
+        expected[src] = expected.get(src, 0) + 1
+    got = {
+        r["src_type"]: r["n_purchases"]
+        for r in QUERIES["attribution_last_touch"](spark, SF_SMALL).collect()
+    }
+    assert got == expected
+    assert sum(got.values()) == len(purchases)
