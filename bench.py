@@ -173,6 +173,7 @@ HEADLINE = [
     "stats_levene_brownforsythe",
     "timeseries_acf",
     "attribution_last_touch",
+    "stats_pairwise_contrasts",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION

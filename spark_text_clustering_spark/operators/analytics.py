@@ -2058,3 +2058,67 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("src", F.lit("unattributed")).alias("src_type"))
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+_PAIRWISE_ORACLE = """
+WITH g AS (
+  SELECT event_type, count(*) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+t AS (SELECT SUM(n) AS n_tot, COUNT(*) AS k,
+             SUM((n - 1) * v) / (SUM(n) - COUNT(*)) AS msw FROM g)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       round(a.m - b.m, 6) AS mean_diff,
+       round(sqrt(t.msw * (1.0 / a.n + 1.0 / b.n)), 6) AS se,
+       round((a.m - b.m) / sqrt(t.msw * (1.0 / a.n + 1.0 / b.n)), 6) AS t_stat,
+       CAST(t.n_tot - t.k AS BIGINT) AS df_within
+FROM g a JOIN g b ON a.event_type < b.event_type, t
+"""
+
+
+@REG.register("stats_pairwise_contrasts", oracle=_PAIRWISE_ORACLE)
+def stats_pairwise_contrasts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST-HOC pairwise contrasts after `stats_anova_oneway`: for every
+    unordered group pair, the mean difference, its pooled standard error
+    SE = sqrt(MSW·(1/n_a + 1/n_b)), and the studentized t — the "WHICH
+    groups differ" step once the omnibus F rejects. Critical values
+    (Tukey's q, Bonferroni) are a driver-side lookup the caller applies
+    to df_within; the engine's job is the k(k−1)/2 contrast table, and
+    k is group-count-sized, so the pair frame is tiny by construction:
+    ONE map-side-combined moment aggregation over the data (shared shape
+    with ANOVA), then a k×k self-join of the k-row group frame — no
+    data-sized join anywhere. Output per pair:
+    (type_a, type_b, mean_diff, se, t_stat, df_within)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    t = g.agg(
+        F.sum("n").alias("n_tot"),
+        F.count(F.lit(1)).alias("k"),
+        (
+            F.sum((F.col("n") - 1) * F.col("v"))
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("msw"),
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).crossJoin(F.broadcast(t))
+    se = F.sqrt(F.col("msw") * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+        F.round(se, 6).alias("se"),
+        F.round((F.col("m_a") - F.col("m_b")) / se, 6).alias("t_stat"),
+        (F.col("n_tot") - F.col("k")).cast("long").alias("df_within"),
+    )

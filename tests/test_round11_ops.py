@@ -342,3 +342,35 @@ def test_attribution_last_touch_mass_and_bounds(spark):
     }
     assert got == expected
     assert sum(got.values()) == len(purchases)
+
+
+def test_stats_pairwise_contrasts_matches_pure_python(spark):
+    """Pooled-SE contrasts twin: for each group pair, diff of means, SE
+    from the shared MSW, studentized t; pair count is k choose 2."""
+    import math
+    import statistics
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    )
+    groups: dict[str, list[float]] = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append(r["value"])
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    msw = sum((len(v) - 1) * statistics.variance(v) for v in groups.values()) / (
+        n - k
+    )
+    rows = QUERIES["stats_pairwise_contrasts"](spark, SF_SMALL).collect()
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        va, vb = groups[r["type_a"]], groups[r["type_b"]]
+        diff = statistics.fmean(va) - statistics.fmean(vb)
+        se = math.sqrt(msw * (1 / len(va) + 1 / len(vb)))
+        assert abs(r["mean_diff"] - diff) < 1e-5
+        assert abs(r["se"] - se) < 1e-5
+        assert abs(r["t_stat"] - diff / se) < 1e-4
+        assert r["df_within"] == n - k
