@@ -162,6 +162,9 @@ TPCH_KEYS = [
     # round 11c: 5 series x 10x rows — one per-series window sort plus a
     # map-side corr agg (expect ~linear)
     "timeseries_acf",
+    # round 11c: same one-grouped-moment-agg spine as anova; the pair
+    # frame is k(k-1)/2 rows regardless of data size (expect ~flat)
+    "stats_pairwise_contrasts",
     # round 11c: replica users are disjoint, purchases and lookback
     # windows scale 10x on one user-co-partitioned join (expect ~linear)
     "attribution_last_touch",
