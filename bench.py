@@ -174,6 +174,12 @@ HEADLINE = [
     "timeseries_acf",
     "attribution_last_touch",
     "stats_pairwise_contrasts",
+    # round 11 continuation
+    "graph_bfs_hops",
+    "stats_spearman_corr",
+    "timeseries_seasonal_hour",
+    "stats_cramers_v",
+    "quality_ngram_diversity",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION
@@ -243,6 +249,9 @@ EAGER_KEYS = {
     # large-star/small-star rounds (checkpoint + convergence probe per
     # round) run at construction, same class as graph_connected_components
     "graph_connected_components_twostar",
+    # level-synchronous BFS checkpoints + frontier-empty probes every
+    # round at construction, same class as the CC kernels
+    "graph_bfs_hops",
     # round-9 audit (tests/test_bench_eager.py found these by counting
     # construction-time Spark jobs): model fits / sketch builds / stored-
     # index loads that run driver-side actions before the returned frame

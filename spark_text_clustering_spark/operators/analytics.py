@@ -2122,3 +2122,215 @@ def stats_pairwise_contrasts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("m_a") - F.col("m_b")) / se, 6).alias("t_stat"),
         (F.col("n_tot") - F.col("k")).cast("long").alias("df_within"),
     )
+
+
+_SPEARMAN_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+           AS rx,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)
+             / 2.0 AS ry
+  FROM lineitem)
+SELECT l_returnflag, round(corr(rx, ry), 6) AS spearman_rho,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r GROUP BY l_returnflag
+"""
+
+
+@REG.register("stats_spearman_corr", oracle=_SPEARMAN_ORACLE)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price per
+    return-flag slice — the robust (monotone, outlier-insensitive)
+    sibling of Pearson `corr`, and the screen a feature-selection pass
+    runs when the relationship is nonlinear. Exact tie handling via
+    FRACTIONAL (average) ranks: rank() gives a tie group its first
+    position, and adding (tie_count − 1)/2 shifts every member to the
+    group's mean rank — the textbook midrank, computed with two window
+    functions instead of a self-join. Then rho is simply Pearson corr of
+    the two rank columns (one map-side-combinable aggregate).
+
+    Scale shape: the ranks need a per-group global order — two sorts
+    partitioned by the group key, the same posture as
+    `stats_mannwhitney_u`'s rank-sum (and the identical seam: at 100 TB
+    you either accept the per-group sort, pre-bucket values and rank
+    bucket midpoints, or sample). Ties matter here because l_quantity
+    has only 50 distinct values — integer-rank Spearman would be badly
+    biased; the midrank form stays exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    rk = lambda col: (
+        F.rank().over(Window.partitionBy("l_returnflag").orderBy(col))
+        + (F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", col)) - 1)
+        / 2.0
+    )
+    r = li.select(
+        "l_returnflag",
+        rk("l_quantity").alias("rx"),
+        rk("l_extendedprice").alias("ry"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+_SEASONAL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb,
+         AVG(value) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, hb),
+t AS (
+  SELECT event_type, hb, y,
+         AVG(y) OVER w AS trend, COUNT(*) OVER w AS cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hb
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
+SELECT event_type, CAST(hb % 24 AS INTEGER) AS hour_of_day,
+       round(AVG(y - trend), 6) AS seasonal,
+       CAST(COUNT(*) AS BIGINT) AS n_hours
+FROM t WHERE cnt = 25
+GROUP BY event_type, hour_of_day
+"""
+
+
+@REG.register("timeseries_seasonal_hour", oracle=_SEASONAL_ORACLE)
+def timeseries_seasonal_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical moving-average seasonal decomposition, hour-of-day
+    profile: bucket each event-type series to hourly means, estimate the
+    TREND as a centered 25-point moving average (full-window rows only —
+    the textbook edge rule), and the SEASONAL component as the mean
+    DETRENDED value per hour-of-day. This is the additive
+    decompose(period=24) loop of every monitoring stack, expressed as
+    one grouped agg + one bounded ROWS window + one grouped agg — no
+    UDF, no driver loop, and the window frame is 25 rows regardless of
+    data volume.
+
+    Completes the time-series family (`timeseries_ewma` smoothing,
+    `timeseries_holt_linear` level+trend forecast, `timeseries_acf`
+    correlogram): ACF tells you the period exists; this key extracts
+    its shape. Hour buckets are integer epoch math (`time_bucket_15min`
+    discipline) so both engines bucket identically; hour-of-day is
+    bucket % 24 (epoch 0 is midnight UTC). Scale: the raw scan reduces
+    to ~one row per (type, hour) BEFORE the window, so the sort that
+    the window needs runs on group-count rows, not events — the reason
+    to decompose on bucketed series rather than raw points at 100 TB."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hb"),
+    ).agg(F.avg("value").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("hb").rowsBetween(-12, 12)
+    t = hourly.select(
+        "event_type",
+        "hb",
+        "y",
+        F.avg("y").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    return (
+        t.where(F.col("cnt") == 25)
+        .groupBy(
+            "event_type", (F.col("hb") % 24).cast("int").alias("hour_of_day")
+        )
+        .agg(
+            F.round(F.avg(F.col("y") - F.col("trend")), 6).alias("seasonal"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+        )
+    )
+
+
+_CRAMERS_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type AS t,
+         CAST(least(greatest(floor(value / {_CHI2_BUCKET_W}), 0), 3) AS INTEGER)
+           AS b
+  FROM events WHERE value IS NOT NULL),
+obs AS (SELECT t, b, COUNT(*) AS o FROM ev GROUP BY t, b),
+rows_ AS (SELECT t, COUNT(*) AS rt FROM ev GROUP BY t),
+cols_ AS (SELECT b, COUNT(*) AS ct FROM ev GROUP BY b),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ev),
+cells AS (
+  SELECT r.t, c.b, r.rt, c.ct, COALESCE(o.o, 0) AS o
+  FROM rows_ r CROSS JOIN cols_ c
+  LEFT JOIN obs o ON o.t = r.t AND o.b = c.b),
+chi AS (
+  SELECT SUM(pow(o - rt * ct / nn.n, 2) / (rt * ct / nn.n)) AS chi2,
+         nn.n AS n
+  FROM cells CROSS JOIN n nn GROUP BY nn.n)
+SELECT round(sqrt(chi.chi2 / (chi.n * greatest(least(
+         (SELECT COUNT(*) FROM rows_) - 1,
+         (SELECT COUNT(*) FROM cols_) - 1), 1))), 6) AS cramers_v,
+       round(chi.chi2, 6) AS chi2,
+       CAST(chi.n AS BIGINT) AS n
+FROM chi
+"""
+
+
+@REG.register("stats_cramers_v", oracle=_CRAMERS_ORACLE)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the SAME (event_type × value-bucket)
+    contingency table as `stats_chi2_independence`: V = sqrt(chi2 /
+    (n · min(r−1, c−1))), the [0,1]-normalized association strength.
+    Chi2 answers "is there dependence"; V answers "how much" — the
+    number that survives when n grows (chi2 scales with n, V doesn't),
+    which is exactly why a 100 TB profiling pass reports V per column
+    pair rather than raw chi2. Same plan shape as chi2: two group-sized
+    aggs, a cells cross join on group-count rows, one reduction —
+    everything after the first agg is KB-sized."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("t"),
+            F.least(
+                F.greatest(F.floor(F.col("value") / _CHI2_BUCKET_W), F.lit(0)),
+                F.lit(3),
+            )
+            .cast("int")
+            .alias("b"),
+        )
+    )
+    obs = ev.groupBy("t", "b").agg(F.count(F.lit(1)).alias("o"))
+    rows_ = ev.groupBy("t").agg(F.count(F.lit(1)).alias("rt"))
+    cols_ = ev.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    n = ev.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    cells = (
+        rows_.crossJoin(cols_)
+        .join(obs, ["t", "b"], "left")
+        .select("t", "b", "rt", "ct", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    chi = (
+        cells.crossJoin(F.broadcast(n))
+        .groupBy("n")
+        .agg(
+            F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2"),
+            F.countDistinct("t").alias("r"),
+            F.countDistinct("b").alias("c"),
+        )
+    )
+    return chi.select(
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                # greatest(.., 1): a degenerate 1xC / Rx1 table has
+                # min(r-1, c-1) = 0 and V is undefined — clamp so tiny /
+                # null-laden inputs yield 0 instead of DIVIDE_BY_ZERO
+                # (real data has r=7, c=4; the clamp never binds there)
+                / (
+                    F.col("n")
+                    * F.greatest(
+                        F.least(F.col("r") - 1, F.col("c") - 1), F.lit(1)
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.round("chi2", 6).alias("chi2"),
+        F.col("n").cast("long").alias("n"),
+    )

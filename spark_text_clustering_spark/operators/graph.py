@@ -1115,3 +1115,95 @@ def graph_connected_components_twostar(spark: SparkSession, sf_dir: str) -> Data
         F.col("id").cast("long").alias("part_id"),
         F.col("comp").cast("long").alias("component"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop counts (round 11) — the shortest-path-hops primitive
+# the family still lacked next to CC / PageRank / k-core: "how far is every
+# node from its block's landmark" is the link-graph distance feature a
+# crawl-frontier scheduler or citation-depth analysis computes per page.
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_DEPTH = 12
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE {_BRAND_EDGES_SQL},
+und AS (SELECT br, a AS u, b AS v FROM e UNION SELECT br, b, a FROM e),
+roots AS (SELECT br, MIN(a) AS root FROM e GROUP BY br),
+walk(br, n, d) AS (
+  SELECT br, root, 0 FROM roots
+  UNION
+  SELECT w.br, und.v, w.d + 1
+  FROM walk w JOIN und ON und.br = w.br AND und.u = w.n
+  WHERE w.d < {_BFS_MAX_DEPTH})
+SELECT br, n AS part_id, CAST(MIN(d) AS BIGINT) AS hops
+FROM walk GROUP BY br, n
+"""
+
+
+@REG.register("graph_bfs_hops", oracle=_BFS_ORACLE)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand landmark BFS: hop distance from each brand block's
+    minimum part id to every part reachable within _BFS_MAX_DEPTH hops
+    on the shared intra-brand co-purchase graph (`_brand_edges`, so the
+    distances are directly comparable with the CC / triangle /
+    link-prediction keys). This is unweighted single-source shortest
+    paths run from ONE landmark per block simultaneously — all brands
+    advance in the same round, so the round count is the MAX block
+    eccentricity, not the sum.
+
+    Frontier form, the textbook distributed BFS: per round ONE
+    edge-vs-frontier equi-join on (brand, node) produces candidates,
+    one anti-join against the settled distance table keeps the unseen
+    ones, and the union becomes the next frontier. All shuffles are
+    edge- or frontier-sized; nothing quadratic, no adjacency lists
+    collected. Both the distance table and the frontier are
+    tracked-checkpointed per round and superseded rounds' blocks are
+    freed immediately (ckpt.py discipline), so the pinned set stays
+    bounded at (edges, dist, frontier) regardless of depth. The depth
+    cap matches the oracle's recursion bound exactly — the DuckDB
+    recursive CTE explores (node, depth<=cap) states and takes MIN(d),
+    which is precisely what level-synchronous BFS computes, so the two
+    agree value-for-value. At 100 TB: pre-partition edges by (br, u)
+    once and every round's join co-locates; the frontier shrinks
+    geometrically after the block's bulk is reached, so late rounds are
+    cheap. Output: (br, part_id, hops)."""
+    edges = _brand_edges(spark, sf_dir)
+    und = edges.select("br", F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select("br", F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    und, und_ids = _ckpt_tracked(und)
+    roots = edges.groupBy("br").agg(F.min("a").alias("id"))
+    dist, dist_ids = _ckpt_tracked(
+        roots.select("br", "id", F.lit(0).cast("long").alias("hops"))
+    )
+    frontier, frontier_ids = dist, set()
+    for depth in range(1, _BFS_MAX_DEPTH + 1):
+        cand = (
+            und.join(
+                frontier,
+                (und["br"] == frontier["br"]) & (und["u"] == frontier["id"]),
+            )
+            .select(und["br"].alias("br"), F.col("v").alias("id"))
+            .distinct()
+        )
+        new = cand.join(dist, ["br", "id"], "left_anti").select(
+            "br", "id", F.lit(depth).cast("long").alias("hops")
+        )
+        new, new_ids = _ckpt_tracked(new)
+        if new.limit(1).count() == 0:
+            _drop_ckpt(und, und_ids | frontier_ids | new_ids)
+            break
+        nxt, nxt_ids = _ckpt_tracked(dist.unionByName(new))
+        # nxt materialized: the old dist and the old frontier are dead
+        # (`new` stays — it IS the next frontier and feeds no one else)
+        _drop_ckpt(und, dist_ids | frontier_ids)
+        dist, dist_ids = nxt, nxt_ids
+        frontier, frontier_ids = new, new_ids
+    else:
+        _drop_ckpt(und, und_ids | frontier_ids)
+    return dist.select(
+        "br",
+        F.col("id").cast("long").alias("part_id"),
+        F.col("hops").cast("long").alias("hops"),
+    )

@@ -1553,3 +1553,55 @@ def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         norm_iter, schema="doc_id long, text_nfc string, changed int"
     )
+
+
+@REG.register(
+    "quality_ngram_diversity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS l
+      FROM documents),
+    tri AS (
+      SELECT doc_id,
+             list_filter(list_transform(list_zip(l, l[2:], l[3:]),
+               x -> CASE WHEN x[3] IS NULL THEN NULL
+                         ELSE x[1] || ' ' || x[2] || ' ' || x[3] END),
+               x -> x IS NOT NULL) AS g
+      FROM toks)
+    SELECT doc_id, CAST(len(g) AS BIGINT) AS n_trigrams,
+           round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6)
+             AS dup_frac
+    FROM tri WHERE len(g) > 0
+    """,
+)
+def quality_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-trigram fraction — the Gopher/MassiveText
+    repetition filter (Rae et al. 2021 §A.1.1: drop docs whose duplicate
+    n-gram fraction is high), sitting between `repetition_max_run`
+    (consecutive repeats only) and `quality_dup_line_fraction` (line
+    granularity): dup_frac = 1 − distinct_trigrams / total_trigrams
+    catches periodic boilerplate that neither of those sees.
+
+    Deliberately ZERO-shuffle: trigrams are built row-side with
+    transform(sequence(...)) over the token array and deduped row-side
+    with array_distinct, so the whole operator is one map stage — per-doc
+    n-gram statistics never need an explode+groupBy round trip, and at
+    100 TB that's the difference between a scan and a scan plus a
+    token-count-sized shuffle. Docs shorter than 3 tokens have no
+    trigrams and are excluded (same WHERE on both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = F.expr(
+        "CASE WHEN size(t) < 3 THEN array() "
+        "ELSE transform(sequence(0, size(t)-3), "
+        "i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END"
+    )
+    tri = docs.select("doc_id", _tokens_col().alias("t")).select(
+        "doc_id", g.alias("g")
+    )
+    return tri.where(F.size("g") > 0).select(
+        "doc_id",
+        F.size("g").cast("long").alias("n_trigrams"),
+        F.round(
+            1.0 - F.size(F.array_distinct("g")).cast("double") / F.size("g"), 6
+        ).alias("dup_frac"),
+    )

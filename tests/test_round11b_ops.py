@@ -1,0 +1,218 @@
+"""Round-11 continuation operator tests: landmark BFS, Spearman midranks,
+seasonal decomposition, Cramér's V, duplicate-trigram fraction. DuckDB
+value parity is covered by the registry-driven tests/test_oracle_parity.py;
+these lock the properties parity alone can't see — pure-Python /
+independent-machinery twins and cross-key mechanism equalities.
+"""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import functions as F
+
+from spark_text_clustering_spark.catalog import load_table
+from spark_text_clustering_spark.operators.graph import _brand_edges
+from spark_text_clustering_spark.registry import QUERIES
+
+from .conftest import SF_SMALL
+
+
+# ------------------------------------------------------------ landmark BFS
+
+
+def _python_bfs(edges, roots, max_depth):
+    """Reference level-synchronous BFS per brand (pure Python)."""
+    adj = collections.defaultdict(set)
+    for br, a, b in edges:
+        adj[(br, a)].add(b)
+        adj[(br, b)].add(a)
+    dist = {}
+    for br, root in roots.items():
+        dist[(br, root)] = 0
+        frontier = [root]
+        for d in range(1, max_depth + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[(br, u)]:
+                    if (br, v) not in dist:
+                        dist[(br, v)] = d
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+    return dist
+
+
+def test_bfs_hops_match_python_twin(spark):
+    """Label-for-label equality vs a pure-Python BFS on the same edges —
+    the independent lock the recursive-CTE oracle can't give (both SQL
+    engines could share a blind spot)."""
+    edges = [
+        (r["br"], r["a"], r["b"]) for r in _brand_edges(spark, SF_SMALL).collect()
+    ]
+    roots: dict = {}
+    for br, a, _b in edges:
+        roots[br] = min(roots.get(br, a), a)
+    want = _python_bfs(edges, roots, max_depth=12)
+    got = {
+        (r["br"], r["part_id"]): r["hops"]
+        for r in QUERIES["graph_bfs_hops"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_bfs_hops_edge_lipschitz(spark):
+    """BFS distances differ by at most 1 across any edge whose endpoints
+    are both settled — the defining invariant of hop distance (a gap of
+    2+ means the frontier skipped a relaxation)."""
+    hops = {
+        (r["br"], r["part_id"]): r["hops"]
+        for r in QUERIES["graph_bfs_hops"](spark, SF_SMALL).collect()
+    }
+    for r in _brand_edges(spark, SF_SMALL).collect():
+        da, db = hops.get((r["br"], r["a"])), hops.get((r["br"], r["b"]))
+        if da is not None and db is not None:
+            assert abs(da - db) <= 1
+
+
+# ------------------------------------------------------- Spearman midranks
+
+
+def _midranks(xs):
+    order = sorted(range(len(xs)), key=lambda i: xs[i])
+    ranks = [0.0] * len(xs)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and xs[order[j + 1]] == xs[order[i]]:
+            j += 1
+        mid = (i + j) / 2.0 + 1.0
+        for k in range(i, j + 1):
+            ranks[order[k]] = mid
+        i = j + 1
+    return ranks
+
+
+def test_spearman_matches_python_midranks(spark):
+    """Exact-tie-handling lock: rho recomputed with a pure-Python midrank
+    + Pearson pipeline (float sums, 1e-9 agreement). l_quantity has ~50
+    distinct values, so integer-rank Spearman would diverge visibly —
+    this is the test that fails if either engine's tie shift is wrong."""
+    rows = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_flag = collections.defaultdict(list)
+    for r in rows:
+        by_flag[r["l_returnflag"]].append((r["l_quantity"], r["l_extendedprice"]))
+    got = {
+        r["l_returnflag"]: (r["spearman_rho"], r["n"])
+        for r in QUERIES["stats_spearman_corr"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(by_flag)
+    for flag, pts in by_flag.items():
+        rx = _midranks([p[0] for p in pts])
+        ry = _midranks([p[1] for p in pts])
+        n = len(pts)
+        mx, my = sum(rx) / n, sum(ry) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry)) / (n - 1)
+        vx = sum((a - mx) ** 2 for a in rx) / (n - 1)
+        vy = sum((b - my) ** 2 for b in ry) / (n - 1)
+        rho = cov / (vx**0.5 * vy**0.5)
+        assert abs(got[flag][0] - round(rho, 6)) <= 1e-6
+        assert got[flag][1] == n
+
+
+# ------------------------------------------------- seasonal decomposition
+
+
+def test_seasonal_hour_matches_pandas_rolling(spark):
+    """Independent-machinery twin: pandas rolling(25, center=True) trend
+    on the same hourly buckets — a genuinely different moving-average
+    implementation than either SQL window engine."""
+    import pandas as pd
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hb"),
+            "value",
+        )
+        .toPandas()
+    )
+    hourly = (
+        ev.groupby(["event_type", "hb"])["value"].mean().reset_index(name="y")
+    )
+    out = []
+    for et, g in hourly.groupby("event_type"):
+        g = g.sort_values("hb").reset_index(drop=True)
+        trend = g["y"].rolling(25, center=True, min_periods=25).mean()
+        det = (g["y"] - trend).dropna()
+        hod = (g["hb"] % 24)[det.index]
+        s = pd.DataFrame({"hod": hod, "d": det}).groupby("hod")["d"]
+        for h, v in s.mean().items():
+            out.append((et, int(h), round(v, 6), int(s.count()[h])))
+    want = sorted(out)
+    got = sorted(
+        (r["event_type"], r["hour_of_day"], r["seasonal"], r["n_hours"])
+        for r in QUERIES["timeseries_seasonal_hour"](spark, SF_SMALL).collect()
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3]
+        assert abs(g[2] - w[2]) <= 2e-6  # two independent float sums
+
+
+# ------------------------------------------------------------- Cramér's V
+
+
+def test_cramers_v_consistent_with_chi2_key(spark):
+    """Cross-key mechanism equality: V must equal sqrt(chi2/(n·min(r−1,
+    c−1))) computed from the chi2 key's OWN output (both keys walk the
+    same contingency table; dof = (r−1)(c−1) = 18 on this data ⇒
+    min(r−1, c−1) = 3 with c = 4 fixed buckets)."""
+    chi = QUERIES["stats_chi2_independence"](spark, SF_SMALL).collect()[0]
+    v = QUERIES["stats_cramers_v"](spark, SF_SMALL).collect()[0]
+    assert v["n"] == chi["n"]
+    assert abs(v["chi2"] - round(chi["chi2"], 6)) <= 1e-6
+    # min(r-1, c-1) without trusting either key: c is the fixed 4-bucket
+    # clamp and this data has r >= 4 event types, so min(r-1, 3) = 3
+    assert chi["dof"] % 3 == 0 and chi["dof"] >= 9  # r >= 4 confirmed
+    expected_v = (chi["chi2"] / (chi["n"] * 3)) ** 0.5
+    assert abs(v["cramers_v"] - round(expected_v, 6)) <= 1e-6
+    assert 0.0 <= v["cramers_v"] <= 1.0
+
+
+# ------------------------------------------- duplicate-trigram diversity
+
+
+def test_ngram_diversity_matches_python_twin(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    want = {}
+    for r in docs:
+        toks = r["text"].lower().split()
+        tris = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        if tris:
+            want[r["doc_id"]] = (
+                len(tris),
+                round(1.0 - len(set(tris)) / len(tris), 6),
+            )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["dup_frac"])
+        for r in QUERIES["quality_ngram_diversity"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_ngram_diversity_plan_is_shuffle_free(spark):
+    """The docstring's zero-shuffle claim, asserted: no Exchange of any
+    kind in the physical plan — per-doc n-gram stats stay row-side."""
+    df = QUERIES["quality_ngram_diversity"](spark, SF_SMALL)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
