@@ -180,6 +180,8 @@ HEADLINE = [
     "timeseries_seasonal_hour",
     "stats_cramers_v",
     "quality_ngram_diversity",
+    "profile_key_skew",
+    "stats_bootstrap_ci",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION

@@ -55,6 +55,11 @@ KEYS = [
     # row offset is 1e9, disjoint from the replica id space by design.
     # Expect ~linear: one co-partitioned full-outer join, no pair space
     "table_diff_snapshot",
+    # round 11d: zero-shuffle row-side trigram stats — the replica splice
+    # token adds 3 fresh trigrams per replica doc, so dup_frac output
+    # changes but the plan is one map stage over 10x docs (expect ~linear
+    # with no shuffle term at all)
+    "quality_ngram_diversity",
 ]
 
 
@@ -168,6 +173,25 @@ TPCH_KEYS = [
     # round 11c: replica users are disjoint, purchases and lookback
     # windows scale 10x on one user-co-partitioned join (expect ~linear)
     "attribution_last_touch",
+    # round 11d: part replicas KEEP their brands, so each brand block
+    # holds 10 disjoint subgraphs but still ONE landmark (the global min
+    # part id lands in replica 0) — the BFS frontier and reached set are
+    # UNCHANGED at 10x while the edge side of every per-round join grows
+    # 10x: this decade isolates the join's edge-scan term (expect
+    # sublinear; the settled/anti-join side is constant)
+    "graph_bfs_hops",
+    # round 11d: l_returnflag groups unchanged at 10x rows — two
+    # per-group rank windows on ONE exchange, so the decade measures the
+    # per-group sort term (expect ~linear-with-sort)
+    "stats_spearman_corr",
+    # round 11d: values replicated verbatim into the SAME hour buckets —
+    # the hourly frame, MA window, and output are all UNCHANGED at 10x;
+    # only the first grouped agg scans 10x rows (expect sublinear)
+    "timeseries_seasonal_hour",
+    # round 11d: fixed 7x4-ish grid unchanged — one map-side-combined
+    # count agg over 10x rows, everything after is grid-sized (expect
+    # ~linear scan term, flat tail)
+    "stats_cramers_v",
 ]
 
 

@@ -2334,3 +2334,182 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("chi2", 6).alias("chi2"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+_SKEW_TOPK = 5
+
+_KEY_SKEW_ORACLE = f"""
+WITH per AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+ranked AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, user_id) AS rk,
+         SUM(cnt) OVER () AS total,
+         COUNT(*) OVER () AS n_keys
+  FROM per)
+SELECT CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+       CAST(MAX(total) AS BIGINT) AS n_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+       round(MAX(total) / CAST(MAX(n_keys) AS DOUBLE), 6) AS avg_cnt,
+       round(MAX(cnt) * MAX(n_keys) / CAST(MAX(total) AS DOUBLE), 6)
+         AS max_over_avg,
+       round(SUM(CASE WHEN rk <= {_SKEW_TOPK} THEN cnt ELSE 0 END)
+             / CAST(MAX(total) AS DOUBLE), 6) AS top{_SKEW_TOPK}_share
+FROM ranked
+"""
+
+
+@REG.register("profile_key_skew", oracle=_KEY_SKEW_ORACLE)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic on events.user_id — the pre-plan check
+    that decides between a plain shuffle join, AQE skew splitting, and
+    explicit salting (`join_skew_hot_split` is the cure; this is the
+    thermometer). Reports the key count, row count, the hottest key's
+    absolute and avg-relative weight (max/avg is the number AQE's skew
+    threshold reasons about), and the top-5 keys' row share.
+
+    Scale shape: ONE map-side-combinable count per key, then every
+    statistic runs on the KEY-COUNT-sized frame — the global window sorts
+    keys, not rows, exactly like `stats_ks_exact`'s distinct-value
+    posture. At 100 TB this is the cheap always-on profile you compute
+    per join column before picking a strategy; a uniform profile here is
+    also why the TPCH keys can skip salting (the hot-split synth decade
+    plants the opposite profile and measures the cure)."""
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_all = Window.partitionBy()
+    ranked = per.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("user_id")))
+        .alias("rk"),
+        F.sum("cnt").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_keys"),
+    )
+    return ranked.agg(
+        F.max("n_keys").cast("long").alias("n_keys"),
+        F.max("total").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.round(F.max("total") / F.max("n_keys").cast("double"), 6).alias(
+            "avg_cnt"
+        ),
+        F.round(
+            F.max("cnt") * F.max("n_keys") / F.max("total").cast("double"), 6
+        ).alias("max_over_avg"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= _SKEW_TOPK, F.col("cnt")).otherwise(0))
+            / F.max("total").cast("double"),
+            6,
+        ).alias(f"top{_SKEW_TOPK}_share"),
+    )
+
+
+# Poisson(1) inverse-CDF thresholds scaled to the LCG's 2^31 modulus —
+# integer constants so both engines quantize the SAME uniform draw with
+# zero float comparison: P(X=0)=.3679, P(X<=1)=.7358, P(X<=2)=.9197,
+# P(X<=3)=.9810, else 4 (the >=4 tail is 1.9%, folded into weight 4)
+_BOOT_B = 100
+_BOOT_T0 = 790015084  # floor(exp(-1) * 2^31)
+_BOOT_T1 = 1580030168  # floor(2 * exp(-1) * 2^31)
+_BOOT_T2 = 1975037710  # floor(2.5 * exp(-1) * 2^31)
+_BOOT_T3 = 2106706891  # floor((8/3) * exp(-1) * 2^31)
+
+_BOOT_ORACLE = f"""
+WITH d AS (
+  SELECT event_id, value FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT b.b, d.value,
+         (d.event_id * 1103515245 + b.b * 747796405 + 12345)
+           % 2147483648 AS u
+  FROM d CROSS JOIN (SELECT unnest(range(1, {_BOOT_B} + 1)) AS b) b),
+w AS (
+  SELECT b, value,
+         CASE WHEN u < {_BOOT_T0} THEN 0
+              WHEN u < {_BOOT_T1} THEN 1
+              WHEN u < {_BOOT_T2} THEN 2
+              WHEN u < {_BOOT_T3} THEN 3
+              ELSE 4 END AS wt
+  FROM r),
+means AS (
+  SELECT b, CASE WHEN SUM(wt) > 0
+                 THEN round(SUM(wt * value) / SUM(wt), 6) END AS m
+  FROM w GROUP BY b)
+SELECT round(AVG(m), 6) AS boot_mean,
+       quantile_disc(m, 0.025) AS ci_lo,
+       quantile_disc(m, 0.975) AS ci_hi,
+       CAST(COUNT(*) AS BIGINT) AS b_reps
+FROM means
+"""
+
+
+@REG.register("stats_bootstrap_ci", oracle=_BOOT_ORACLE)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for mean(value) — the
+    resampling machinery every A/B platform runs at scale, in its
+    DISTRIBUTED form: instead of materializing B resampled datasets,
+    each row draws a Poisson(1) replication weight per replicate
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    Google 2012 — the standard trick, since multinomial row counts
+    decouple into independent Poissons at scale). One explode to B=100
+    (row, replicate) pairs, one map-side-combinable weighted mean per
+    replicate, then the CI is quantile_disc over the B-row means frame.
+
+    Fully deterministic and CROSS-ENGINE EXACT randomness: the uniform
+    draw is an integer LCG on (event_id, replicate) — 64-bit integer
+    arithmetic mod 2^31 on both engines — quantized to Poisson weights
+    {{0..4}} through integer thresholds (floor of the inverse CDF scaled
+    by 2^31; the >=4 tail's 1.9% mass is folded into 4). No float
+    comparison anywhere near the RNG, so Spark and DuckDB agree
+    bit-for-bit on every weight; replicate means are rounded to 6dp
+    before the discrete quantile so the selection can't flip on
+    last-bit sum order. Scale: the B× blowup is map-local (explode +
+    partial agg fuse into one stage), the shuffle carries B rows per
+    partition, and the means frame is B rows total."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    r = d.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        "event_id",
+        "value",
+    )
+    u = (
+        F.col("event_id") * F.lit(1103515245)
+        + F.col("b").cast("long") * F.lit(747796405)
+        + F.lit(12345)
+    ) % F.lit(2147483648)
+    wt = (
+        F.when(u < _BOOT_T0, 0)
+        .when(u < _BOOT_T1, 1)
+        .when(u < _BOOT_T2, 2)
+        .when(u < _BOOT_T3, 3)
+        .otherwise(4)
+    )
+    means = (
+        r.select("b", "value", wt.alias("wt"))
+        .groupBy("b")
+        .agg(
+            # a replicate can draw weight 0 for EVERY row on tiny inputs —
+            # its mean is undefined (NULL), and AVG/percentile_disc skip
+            # NULLs identically on both engines
+            F.when(
+                F.sum("wt") > 0,
+                F.round(F.sum(F.col("wt") * F.col("value")) / F.sum("wt"), 6),
+            ).alias("m")
+        )
+    )
+    means.createOrReplaceTempView("boot_means")
+    return means.sparkSession.sql(
+        """
+        SELECT round(AVG(m), 6) AS boot_mean,
+               percentile_disc(0.025) WITHIN GROUP (ORDER BY m) AS ci_lo,
+               percentile_disc(0.975) WITHIN GROUP (ORDER BY m) AS ci_hi,
+               CAST(COUNT(*) AS BIGINT) AS b_reps
+        FROM boot_means
+        """
+    )

@@ -161,6 +161,7 @@ _BNLJ_WHITELIST = {
     "stats_anova_oneway",  # 1-row totals frame cross-broadcast x k groups
     "stats_levene_brownforsythe",  # same shape on the |x - median| moments
     "stats_pairwise_contrasts",  # k-row group frame theta-self-joined (k(k-1)/2) + 1-row MSW cross-broadcast
+    "stats_cramers_v",  # chi2's r-row x c-row margin grid + 1-row n frame cross-broadcast (same 28-cell bound)
     "drift_psi",  # 1-row ref/cur stats frame cross-broadcast into binning
     "drift_ks_binned",  # same binning subplan; stats cross-broadcasts recur
     "drift_js_binned",  # same shared binning stage: 1-row stats frames cross-broadcast

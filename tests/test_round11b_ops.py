@@ -216,3 +216,88 @@ def test_ngram_diversity_plan_is_shuffle_free(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------- key-skew profile
+
+
+def test_profile_key_skew_matches_python_twin(spark):
+    rows = load_table(spark, SF_SMALL, "events").select("user_id").collect()
+    cnt = collections.Counter(r["user_id"] for r in rows)
+    total, n_keys = sum(cnt.values()), len(cnt)
+    top = sorted(cnt.values(), reverse=True)
+    got = QUERIES["profile_key_skew"](spark, SF_SMALL).collect()[0]
+    assert got["n_keys"] == n_keys
+    assert got["n_rows"] == total
+    assert got["max_cnt"] == top[0]
+    assert abs(got["avg_cnt"] - round(total / n_keys, 6)) <= 1e-6
+    assert abs(got["max_over_avg"] - round(top[0] * n_keys / total, 6)) <= 1e-6
+    assert abs(got["top5_share"] - round(sum(top[:5]) / total, 6)) <= 1e-6
+
+
+# --------------------------------------------------------- bootstrap CI
+
+
+def _poisson_weight(u):
+    if u < 790015084:
+        return 0
+    if u < 1580030168:
+        return 1
+    if u < 1975037710:
+        return 2
+    if u < 2106706891:
+        return 3
+    return 4
+
+
+def test_bootstrap_ci_matches_python_twin(spark):
+    """Replays the exact LCG + Poisson quantization + replicate means in
+    pure Python — the weights must agree BIT-FOR-BIT (integer path), the
+    means to float tolerance."""
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_id", "value")
+        .collect()
+    )
+    B = 100
+    sums = [[0.0, 0] for _ in range(B + 1)]  # [sum(w*v), sum(w)]
+    for r in rows:
+        for b in range(1, B + 1):
+            u = (r["event_id"] * 1103515245 + b * 747796405 + 12345) % 2147483648
+            w = _poisson_weight(u)
+            if w:
+                sums[b][0] += w * r["value"]
+                sums[b][1] += w
+    means = sorted(round(s / n, 6) for s, n in sums[1:])
+    import math
+
+    def disc(p):  # smallest value with cumulative fraction >= p
+        return means[max(0, math.ceil(p * len(means)) - 1)]
+
+    got = QUERIES["stats_bootstrap_ci"](spark, SF_SMALL).collect()[0]
+    assert got["b_reps"] == B
+    assert abs(got["boot_mean"] - round(sum(means) / B, 6)) <= 2e-6
+    assert abs(got["ci_lo"] - disc(0.025)) <= 2e-6
+    assert abs(got["ci_hi"] - disc(0.975)) <= 2e-6
+    assert got["ci_lo"] <= got["boot_mean"] <= got["ci_hi"]
+
+
+def test_bootstrap_weights_are_poisson_shaped(spark):
+    """The quantized Poisson(1) pmf must land near (.368, .368, .184,
+    .061, .019) — a wrong threshold or modulus shows up here long before
+    it biases a CI."""
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_id")
+        .collect()
+    )
+    counts = collections.Counter()
+    for r in rows:
+        for b in range(1, 101):
+            u = (r["event_id"] * 1103515245 + b * 747796405 + 12345) % 2147483648
+            counts[_poisson_weight(u)] += 1
+    n = sum(counts.values())
+    for k, p in [(0, 0.3679), (1, 0.3679), (2, 0.1839), (3, 0.0613), (4, 0.0190)]:
+        assert abs(counts[k] / n - p) < 0.02, (k, counts[k] / n)
