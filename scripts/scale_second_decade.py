@@ -192,6 +192,14 @@ TPCH_KEYS = [
     # count agg over 10x rows, everything after is grid-sized (expect
     # ~linear scan term, flat tail)
     "stats_cramers_v",
+    # round 11d: user offsets make replica users disjoint — 10x keys at
+    # unchanged per-key counts, so the key-frame window sorts 10x rows
+    # (still keys, not events; expect ~linear on the key frame)
+    "profile_key_skew",
+    # round 11d: the B=100 explode rides the scan (codegen integer LCG,
+    # no shuffle until the B-row partial aggs) — expect ~linear in rows;
+    # replicas shift event_id so every replica draws FRESH weights
+    "stats_bootstrap_ci",
 ]
 
 
