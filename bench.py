@@ -182,6 +182,7 @@ HEADLINE = [
     "quality_ngram_diversity",
     "profile_key_skew",
     "stats_bootstrap_ci",
+    "multimodal_keyframe_select",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION

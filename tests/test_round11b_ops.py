@@ -301,3 +301,24 @@ def test_bootstrap_weights_are_poisson_shaped(spark):
     n = sum(counts.values())
     for k, p in [(0, 0.3679), (1, 0.3679), (2, 0.1839), (3, 0.0613), (4, 0.0190)]:
         assert abs(counts[k] / n - p) < 0.02, (k, counts[k] / n)
+
+
+# ------------------------------------------------------ keyframe selection
+
+
+def test_keyframe_select_consistent_with_frame_sample(spark):
+    """Cross-key consistency: the keyframe op must agree with
+    multimodal_frame_sample on per-video frame counts, pick an index in
+    [1, n), and score it with a delta achievable by two decoded 8-bit
+    frames (0..255)."""
+    kf = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_keyframe_select"](spark, SF_SMALL).collect()
+    }
+    fs = QUERIES["multimodal_frame_sample"](spark, SF_SMALL).collect()
+    n_frames = {r["doc_id"]: r["n_frames_total"] for r in fs}
+    assert set(kf) == set(n_frames)
+    for doc_id, r in kf.items():
+        assert r["n_frames"] == n_frames[doc_id]
+        assert 1 <= r["keyframe_idx"] < r["n_frames"]
+        assert 0 <= r["max_delta"] <= 255
