@@ -183,6 +183,8 @@ HEADLINE = [
     "profile_key_skew",
     "stats_bootstrap_ci",
     "multimodal_keyframe_select",
+    "contamination_filter_clean",
+    "mixture_epoch_schedule",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION

@@ -192,6 +192,93 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAM_MAX_SHARED = 3  # drop a doc once it shares >= this many shingles
+
+
+@REG.register(
+    "contamination_filter_clean",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(text), '\\s+') AS l FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             unnest(list_filter(list_transform(
+                    list_zip(l, l[2:], l[3:], l[4:], l[5:]),
+                    x -> CASE WHEN x[5] IS NULL THEN NULL
+                         ELSE x[1] || ' ' || x[2] || ' ' || x[3]
+                              || ' ' || x[4] || ' ' || x[5] END),
+                    x -> x IS NOT NULL)) AS shingle
+      FROM toks),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = '{_BENCH_SOURCE}'),
+    cand AS (SELECT DISTINCT doc_id, shingle FROM sh
+             WHERE source <> '{_BENCH_SOURCE}'),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS s
+      FROM cand c JOIN bench b USING (shingle) GROUP BY c.doc_id)
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(h.s, 0) AS BIGINT) AS shared_shingles
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.source <> '{_BENCH_SOURCE}'
+      AND COALESCE(h.s, 0) < {_CONTAM_MAX_SHARED}
+    """,
+)
+def contamination_filter_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination OUTPUT stage: `contamination_ngram_overlap`
+    reports per-doc shared-shingle counts; this key APPLIES the policy —
+    training docs sharing >= 3 distinct 5-gram shingles with the
+    benchmark source are dropped, and the surviving corpus ships with
+    its evidence column (shared_shingles, 0 for untouched docs) so the
+    cut is auditable downstream. This is the frame a pretraining run
+    actually reads; the overlap key is its diagnostic.
+
+    Plan: the hit counts reuse the overlap key's shape (bench shingles
+    broadcast, candidate side never shuffles on the shingle key), then
+    ONE left join of the doc spine against the doc-count-sized hits
+    frame + a residual filter. At 100 TB the hits frame is tiny (only
+    docs with any overlap appear), so the final join broadcasts too."""
+    docs = load_table(spark, sf_dir, "documents")
+    shifted = ", ".join(f"slice(l, {i + 1}, size(l))" for i in range(1, _SHINGLE_N))
+    fields = ", ".join("x." + (f"`{i}`" if i else "l") for i in range(_SHINGLE_N))
+    last = f"x.`{_SHINGLE_N - 1}`"
+    shingle_expr = (
+        f"filter(transform(arrays_zip(l, {shifted}), "
+        f"x -> IF({last} IS NULL, NULL, concat_ws(' ', {fields}))), "
+        "x -> x IS NOT NULL)"
+    )
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), r"\s+").alias("l")
+    )
+    sh = toks.select(
+        "doc_id", "source", F.explode(F.expr(shingle_expr)).alias("shingle")
+    )
+    bench = (
+        sh.where(F.col("source") == _BENCH_SOURCE).select("shingle").distinct()
+    )
+    cand = (
+        sh.where(F.col("source") != _BENCH_SOURCE)
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    hits = (
+        cand.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    spine = docs.where(F.col("source") != _BENCH_SOURCE).select(
+        "doc_id", "source"
+    )
+    return (
+        spine.join(hits, "doc_id", "left")
+        .where(F.coalesce("s", F.lit(0)) < _CONTAM_MAX_SHARED)
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("s", F.lit(0)).cast("long").alias("shared_shingles"),
+        )
+    )
+
+
 @REG.register(
     "sample_mod_deterministic",
     oracle="""

@@ -676,3 +676,110 @@ def split_assign_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+_EPOCH_BUDGET_MULT = 2.0  # token budget = 2x the corpus (upsampling regime)
+_EPOCH_CAP = 2.0  # no source repeats more than 2 epochs
+
+_EPOCH_SCHEDULE_ORACLE = f"""
+WITH s AS (
+  SELECT source,
+         SUM(len(regexp_split_to_array(lower(text), '\\s+'))) AS n_tokens
+  FROM documents WHERE source IS NOT NULL GROUP BY source),
+w AS (
+  SELECT source, n_tokens,
+         pow(n_tokens, 0.3) / SUM(pow(n_tokens, 0.3)) OVER () AS wt,
+         SUM(n_tokens) OVER () * {_EPOCH_BUDGET_MULT} AS budget
+  FROM s),
+c AS (
+  SELECT source, n_tokens, wt * budget AS desired,
+         least(wt * budget, {_EPOCH_CAP} * n_tokens) AS granted0,
+         CASE WHEN wt * budget > {_EPOCH_CAP} * n_tokens
+              THEN 1 ELSE 0 END AS clipped
+  FROM w),
+r AS (
+  SELECT *,
+         SUM(desired - granted0) FILTER (clipped = 1) OVER () AS leftover,
+         SUM(desired) FILTER (clipped = 0) OVER () AS open_mass
+  FROM c)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(desired, 6) AS desired_tokens,
+       round(CASE WHEN clipped = 1 THEN granted0
+                  ELSE least(desired * (1 + COALESCE(leftover, 0)
+                                            / open_mass),
+                             {_EPOCH_CAP} * n_tokens) END, 6)
+         AS granted_tokens,
+       round(CASE WHEN clipped = 1 THEN granted0
+                  ELSE least(desired * (1 + COALESCE(leftover, 0)
+                                            / open_mass),
+                             {_EPOCH_CAP} * n_tokens) END / n_tokens, 6)
+         AS epochs,
+       CAST(clipped AS INTEGER) AS clipped
+FROM r
+"""
+
+
+@REG.register("mixture_epoch_schedule", oracle=_EPOCH_SCHEDULE_ORACLE)
+def mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped mixture schedule — the data-constrained-scaling step
+    AFTER `mixture_temperature_weights` picks desired source shares
+    (w_s ∝ n_s^0.3): a 2x-corpus token budget is allocated per source,
+    but no source may repeat beyond _EPOCH_CAP epochs (Muennighoff et
+    al. 2023: repeated tokens decay in value, so pipelines cap repeats
+    and re-spend the excess). Sources whose desired allocation exceeds
+    the cap are CLIPPED to cap·n_tokens; the clipped-off mass is
+    redistributed in ONE pass to unclipped sources proportional to
+    their desired share, re-capped (a second clip is NOT re-redistributed
+    — documented single-round policy, deterministic on both engines;
+    iterate externally if the residual matters).
+
+    Plan: one map-side-combinable token-count agg per source, then every
+    window runs on the SOURCES-sized frame (20 rows here, KB at any
+    corpus scale) — the same policy-table posture as
+    `mixture_temperature_weights`. Output: (source, n_tokens,
+    desired_tokens, granted_tokens, epochs, clipped)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower("text"), r"\s+"))).alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(0.3))
+    wt = pw / F.sum(pw).over(w_all)
+    budget = F.sum("n_tokens").over(w_all) * _EPOCH_BUDGET_MULT
+    c = s.select(
+        "source",
+        "n_tokens",
+        (wt * budget).alias("desired"),
+        F.least(wt * budget, _EPOCH_CAP * F.col("n_tokens")).alias("granted0"),
+        F.when(wt * budget > _EPOCH_CAP * F.col("n_tokens"), 1)
+        .otherwise(0)
+        .alias("clipped"),
+    )
+    r = c.select(
+        "*",
+        F.sum(F.when(F.col("clipped") == 1, F.col("desired") - F.col("granted0")))
+        .over(w_all)
+        .alias("leftover"),
+        F.sum(F.when(F.col("clipped") == 0, F.col("desired")))
+        .over(w_all)
+        .alias("open_mass"),
+    )
+    granted = F.when(F.col("clipped") == 1, F.col("granted0")).otherwise(
+        F.least(
+            F.col("desired")
+            * (1 + F.coalesce("leftover", F.lit(0.0)) / F.col("open_mass")),
+            _EPOCH_CAP * F.col("n_tokens"),
+        )
+    )
+    return r.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("desired", 6).alias("desired_tokens"),
+        F.round(granted, 6).alias("granted_tokens"),
+        F.round(granted / F.col("n_tokens"), 6).alias("epochs"),
+        F.col("clipped").cast("int").alias("clipped"),
+    )

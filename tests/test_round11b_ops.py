@@ -322,3 +322,48 @@ def test_keyframe_select_consistent_with_frame_sample(spark):
         assert r["n_frames"] == n_frames[doc_id]
         assert 1 <= r["keyframe_idx"] < r["n_frames"]
         assert 0 <= r["max_delta"] <= 255
+
+
+# ------------------------------------------------- epoch-capped mixture
+
+
+def test_epoch_schedule_invariants(spark):
+    """Both branches must be live on real data (the cap straddles the
+    upsample factors by design), the cap must hold everywhere, and the
+    one-round redistribution must never grant more than the budget."""
+    rows = QUERIES["mixture_epoch_schedule"](spark, SF_SMALL).collect()
+    assert any(r["clipped"] == 1 for r in rows)
+    assert any(r["clipped"] == 0 for r in rows)
+    budget = 2.0 * sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert r["epochs"] <= 2.0 + 1e-9
+        assert abs(r["epochs"] - r["granted_tokens"] / r["n_tokens"]) < 1e-4
+    total_granted = sum(r["granted_tokens"] for r in rows)
+    assert total_granted <= budget + 1e-6
+    # redistribution actually moved mass: granted > desired somewhere
+    assert any(
+        r["granted_tokens"] > r["desired_tokens"] + 1e-9
+        for r in rows
+        if r["clipped"] == 0
+    )
+
+
+def test_contamination_clean_drops_the_overlap_hits(spark):
+    """Cross-key consistency: every doc the overlap key scores at >= 3
+    shared shingles must be absent from the clean corpus, every other
+    non-bench doc present with the matching evidence count."""
+    overlap = {
+        r["doc_id"]: r["shared_shingles"]
+        for r in QUERIES["contamination_ngram_overlap"](spark, SF_SMALL).collect()
+    }
+    clean = {
+        r["doc_id"]: r["shared_shingles"]
+        for r in QUERIES["contamination_filter_clean"](spark, SF_SMALL).collect()
+    }
+    for doc_id, s in overlap.items():
+        if s >= 3:
+            assert doc_id not in clean
+        else:
+            assert clean[doc_id] == s
+    for doc_id, s in clean.items():
+        assert s == overlap.get(doc_id, 0)
