@@ -185,6 +185,7 @@ HEADLINE = [
     "multimodal_keyframe_select",
     "contamination_filter_clean",
     "mixture_epoch_schedule",
+    "search_phrase_match",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION

@@ -332,3 +332,57 @@ def search_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bm25"),
         )
     )
+
+
+_PHRASE = ("merge", "join")
+
+_PHRASE_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS l
+  FROM documents),
+occ AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(l)),
+             i -> l[i] = '{_PHRASE[0]}' AND l[i+1] = '{_PHRASE[1]}')) AS n
+  FROM toks)
+SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
+FROM occ WHERE n > 0
+"""
+
+
+@REG.register("search_phrase_match", oracle=_PHRASE_ORACLE)
+def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search ("merge join" as adjacent tokens) — the
+    positional-match primitive TF-IDF/BM25 bag-of-words scoring cannot
+    express: both rankers would happily return a doc containing 'join
+    ... merge' reversed. Classic engines answer this from positional
+    postings lists; the Spark-first form is a ROW-SIDE scan: count
+    adjacency positions with one filter(sequence(...)) lambda over the
+    token array — two element compares per position, no string
+    materialization, no explode, no shuffle, emitted as (doc_id,
+    n_occurrences) for matching docs.
+
+    The gate on n > 0 re-evaluates the lambda once (the HOF-CSE class
+    documented on `quality_ngram_diversity`) — measured harmless here
+    because the lambda is two comparisons per element, the same verdict
+    as the BM25 tokenizer sweep; the expensive-HOF rule only bites when
+    per-element work allocates. At 100 TB: this is the scan you run
+    AFTER an inverted-index candidate fetch (`search_bm25_stored`
+    directory-prunes candidates); scanning only candidate docs makes
+    the positional check a residual filter, exactly how Lucene phrase
+    queries execute."""
+    docs = load_table(spark, sf_dir, "documents")
+    # IF guard, not greatest(): sequence(0, -1) DESCENDS in Spark
+    # ([0, -1]), so a 1-token doc would index t[-1] and throw
+    occ = F.expr(
+        f"IF(size(t) < 2, 0, size(filter(sequence(0, size(t)-2), "
+        f"i -> t[i] = '{_PHRASE[0]}' AND t[i+1] = '{_PHRASE[1]}')))"
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("t")
+    )
+    return (
+        toks.select("doc_id", occ.alias("n"))
+        .where(F.col("n") > 0)
+        .select("doc_id", F.col("n").cast("long").alias("n_occurrences"))
+    )
