@@ -60,6 +60,20 @@ KEYS = [
     # changes but the plan is one map stage over 10x docs (expect ~linear
     # with no shuffle term at all)
     "quality_ngram_diversity",
+    # round 11e: 10x videos, each decoded frame-by-frame in the Arrow
+    # map — pure CPU decode, one row out per video (expect ~linear)
+    "multimodal_keyframe_select",
+    # round 11e: replica src0 docs stay in the bench source, so the
+    # broadcast bench shingle set grows only by the splice tokens while
+    # the candidate side grows 10x (expect ~linear, no pair blowup:
+    # the join key is the shingle against a ~fixed broadcast set)
+    "contamination_filter_clean",
+    # round 11e: 10x token-count scan under a CONSTANT 20-source policy
+    # frame (expect scan-linear, flat tail)
+    "mixture_epoch_schedule",
+    # round 11e: row-side codegen regexp scan (the HOF token-lambda form
+    # measured 3.1/28.2 s and was replaced; expect ~linear, sub-second)
+    "search_phrase_match",
 ]
 
 
