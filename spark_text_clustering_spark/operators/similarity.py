@@ -1826,3 +1826,64 @@ def kmeans_silhouette(
             F.round(F.avg("s"), 6).alias("mean_silhouette"),
         )
     )
+
+
+@REG.register("ann_recall_eval")  # rows-only: evaluates seeded approximate methods
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality report as a first-class operator: recall@TOP_K of every
+    top-k-shaped ANN variant against `knn_cosine_exact`, per method —
+    the evaluation a platform runs BEFORE switching retrieval from brute
+    force to an index, here queryable instead of buried in a test suite
+    (tests/test_search.py pins the floors; this emits the numbers).
+    `knn_cosine_gemm` is exact-by-construction and rides along as the
+    control row (recall 1.0 or the harness itself is broken).
+
+    Shape: every method's result is a (query_id, neighbor_id) set of at
+    most N_QUERIES×TOP_K rows — the joins and aggregates below run on
+    KB-sized frames regardless of corpus scale; the real cost is the
+    methods' own index builds, which are memoized per session exactly as
+    in their registered keys. Output: (method, macro_recall, min_recall,
+    n_queries), macro = mean per-query recall, min = worst query."""
+    methods = [
+        ("gemm", knn_cosine_gemm),
+        ("ivf", knn_cosine_ivf),
+        ("pq", knn_cosine_pq),
+        ("ivfpq", knn_cosine_ivfpq),
+    ]
+    exact = knn_cosine_exact(spark, sf_dir).select("query_id", "neighbor_id")
+    per_q_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    outs = []
+    for name, fn in methods:
+        approx = fn(spark, sf_dir).select(
+            "query_id", "neighbor_id", F.lit(name).alias("method")
+        )
+        hits = (
+            approx.join(exact, ["query_id", "neighbor_id"])
+            .groupBy("method", "query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        per_q = (
+            per_q_exact.join(
+                hits, "query_id", "left"
+            )  # queries an index missed entirely count as recall 0
+            .select(
+                F.lit(name).alias("method"),
+                "query_id",
+                (
+                    F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_exact")
+                ).alias("r"),
+            )
+        )
+        outs.append(
+            per_q.groupBy("method").agg(
+                F.round(F.avg("r"), 6).alias("macro_recall"),
+                F.round(F.min("r"), 6).alias("min_recall"),
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("method")

@@ -61,6 +61,7 @@ EXCLUDED_KEYS = {
     "assoc_itemsets_fp": "FPGrowth fit at construction; result is model state",
     "stream_drift_psi": "streaming replay + store merge at construction",
     "stream_ewma_serving": "stateful replay + epoch-store merge at construction",
+    "ann_recall_eval": "runs 4 ANN index builds + exact kNN at construction",
 }
 
 

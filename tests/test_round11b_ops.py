@@ -367,3 +367,23 @@ def test_contamination_clean_drops_the_overlap_hits(spark):
             assert clean[doc_id] == s
     for doc_id, s in clean.items():
         assert s == overlap.get(doc_id, 0)
+
+
+# ------------------------------------------------------- ANN recall eval
+
+
+def test_ann_recall_eval_control_and_floors(spark):
+    """The eval harness as an operator: the exact-by-construction gemm
+    row must report recall 1.0 (or the harness is broken), every row is
+    a valid recall, and the per-method floors agree with the ones
+    test_search pins directly."""
+    rows = {
+        r["method"]: r
+        for r in QUERIES["ann_recall_eval"](spark, SF_SMALL).collect()
+    }
+    assert set(rows) == {"gemm", "ivf", "pq", "ivfpq"}
+    assert rows["gemm"]["macro_recall"] == 1.0
+    assert rows["gemm"]["min_recall"] == 1.0
+    for r in rows.values():
+        assert 0.0 <= r["min_recall"] <= r["macro_recall"] <= 1.0
+        assert r["n_queries"] >= 1
