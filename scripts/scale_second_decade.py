@@ -27,6 +27,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 SF01 = "/root/testdata/sf0.1"
+WARM_SF = "/root/testdata/sf0.001"  # smallest tier, used only by warm_jvm
 KEYS = [
     "dedup_duplicate_spans_strided",
     "dedup_minhash_fast",
@@ -291,8 +292,10 @@ def warm_jvm() -> None:
     # a range groupBy alone leaves the parquet datasource + aggregate
     # codegen classes cold and the first real key still pays ~2 s
     # (round-11 re-measure: anova 3.1 s first vs 1.0-1.3 s after) — touch
-    # the real read + agg + join paths on the tiny sf0.001 tables
-    sf = "/root/testdata/sf0.001"
+    # the real read + agg + join paths on the smallest available tables
+    # (fall back to SF01 itself if the tiny tier isn't on this host; the
+    # warmup then costs a few seconds more but the run doesn't die)
+    sf = WARM_SF if os.path.exists(f"{WARM_SF}/events.parquet") else SF01
     ev = load_table(spark, sf, "events")
     ev.groupBy("event_type").agg(F.avg("value"), F.count(F.lit(1))).collect()
     li = load_table(spark, sf, "lineitem")

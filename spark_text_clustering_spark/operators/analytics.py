@@ -1787,6 +1787,55 @@ def stats_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _slice_moments(df, val_col: str) -> DataFrame:
+    """ONE map-side-combined (count, mean, var_samp) per event-type slice
+    — the shared spine of the ANOVA / Brown-Forsythe / pairwise-contrast
+    family. Factored (round-11 review) so a moment-policy change (e.g.
+    null handling) propagates to all three keys instead of silently
+    diverging across three verbatim copies."""
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(val_col).alias("m"),
+        F.var_samp(val_col).alias("v"),
+    )
+
+
+def _f_from_moments(g: DataFrame, stat_name: str) -> DataFrame:
+    """Between/within F = MSB/MSW from a slice-moments frame — the shared
+    reduction of `stats_anova_oneway` (on raw values) and
+    `stats_levene_brownforsythe` (on |x − group median| deviations). The
+    totals frame is group-count-sized and cross-broadcast back."""
+    t = g.agg(
+        F.sum("n").alias("n_tot"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = g.crossJoin(F.broadcast(t))
+    return (
+        j.groupBy("k", "n_tot")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm")))
+                    / (F.col("k") - 1)
+                )
+                / (F.sum((F.col("n") - 1) * F.col("v")) / (F.col("n_tot") - F.col("k"))),
+                6,
+            ).alias(stat_name),
+            (F.first("k") - 1).cast("long").alias("df_between"),
+            (F.first("n_tot") - F.first("k")).cast("long").alias("df_within"),
+        )
+        .select(
+            stat_name,
+            "df_between",
+            "df_within",
+            F.col("k").cast("long").alias("k"),
+            F.col("n_tot").cast("long").alias("n"),
+        )
+    )
+
+
 _ANOVA_ORACLE = """
 WITH g AS (
   SELECT event_type, count(*) AS n, avg(value) AS m, var_samp(value) AS v
@@ -1818,39 +1867,7 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     number a feature-vs-target screen computes per column at training
     time. One row out: (f_stat, df_between, df_within, k, n)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    g = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("value").alias("m"),
-        F.var_samp("value").alias("v"),
-    )
-    t = g.agg(
-        F.sum("n").alias("n_tot"),
-        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
-        F.count(F.lit(1)).alias("k"),
-    )
-    j = g.crossJoin(F.broadcast(t))
-    return (
-        j.groupBy("k", "n_tot")
-        .agg(
-            F.round(
-                (
-                    F.sum(F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm")))
-                    / (F.col("k") - 1)
-                )
-                / (F.sum((F.col("n") - 1) * F.col("v")) / (F.col("n_tot") - F.col("k"))),
-                6,
-            ).alias("f_stat"),
-            (F.first("k") - 1).cast("long").alias("df_between"),
-            (F.first("n_tot") - F.first("k")).cast("long").alias("df_within"),
-        )
-        .select(
-            "f_stat",
-            "df_between",
-            "df_within",
-            F.col("k").cast("long").alias("k"),
-            F.col("n_tot").cast("long").alias("n"),
-        )
-    )
+    return _f_from_moments(_slice_moments(ev, "value"), "f_stat")
 
 
 _LEVENE_ORACLE = """
@@ -1902,39 +1919,7 @@ def stats_levene_brownforsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = ev.join(F.broadcast(med), ev["event_type"] == med["et"]).select(
         "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
     )
-    g = z.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("z").alias("m"),
-        F.var_samp("z").alias("v"),
-    )
-    t = g.agg(
-        F.sum("n").alias("n_tot"),
-        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
-        F.count(F.lit(1)).alias("k"),
-    )
-    j = g.crossJoin(F.broadcast(t))
-    return (
-        j.groupBy("k", "n_tot")
-        .agg(
-            F.round(
-                (
-                    F.sum(F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm")))
-                    / (F.col("k") - 1)
-                )
-                / (F.sum((F.col("n") - 1) * F.col("v")) / (F.col("n_tot") - F.col("k"))),
-                6,
-            ).alias("w_stat"),
-            (F.first("k") - 1).cast("long").alias("df_between"),
-            (F.first("n_tot") - F.first("k")).cast("long").alias("df_within"),
-        )
-        .select(
-            "w_stat",
-            "df_between",
-            "df_within",
-            F.col("k").cast("long").alias("k"),
-            F.col("n_tot").cast("long").alias("n"),
-        )
-    )
+    return _f_from_moments(_slice_moments(z, "z"), "w_stat")
 
 
 _ACF_LAGS = 5
@@ -2089,11 +2074,7 @@ def stats_pairwise_contrasts(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized join anywhere. Output per pair:
     (type_a, type_b, mean_diff, se, t_stat, df_within)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    g = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("value").alias("m"),
-        F.var_samp("value").alias("v"),
-    )
+    g = _slice_moments(ev, "value")
     t = g.agg(
         F.sum("n").alias("n_tot"),
         F.count(F.lit(1)).alias("k"),
@@ -2422,7 +2403,7 @@ WITH d AS (
   SELECT event_id, value FROM events WHERE value IS NOT NULL),
 r AS (
   SELECT b.b, d.value,
-         (d.event_id * 1103515245 + b.b * 747796405 + 12345)
+         ((d.event_id % 2147483648) * 1103515245 + b.b * 747796405 + 12345)
            % 2147483648 AS u
   FROM d CROSS JOIN (SELECT unnest(range(1, {_BOOT_B} + 1)) AS b) b),
 w AS (
@@ -2478,8 +2459,14 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
     )
+    # event_id is reduced mod 2^31 BEFORE the multiply: (2^31-1) *
+    # 1103515245 ~ 2.4e18 stays inside int64, so the arithmetic is exact
+    # for ANY event_id — without the reduction, ids past ~8.4e9 would
+    # silently wrap in Spark (non-ANSI) while DuckDB raises on BIGINT
+    # overflow, breaking the bit-for-bit cross-engine claim exactly at
+    # the scale this operator advertises
     u = (
-        F.col("event_id") * F.lit(1103515245)
+        (F.col("event_id") % F.lit(2147483648)) * F.lit(1103515245)
         + F.col("b").cast("long") * F.lit(747796405)
         + F.lit(12345)
     ) % F.lit(2147483648)

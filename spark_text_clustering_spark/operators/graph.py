@@ -943,6 +943,9 @@ def _hash_min_cc(und: DataFrame, max_rounds: int = 50) -> DataFrame:
         if changed == 0:
             _drop_ckpt(und, und_ids)  # returned labels don't read edges
             return comp
+    # loud failure must not leak the pinned edge + label blocks — the
+    # exact long-lived-session drag ckpt.py exists to prevent
+    _drop_ckpt(und, und_ids | prev_ids)
     raise RuntimeError(f"hash-min CC did not converge in {max_rounds} rounds")
 
 
@@ -1043,11 +1046,10 @@ def _two_star_cc(und: DataFrame, max_rounds: int = 40) -> tuple[DataFrame, int]:
         .select(F.greatest("u", "v").alias("x"), F.least("u", "v").alias("y"))
         .distinct()
     )
-    nodes = (
+    nodes, nodes_ids = _ckpt_tracked(
         und.select(F.col("u").alias("id"))
         .unionAll(und.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_prev = pairs.count()
     rounds = 0
@@ -1091,6 +1093,8 @@ def _two_star_cc(und: DataFrame, max_rounds: int = 40) -> tuple[DataFrame, int]:
         # nxt materialized; the superseded round's blocks are dead
         _drop_ckpt(nodes, prev_ids)
         pairs, n_prev, prev_ids = nxt, n_nxt, nxt_ids
+    # loud failure must not leak the node spine + last round's edge set
+    _drop_ckpt(nodes, prev_ids | nodes_ids)
     raise RuntimeError(f"two-star CC did not converge in {max_rounds} rounds")
 
 

@@ -1850,14 +1850,27 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pq", knn_cosine_pq),
         ("ivfpq", knn_cosine_ivfpq),
     ]
-    exact = knn_cosine_exact(spark, sf_dir).select("query_id", "neighbor_id")
+    # the exact frame is referenced 8x in the returned plan (4 hits
+    # joins + 4 per-query spines) and Spark has no cross-branch subplan
+    # reuse for it — localCheckpoint pins ~N_QUERIES*TOP_K rows and cuts
+    # 8 brute-force scans to 1 (measured 9.2 s -> see bench)
+    exact = (
+        knn_cosine_exact(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     per_q_exact = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact")
     )
     outs = []
     for name, fn in methods:
-        approx = fn(spark, sf_dir).select(
-            "query_id", "neighbor_id", F.lit(name).alias("method")
+        # each method frame is <= N_QUERIES*TOP_K rows but its plan is a
+        # full index probe — checkpoint so the returned union executes
+        # against 4 tiny pinned frames instead of re-probing every index
+        approx = (
+            fn(spark, sf_dir)
+            .select("query_id", "neighbor_id", F.lit(name).alias("method"))
+            .localCheckpoint(eager=True)
         )
         hits = (
             approx.join(exact, ["query_id", "neighbor_id"])

@@ -659,6 +659,12 @@ _WP_N_MERGES = 10
 _WP_BAND = 32
 
 
+def _wp_row_key(r):
+    """`_wp_exact_key` over a Row — shared by the in-band driver min and
+    the distributed tie-frame reduce so both paths rank identically."""
+    return _wp_exact_key(r["a"], r["b"], int(r["cnt"]), int(r["cnt_a"]), int(r["cnt_b"]))
+
+
 def _wp_exact_key(a: str, b: str, cnt: int, cnt_a: int, cnt_b: int):
     """Exact WordPiece merge-selection key: likelihood score as an
     arbitrary-precision Fraction (count products past 2^53 cannot round),
@@ -780,15 +786,22 @@ def wordpiece_train_merges(
         # Otherwise widen to every candidate inside the tie band.
         best_d = band[0]["score"]
         if len(band) == _WP_BAND and band[-1]["score"] >= best_d * (1.0 - 1e-9):
-            band = scored.where(
-                F.col("score") >= F.lit(best_d * (1.0 - 1e-9))
-            ).collect()
-        win = min(
-            band,
-            key=lambda r: _wp_exact_key(
-                r["a"], r["b"], int(r["cnt"]), int(r["cnt_a"]), int(r["cnt_b"])
-            ),
-        )
+            # tie band wider than the collected prefix (hapax-rich
+            # corpora tie at score 1.0 vocab-wide early in training):
+            # pick the exact winner DISTRIBUTED — an RDD reduce over the
+            # tie frame ships one candidate row per partition to the
+            # driver instead of collecting the whole (potentially
+            # vocab-scale) tie set, and the reduce operator is the same
+            # exact-integer key as the in-band min, so the selection is
+            # unchanged (round-11 review fix; the rare genuinely-needed
+            # per-partition imperative case for dropping to the RDD API,
+            # because Fraction comparison has no JVM expression form)
+            tie = scored.where(F.col("score") >= F.lit(best_d * (1.0 - 1e-9)))
+            win = tie.rdd.reduce(
+                lambda x, y: x if _wp_row_key(x) <= _wp_row_key(y) else y
+            )
+        else:
+            win = min(band, key=_wp_row_key)
         a, b = win["a"], win["b"]
         cnt, score = int(win["cnt"]), float(win["score"])
         merged = a + (b[2:] if b.startswith("##") else b)

@@ -264,7 +264,7 @@ def test_bootstrap_ci_matches_python_twin(spark):
     sums = [[0.0, 0] for _ in range(B + 1)]  # [sum(w*v), sum(w)]
     for r in rows:
         for b in range(1, B + 1):
-            u = (r["event_id"] * 1103515245 + b * 747796405 + 12345) % 2147483648
+            u = ((r["event_id"] % 2147483648) * 1103515245 + b * 747796405 + 12345) % 2147483648
             w = _poisson_weight(u)
             if w:
                 sums[b][0] += w * r["value"]
@@ -296,7 +296,7 @@ def test_bootstrap_weights_are_poisson_shaped(spark):
     counts = collections.Counter()
     for r in rows:
         for b in range(1, 101):
-            u = (r["event_id"] * 1103515245 + b * 747796405 + 12345) % 2147483648
+            u = ((r["event_id"] % 2147483648) * 1103515245 + b * 747796405 + 12345) % 2147483648
             counts[_poisson_weight(u)] += 1
     n = sum(counts.values())
     for k, p in [(0, 0.3679), (1, 0.3679), (2, 0.1839), (3, 0.0613), (4, 0.0190)]:
