@@ -187,6 +187,7 @@ HEADLINE = [
     "mixture_epoch_schedule",
     "search_phrase_match",
     "ann_recall_eval",
+    "timeseries_interarrival",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION

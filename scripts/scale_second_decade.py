@@ -215,6 +215,10 @@ TPCH_KEYS = [
     # no shuffle until the B-row partial aggs) — expect ~linear in rows;
     # replicas shift event_id so every replica draws FRESH weights
     "stats_bootstrap_ci",
+    # round 11e: replica users are disjoint — 10x (user, type) streams of
+    # unchanged length on one window exchange, then the exact disc
+    # quantiles buffer per-GROUP gaps (k groups fixed; expect ~linear)
+    "timeseries_interarrival",
 ]
 
 

@@ -2500,3 +2500,61 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM boot_means
         """
     )
+
+
+_INTERARRIVAL_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events),
+d AS (
+  SELECT event_type, epoch_us(ts) - epoch_us(prev) AS gap_us
+  FROM g WHERE prev IS NOT NULL)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       round(AVG(gap_us) / 1e6, 6) AS mean_gap_s,
+       CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS p50_gap_us,
+       CAST(quantile_disc(gap_us, 0.9) AS BIGINT) AS p90_gap_us
+FROM d GROUP BY event_type
+"""
+
+
+@REG.register("timeseries_interarrival", oracle=_INTERARRIVAL_ORACLE)
+def timeseries_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type — the telemetry question
+    behind rate limiting, session-gap tuning (`sessionize_gap`'s 30-min
+    threshold should come from THIS distribution, not folklore), and
+    load forecasting: per (user, type) stream, the gap to the previous
+    event, summarized as mean / exact p50 / exact p90.
+
+    Gaps are computed in MICROSECONDS via unix_micros ↔ epoch_us —
+    integer-exact on both engines (unix_timestamp would truncate to
+    seconds and silently disagree with DuckDB's fractional epoch; the
+    `time_bucket_15min` lesson applied to differences). One window pass
+    on a single (user_id, event_type) exchange, then a map-side-combined
+    grouped agg; the discrete quantiles buffer per-GROUP gap values —
+    the `percentile_disc_group` posture, with percentile_approx as the
+    documented swap on the identical plan when groups stop fitting."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    g.createOrReplaceTempView("interarrival_gaps")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               round(AVG(gap_us) / 1e6, 6) AS mean_gap_s,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)
+                    AS BIGINT) AS p50_gap_us,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us)
+                    AS BIGINT) AS p90_gap_us
+        FROM interarrival_gaps GROUP BY event_type
+        """
+    )
