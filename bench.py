@@ -188,6 +188,7 @@ HEADLINE = [
     "search_phrase_match",
     "ann_recall_eval",
     "timeseries_interarrival",
+    "dedup_minhash_clusters_twostar",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION
@@ -250,6 +251,8 @@ EAGER_KEYS = {
     "graph_connected_components",
     # MinHash signature checkpoint + hash-min CC rounds at construction
     "dedup_minhash_clusters",
+    # same consumer, two-star CC rounds at construction
+    "dedup_minhash_clusters_twostar",
     # hash-min CC over the ngram-Jaccard pair graph at construction
     "dedup_cluster_best_quality",
     # same CC pass at construction (split keyed on the cluster labels)

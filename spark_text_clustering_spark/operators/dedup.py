@@ -1599,3 +1599,20 @@ def dedup_containment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_kept"),
     )
+
+
+@REG.register("dedup_minhash_clusters_twostar")
+def dedup_minhash_clusters_twostar(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """`dedup_minhash_clusters` with the diameter-independent two-star CC
+    kernel — the variant you RUN when the corpus is unknown and templated
+    text can chain candidates into long paths (hash-min costs one round
+    per hop there; large-star/small-star is O(log n) rounds regardless).
+    Registered as its own key (round 11) so the unknown-diameter path is
+    a driver-checked surface, not just a parameter: the driver's
+    rows-only gate executes the two-star iteration end-to-end every
+    round, and tests/test_dedup_clusters.py equality-locks its labels to
+    the hash-min key's and to a pure-Python union-find. Same output
+    contract: (doc_id, cluster_id, is_canonical) for every document."""
+    return dedup_minhash_clusters(spark, sf_dir, threshold, kernel="twostar")

@@ -94,3 +94,21 @@ def test_canonical_filter_is_a_near_dedup(spark):
     survivors = [r for r in out if r["is_canonical"]]
     assert len(survivors) == len({r["cluster_id"] for r in out})
     assert len(survivors) < len(out), "sf0.001 has near-dups, so some docs must drop"
+
+
+def test_registered_twostar_key_matches_hashmin_key(spark):
+    """The round-11 registered twin must be label-for-label identical to
+    the default key (it IS kernel='twostar' on the same pair graph)."""
+    from spark_text_clustering_spark.registry import QUERIES
+
+    a = sorted(
+        tuple(r)
+        for r in QUERIES["dedup_minhash_clusters"](spark, SF_SMALL).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in QUERIES["dedup_minhash_clusters_twostar"](
+            spark, SF_SMALL
+        ).collect()
+    )
+    assert a == b
