@@ -22,6 +22,17 @@ from ..session import ensure_utc
 REG = Registry()
 
 
+def _sql_over(df: DataFrame, name: str, sql_fmt: str) -> DataFrame:
+    """Single-frame convenience over ``sqlview.sql_over`` (round-12
+    advice: no fixed-name session-global views). ``sql_fmt`` references
+    the frame as ``{v}``."""
+    from ..sqlview import sql_over
+
+    return sql_over(
+        df.sparkSession, sql_fmt.replace("{v}", f"{{{name}}}"), **{name: df}
+    )
+
+
 @REG.register(
     "embedding_centroid_per_label",
     oracle="""
@@ -1908,13 +1919,14 @@ def stats_levene_brownforsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the same ONE map-side-combined moment aggregation as ANOVA.
     One row out: (w_stat, df_between, df_within, k, n)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    ev.createOrReplaceTempView("levene_events")
-    med = spark.sql(
+    med = _sql_over(
+        ev,
+        "levene_events",
         """
         SELECT event_type AS et,
                percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
-        FROM levene_events GROUP BY event_type
-        """
+        FROM {v} GROUP BY event_type
+        """,
     )
     z = ev.join(F.broadcast(med), ev["event_type"] == med["et"]).select(
         "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
@@ -2490,15 +2502,16 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m")
         )
     )
-    means.createOrReplaceTempView("boot_means")
-    return means.sparkSession.sql(
+    return _sql_over(
+        means,
+        "boot_means",
         """
         SELECT round(AVG(m), 6) AS boot_mean,
                percentile_disc(0.025) WITHIN GROUP (ORDER BY m) AS ci_lo,
                percentile_disc(0.975) WITHIN GROUP (ORDER BY m) AS ci_hi,
                CAST(COUNT(*) AS BIGINT) AS b_reps
-        FROM boot_means
-        """
+        FROM {v}
+        """,
     )
 
 
@@ -2545,8 +2558,9 @@ def timeseries_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
         ).alias("gap_us"),
     ).where(F.col("gap_us").isNotNull())
-    g.createOrReplaceTempView("interarrival_gaps")
-    return spark.sql(
+    return _sql_over(
+        g,
+        "interarrival_gaps",
         """
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_gaps,
@@ -2555,6 +2569,6 @@ def timeseries_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS p50_gap_us,
                CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us)
                     AS BIGINT) AS p90_gap_us
-        FROM interarrival_gaps GROUP BY event_type
-        """
+        FROM {v} GROUP BY event_type
+        """,
     )

@@ -322,6 +322,7 @@ def recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating; corpora with >1000-deep exact-duplicate chains should
     use dedup_transitive's iterative loop instead)."""
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+    from ..sqlview import sql_over
+
     docs = load_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("docs_for_closure")
-    return spark.sql(_CLOSURE_SQL.format(documents="docs_for_closure"))
+    return sql_over(spark, _CLOSURE_SQL, documents=docs)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from .._registry import Registry
 from ..catalog import load_table
 from ..session import ensure_utc
+from ..sqlview import sql_over
 
 REG = Registry()
 
@@ -718,15 +719,16 @@ def sql_udf_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DECIMAL(24,4))
         """
     )
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_for_sqludf")
-    return spark.sql(
+    return sql_over(
+        spark,
         """
         SELECT l_returnflag,
                CAST(SUM(disc_price(l_extendedprice, l_discount)) AS DOUBLE)
                  AS revenue
-        FROM li_for_sqludf
+        FROM {lineitem}
         GROUP BY l_returnflag
-        """
+        """,
+        lineitem=load_table(spark, sf_dir, "lineitem"),
     )
 
 
@@ -756,15 +758,16 @@ def sql_table_function_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         RETURN SELECT explode(sequence(1, n))
         """
     )
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_for_sqltvf")
-    return spark.sql(
+    return sql_over(
+        spark,
         """
         SELECT b.bucket, COUNT(l.l_orderkey) AS n_lines
         FROM qty_buckets(10) b
-        LEFT JOIN li_for_sqltvf l
+        LEFT JOIN {lineitem} l
           ON CAST(ceil(l.l_quantity / 5.0) AS INT) = b.bucket
         GROUP BY b.bucket
-        """
+        """,
+        lineitem=load_table(spark, sf_dir, "lineitem"),
     ).select("bucket", F.col("n_lines").cast("long").alias("n_lines"))
 
 
@@ -824,15 +827,16 @@ def lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     window version — the declarative surface differs, the physical plan
     should not. The Spark side also exercises parameterized spark.sql
     (named :k binding, no string splicing)."""
-    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
-    return spark.sql(
+    return sql_over(
+        spark,
         """
         SELECT n.n_name, t.c_name, t.c_acctbal
-        FROM nation_lat n, LATERAL (
-          SELECT c_name, c_acctbal FROM customer_lat c
+        FROM {nation} n, LATERAL (
+          SELECT c_name, c_acctbal FROM {customer} c
           WHERE c.c_nationkey = n.n_nationkey
           ORDER BY c_acctbal DESC, c_name LIMIT :k) t
         """,
-        args={"k": 3},
+        sql_args={"k": 3},
+        nation=load_table(spark, sf_dir, "nation"),
+        customer=load_table(spark, sf_dir, "customer"),
     )

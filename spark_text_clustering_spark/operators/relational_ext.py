@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from .._registry import Registry
 from ..catalog import load_table
 from ..session import ensure_utc
+from ..sqlview import sql_over
 
 REG = Registry()
 
@@ -252,13 +253,14 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (SQL API — distinct from rollup/cube)."""
     li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem_gs")
-    return spark.sql(
+    return sql_over(
+        spark,
         """
         SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
-        FROM lineitem_gs
+        FROM {lineitem}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
+        """,
+        lineitem=li,
     )
 
 
@@ -278,13 +280,14 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery (planned as a broadcast one-row join)."""
     o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders_sq")
-    return spark.sql(
+    return sql_over(
+        spark,
         """
         SELECT o_orderkey, o_totalprice
-        FROM orders_sq
-        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders_sq)
-        """
+        FROM {orders}
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM {orders})
+        """,
+        orders=o,
     )
 
 
@@ -298,14 +301,15 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS (decorrelated by Catalyst into a semi join)."""
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_sq")
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
-    return spark.sql(
+    return sql_over(
+        spark,
         """
-        SELECT p_partkey, p_name FROM part_sq p
-        WHERE EXISTS (SELECT 1 FROM lineitem_sq l
+        SELECT p_partkey, p_name FROM {part} p
+        WHERE EXISTS (SELECT 1 FROM {lineitem} l
                       WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
-        """
+        """,
+        part=load_table(spark, sf_dir, "part"),
+        lineitem=load_table(spark, sf_dir, "lineitem"),
     )
 
 

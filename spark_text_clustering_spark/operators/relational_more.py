@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from .._registry import Registry
 from ..catalog import load_table
 from ..session import ensure_utc
+from ..sqlview import sql_over
 
 REG = Registry()
 
@@ -37,14 +38,15 @@ def anti_join_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime NULLs, so the output stays non-trivial."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    o.createOrReplaceTempView("naaj_orders")
-    c.createOrReplaceTempView("naaj_customer")
-    return spark.sql(
+    return sql_over(
+        spark,
         """
-        SELECT o_orderkey, o_custkey FROM naaj_orders
-        WHERE o_custkey NOT IN (SELECT NULLIF(c_custkey, -1) FROM naaj_customer
+        SELECT o_orderkey, o_custkey FROM {orders}
+        WHERE o_custkey NOT IN (SELECT NULLIF(c_custkey, -1) FROM {customer}
                                 WHERE c_acctbal < 1000)
-        """
+        """,
+        orders=o,
+        customer=c,
     )
 
 
@@ -155,16 +157,17 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     order density. Decimal sums keep both engines bit-identical."""
     ensure_utc(spark)
     o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("wri_orders")
-    return spark.sql(
+    return sql_over(
+        spark,
         """
         SELECT o_orderkey, o_custkey, o_orderdate,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate
                           RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
                     AS DOUBLE) AS trailing_30d_spend
-        FROM wri_orders
-        """
+        FROM {orders}
+        """,
+        orders=o,
     )
 
 
@@ -397,15 +400,16 @@ def percentile_disc_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     The p50/p90/p99 latency-style battery every observability pipeline
     runs."""
     li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("pdisc_lineitem")
-    return spark.sql(
+    return sql_over(
+        spark,
         """
         SELECT l_returnflag,
                percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
                percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
                percentile_disc(0.99) WITHIN GROUP (ORDER BY l_quantity) AS p99
-        FROM pdisc_lineitem GROUP BY l_returnflag
-        """
+        FROM {lineitem} GROUP BY l_returnflag
+        """,
+        lineitem=li,
     )
 
 
@@ -545,10 +549,9 @@ def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically to an explicit GROUP BY — one partial/final hash
     aggregate — so there is nothing scale-new here; the point is surface
     coverage."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "lineitem_gba"
+    return sql_over(
+        spark, _GROUP_BY_ALL_SQL, lineitem=load_table(spark, sf_dir, "lineitem")
     )
-    return spark.sql(_GROUP_BY_ALL_SQL.format(lineitem="lineitem_gba"))
 
 
 @REG.register(
@@ -667,14 +670,15 @@ def winsorize_clip_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass one for percentile_approx on the same plan. Output per group:
     (n, n_clipped_low, n_clipped_high, clipped_sum)."""
     li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("wins_lineitem")
-    bounds = spark.sql(
+    bounds = sql_over(
+        spark,
         """
         SELECT l_returnflag AS rf,
                percentile_disc(0.05) WITHIN GROUP (ORDER BY l_quantity) AS lo,
                percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity) AS hi
-        FROM wins_lineitem GROUP BY l_returnflag
-        """
+        FROM {lineitem} GROUP BY l_returnflag
+        """,
+        lineitem=li,
     )
     j = li.join(F.broadcast(bounds), li["l_returnflag"] == bounds["rf"])
     clipped = F.least(F.greatest(F.col("l_quantity"), F.col("lo")), F.col("hi"))

@@ -378,11 +378,17 @@ def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     how Lucene phrase queries execute."""
     docs = load_table(spark, sf_dir, "documents")
     w1, w2 = _PHRASE
-    count_pat = f"(?:^|\\\\s){w1}\\\\s+{w2}(?=\\\\s|$)"
+    # Column-API literal (round-12 advice): the former F.expr form
+    # double-escaped the pattern as a SQL string literal, which silently
+    # depended on spark.sql.parser.escapedStringLiterals=false — under
+    # the legacy flag '\\s' stops meaning whitespace and every gated doc
+    # would report 0 occurrences with no error. F.lit carries the regex
+    # bytes to the JVM verbatim, with no SQL-literal round trip.
+    count_pat = f"(?:^|\\s){w1}\\s+{w2}(?=\\s|$)"
     gate_pat = f"(^|\\s){w1}\\s+{w2}(\\s|$)"
     return docs.where(F.lower("text").rlike(gate_pat)).select(
         "doc_id",
-        F.size(F.expr(f"regexp_extract_all(lower(text), '{count_pat}', 0)"))
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(count_pat), F.lit(0)))
         .cast("long")
         .alias("n_occurrences"),
     )

@@ -1850,28 +1850,33 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pq", knn_cosine_pq),
         ("ivfpq", knn_cosine_ivfpq),
     ]
+    from ..ckpt import ckpt_tracked, drop_ckpt
+
     # the exact frame is referenced 8x in the returned plan (4 hits
     # joins + 4 per-query spines) and Spark has no cross-branch subplan
     # reuse for it — localCheckpoint pins ~N_QUERIES*TOP_K rows and cuts
-    # 8 brute-force scans to 1 (measured 9.2 s -> see bench)
-    exact = (
-        knn_cosine_exact(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+    # 8 brute-force scans to 1 (measured 9.2 s -> see bench). Tracked
+    # (round-12 advice): all five intermediate checkpoints are released
+    # below once the final 4-row report is itself materialized, so
+    # repeated invocations in a long-lived session pin nothing.
+    exact, exact_ids = ckpt_tracked(
+        knn_cosine_exact(spark, sf_dir).select("query_id", "neighbor_id")
     )
     per_q_exact = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact")
     )
     outs = []
+    dead_ids: set = set(exact_ids)
     for name, fn in methods:
         # each method frame is <= N_QUERIES*TOP_K rows but its plan is a
         # full index probe — checkpoint so the returned union executes
         # against 4 tiny pinned frames instead of re-probing every index
-        approx = (
-            fn(spark, sf_dir)
-            .select("query_id", "neighbor_id", F.lit(name).alias("method"))
-            .localCheckpoint(eager=True)
+        approx, ids = ckpt_tracked(
+            fn(spark, sf_dir).select(
+                "query_id", "neighbor_id", F.lit(name).alias("method")
+            )
         )
+        dead_ids |= ids
         hits = (
             approx.join(exact, ["query_id", "neighbor_id"])
             .groupBy("method", "query_id")
@@ -1899,4 +1904,9 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)
-    return res.orderBy("method")
+    # Materialize the 4-row report itself, then release every
+    # intermediate checkpoint — the returned frame no longer references
+    # them, so the call leaves only these 4 rows pinned.
+    final = res.orderBy("method").localCheckpoint(eager=True)
+    drop_ckpt(final, dead_ids)
+    return final

@@ -753,12 +753,15 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield i, s
 
     spark.udtf.register("sentence_split", SentenceSplit)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_udtf")
-    return spark.sql(
+    from ..sqlview import sql_over
+
+    return sql_over(
+        spark,
         """
         SELECT d.doc_id, s.sent_idx, s.sentence
-        FROM docs_for_udtf d, LATERAL sentence_split(d.text) s
-        """
+        FROM {documents} d, LATERAL sentence_split(d.text) s
+        """,
+        documents=load_table(spark, sf_dir, "documents"),
     )
 
 

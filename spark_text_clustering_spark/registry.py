@@ -101,13 +101,14 @@ def _flagship_sql(spark, sf_dir):
     """Pure-SQL form of the flagship (the spark.sql surface end-to-end):
     same plan as the DataFrame form — Catalyst compiles both identically."""
     from .catalog import load_table
+    from .sqlview import sql_over
 
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_sql")
+    docs = load_table(spark, sf_dir, "documents")
     stop = ", ".join(f"'{w}'" for w in STOPWORDS)
-    return spark.sql(f"""
+    return sql_over(spark, f"""
         WITH tok AS (
           SELECT lang, explode(split(lower(text), '\\\\s+')) AS token
-          FROM documents_sql),
+          FROM {{documents}}),
         cnt AS (
           SELECT lang, token, COUNT(*) AS cnt FROM tok
           WHERE length(token) >= 1 AND token NOT IN ({stop})
@@ -118,7 +119,7 @@ def _flagship_sql(spark, sf_dir):
                                     ORDER BY cnt DESC, token) AS rank
           FROM cnt)
         WHERE rank <= 10
-    """)
+    """, documents=docs)
 
 
 ROOT.register("flagship_top_terms_sql", oracle=_FLAGSHIP_ORACLE)(_flagship_sql)
