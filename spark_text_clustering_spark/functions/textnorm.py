@@ -83,3 +83,49 @@ STOPWORDS_DE: tuple[str, ...] = (
 )
 
 STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {"EN": STOPWORDS, "GE": STOPWORDS_DE}
+
+
+# ---------------------------------------------------------------------------
+# Reference stopword lists (round 12) — the reference's ACTUAL side-input
+# files, shipped as package data (resources/stopwords_{en,de}.txt; see
+# resources/README.md for provenance). The compact STOPWORDS above stays
+# the default for the §2 keys whose oracles inline it; these are the
+# full lists a user replaying the reference's EN/GE run would supply.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_RESOURCE_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "resources"
+)
+
+
+def stopword_resource_path(lang: str = "EN") -> str:
+    """Filesystem path of the shipped reference stopword file for
+    ``lang`` ('EN' or 'GE' — the reference's two language runs)."""
+    name = {"EN": "stopwords_en.txt", "GE": "stopwords_de.txt"}[lang.upper()]
+    return _os.path.join(_RESOURCE_DIR, name)
+
+
+def parse_stopword_text(raw: str) -> list[str]:
+    """Parse a comma-joined stopword file body (reference S2 format,
+    LDAClustering.scala:125-129: flatMap split(',') with whitespace
+    stripped). Shared by the Spark source (read_stopwords) and this
+    pure-Python path so engine and oracle cannot diverge on parsing.
+    Duplicates are preserved — filtering semantics don't care, and the
+    reference's GE file contains them."""
+    return [w.strip() for w in raw.split(",") if w.strip()]
+
+
+def reference_stopwords(lang: str = "EN") -> tuple[str, ...]:
+    """The reference's full stopword list for ``lang``, loaded without a
+    SparkSession (oracle SQL is built at module import). The Spark-side
+    twin is ``read_stopwords(spark, stopword_resource_path(lang))``."""
+    with open(stopword_resource_path(lang), encoding="utf-8") as f:
+        return tuple(parse_stopword_text(f.read()))
+
+
+def stopwords_sql_list_for(words: tuple[str, ...] | list[str]) -> str:
+    """Render an arbitrary stopword list as a SQL array literal."""
+    inner = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"[{inner}]"

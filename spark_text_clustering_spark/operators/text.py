@@ -142,6 +142,47 @@ def stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..functions.textnorm import reference_stopwords, stopwords_sql_list_for
+
+_REF_STOP_EN = reference_stopwords("EN")
+
+
+@REG.register(
+    "stopword_filter_reference",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> len(x) >= 1 AND NOT list_contains({stopwords_sql_list_for(_REF_STOP_EN)}, x)),
+             ' ') AS tokens
+    FROM documents
+    """,
+)
+def stopword_filter_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 with the reference's ACTUAL stopword side input (round 12): the
+    full 119-word stopWords_EN.txt list, loaded through the registered S2
+    source (``read_stopwords``, sources/text_corpus.py — the path a real
+    user replaying the reference's EN run takes), not the compact default
+    list the other §2 keys inline. Same plan as `stopword_filter`: the
+    array lambda stays JVM-side; the isin list is a codegen'd literal set
+    regardless of length, so at 100 TB the cost is identical."""
+    from ..functions.textnorm import stopword_resource_path
+    from ..sources.text_corpus import read_stopwords
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop = read_stopwords(spark, stopword_resource_path("EN"))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.filter(
+                _tokens_col(),
+                lambda x: (F.length(x) >= 1) & (~x.isin(stop)),
+            ),
+        ).alias("tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A1 / T1 / T2 — word count, top-k vocabulary, dense re-index
 # ---------------------------------------------------------------------------

@@ -32,17 +32,28 @@ from ..functions.textnorm import STOPWORDS
 TOP_K = 10
 
 
-def flagship_top_terms_per_lang(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+def flagship_top_terms_per_lang(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    stopwords: list[str] | tuple[str, ...] = STOPWORDS,
+    lang: str | None = None,
+) -> DataFrame:
     """Top-k most frequent non-stopword tokens per language.
 
     Deterministic under frequency ties via (cnt desc, token asc) — the
     reference's ``sortBy(_._2).take(k)`` is tie-nondeterministic (SURVEY
-    §2.4 T1); we add the lexicographic tiebreak.
+    §2.4 T1); we add the lexicographic tiebreak. ``stopwords``/``lang``
+    parameterize the reference's one-job-per-language-directory runs
+    (books/{English,German}): the German run filters lang='de' with the
+    GE list pushed to the parquet scan.
     """
     docs = load_table(spark, sf_dir, "documents")
+    if lang is not None:
+        docs = docs.where(F.col("lang") == lang)
     tokens = (
         docs.select("lang", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"))
-        .where((F.length("token") >= 1) & (~F.col("token").isin(list(STOPWORDS))))
+        .where((F.length("token") >= 1) & (~F.col("token").isin(list(stopwords))))
     )
     counts = tokens.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
@@ -50,4 +61,20 @@ def flagship_top_terms_per_lang(spark: SparkSession, sf_dir: str, k: int = TOP_K
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("lang", "token", "cnt", "rank")
+    )
+
+
+def flagship_top_terms_german(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's GERMAN run (round 12): lang='de' documents filtered
+    with the reference's actual stopWords_GE.txt side input, loaded
+    through the registered S2 source. The list is case-folded for the
+    match (our tokenizer lowercases; the reference file's cased 'Sie'
+    entry shows the intent is to catch cased forms) and its duplicate
+    entries are harmless under set-membership semantics."""
+    from ..functions.textnorm import stopword_resource_path
+    from ..sources.text_corpus import read_stopwords
+
+    stop = [w.lower() for w in read_stopwords(spark, stopword_resource_path("GE"))]
+    return flagship_top_terms_per_lang(
+        spark, sf_dir, stopwords=stop, lang="de"
     )

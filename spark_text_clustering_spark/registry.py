@@ -64,6 +64,36 @@ WHERE rank <= {TOP_K}
 
 ROOT.register("flagship_top_terms", oracle=_FLAGSHIP_ORACLE)(flagship_top_terms_per_lang)
 
+# German flagship (round 12): the reference's second language run —
+# lang='de' + its actual stopWords_GE.txt list (shipped as package data,
+# case-folded; see resources/README.md). Oracle inlines the full list.
+from .functions.textnorm import reference_stopwords, stopwords_sql_list_for
+from .plans.flagship import flagship_top_terms_german
+
+_stop_de = stopwords_sql_list_for(
+    tuple(dict.fromkeys(w.lower() for w in reference_stopwords("GE")))
+)
+_FLAGSHIP_DE_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents WHERE lang = 'de'),
+filtered AS (
+  SELECT lang, token FROM tok
+  WHERE len(token) >= 1 AND NOT list_contains({_stop_de}, token)),
+cnt AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM filtered GROUP BY lang, token)
+SELECT lang, token, cnt, CAST(rank AS INTEGER) AS rank
+FROM (SELECT lang, token, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rank
+      FROM cnt)
+WHERE rank <= {TOP_K}
+"""
+
+ROOT.register("flagship_top_terms_de", oracle=_FLAGSHIP_DE_ORACLE)(
+    flagship_top_terms_german
+)
+
 ROOT.merge(
     analytics.REG,
     join_planner.REG,

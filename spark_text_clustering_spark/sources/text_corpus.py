@@ -37,10 +37,12 @@ def read_stopwords(spark: SparkSession, path: str) -> list[str]:
     the driver (LDATraining.scala:19-20; parse at LDAClustering.scala:
     125-129 — flatMap split(","), stripMargin). Tiny side input — a plain
     driver read is correct at any scale."""
+    from ..functions.textnorm import parse_stopword_text
+
     rows = spark.read.text(path).collect()
     words: list[str] = []
     for r in rows:
-        words.extend(w.strip() for w in r["value"].split(",") if w.strip())
+        words.extend(parse_stopword_text(r["value"]))
     return words
 
 

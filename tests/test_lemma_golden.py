@@ -26,6 +26,7 @@ import pytest
 
 from spark_text_clustering_spark.functions.lemmatize import RuleLemmatizer
 from spark_text_clustering_spark.functions.porter import porter_stem
+from spark_text_clustering_spark.functions.textnorm import reference_stopwords
 
 _VOCAB = (
     "/root/reference/TextClustering/src/main/resources/models/vocabularies/"
@@ -150,7 +151,7 @@ def test_full_chain_agreement_vs_reference_vocab():
     )
 
     vocab = {t.lower() for t in open(_VOCAB).read().strip().split(",")}
-    stop = set(open(_STOPWORDS_EN).read().strip().split(","))
+    stop = set(reference_stopwords("EN"))
     clean_re = re.compile(CLEAN_PATTERN_EXTENDED)
     lem = RuleLemmatizer()
 
@@ -201,7 +202,7 @@ def test_full_chain_agreement_vs_reference_vocab_german():
     )
 
     vocab = {t.lower() for t in open(_VOCAB_GE).read().strip().split(",")}
-    stop = set(open(_STOPWORDS_GE).read().strip().split(","))
+    stop = set(w.lower() for w in reference_stopwords("GE"))
     clean_re = re.compile(CLEAN_PATTERN_EXTENDED)
     lem = RuleLemmatizer()
 
@@ -287,7 +288,7 @@ def test_truecased_chain_agreement_vs_reference_vocab():
 
     vocab_cased = set(open(_VOCAB).read().strip().split(","))
     vocab_lower = {t.lower() for t in vocab_cased}
-    stop = set(open(_STOPWORDS_EN).read().strip().split(","))
+    stop = set(reference_stopwords("EN"))
     clean_re = re.compile(CLEAN_PATTERN_EXTENDED)
     lem = RuleLemmatizer()
 
@@ -384,3 +385,36 @@ def test_truecase_oracle_parity_on_real_text(spark, tmp_path):
     )
     ok, msg = compare(truecase_proper_nouns(spark, d), con.sql(_TRUECASE_ORACLE))
     assert ok, msg
+
+
+def test_shipped_stopword_resources_match_reference():
+    """The package's shipped stopword data (resources/stopwords_{en,de}.txt,
+    the default side input for `stopword_filter_reference` and the German
+    flagship) must stay byte-identical to the reference's own files, and
+    the pure-Python loader must agree with the S2 comma-split semantics."""
+    from spark_text_clustering_spark.functions.textnorm import (
+        parse_stopword_text,
+        stopword_resource_path,
+    )
+
+    for lang, ref_path in (("EN", _STOPWORDS_EN), ("GE", _STOPWORDS_GE)):
+        shipped = stopword_resource_path(lang)
+        if os.path.exists(ref_path):
+            assert open(shipped, "rb").read() == open(ref_path, "rb").read(), lang
+        words = parse_stopword_text(open(shipped, encoding="utf-8").read())
+        assert len(words) > 100 and all("," not in w and w == w.strip() for w in words)
+        assert tuple(words) == reference_stopwords(lang)
+
+
+def test_read_stopwords_source_matches_pure_python(spark):
+    """The registered S2 Spark source (read_stopwords) over the shipped
+    resource returns exactly what the oracle-side pure-Python loader
+    returns — the engine/oracle agreement the round-12 keys rely on."""
+    from spark_text_clustering_spark.functions.textnorm import (
+        stopword_resource_path,
+    )
+    from spark_text_clustering_spark.sources.text_corpus import read_stopwords
+
+    for lang in ("EN", "GE"):
+        got = read_stopwords(spark, stopword_resource_path(lang))
+        assert tuple(got) == reference_stopwords(lang), lang
