@@ -167,25 +167,54 @@ def fit_vectorizer(docs: DataFrame, **kwargs) -> PipelineModel:
     return PipelineModel(stages=[*tok_pipeline.stages, cv_model, idf_model])
 
 
+# Vocab width above which the JVM dense-array floor path would dominate
+# memory (vector_to_array densifies: 8 B/term/doc — 0.5 MB/doc at 64 k,
+# 23 MB/doc at the reference's 2.9 M vocab cap) and the sparse Arrow-UDF
+# path wins despite the Python stage. 64 k keeps the default/flagship
+# configurations (10 k vocab) fully JVM-side.
+DENSE_FLOOR_MAX_VOCAB = 65_536
+
+
 def apply_idf_floor(df: DataFrame, idf_values: np.ndarray) -> DataFrame:
     """M3: hand-rolled TF×IDF floor — terms whose idf is 0 (df < minDocFreq)
     get weight tf × 1e-4 instead of 0, so rare-term signal never vanishes
     (LDAClustering.scala:180-192; non-standard, replicated as-is).
 
-    Sparse-preserving: the multiply touches only a doc's ACTIVE entries —
-    ``values * effective[indices]`` — and rebuilds ``SparseVector`` with the
-    same index set (the floor multiplies by a nonzero scalar, so the active
-    set is unchanged). The reference likewise never densifies its doc-term
-    matrix (LDAClustering.scala:165,191 keeps SparseVector end-to-end); a
-    vocab-size dense expansion would be 23 MB/doc at the reference's own
-    2.9 M vocab cap. The idf array is a model parameter (vocab-sized),
-    captured once per executor via the UDF closure — the rebuild of the
-    reference's closure-captured ``idfVals`` (O(vocab), not O(corpus)).
-    Arrow-optimized UDF: batched transfer, per-row work is O(nnz).
-    """
-    from pyspark.ml.linalg import DenseVector, SparseVector, VectorUDT, Vectors
+    Two physical strategies, same floor semantics (one IEEE double
+    multiply per term either way, so results are bit-identical and the
+    test_ml goldens lock both):
 
+    * vocab ≤ DENSE_FLOOR_MAX_VOCAB (round 12, VERDICT r11 #5): pure
+      JVM — the effective-idf array is ONE array-literal plan node
+      (≤512 KB at the threshold; a broadcast one-row crossJoin was
+      tried first but its BroadcastNestedLoopJoin perturbed downstream
+      join planning in search_tfidf_topk), and the multiply is
+      ``array_to_vector(zip_with(vector_to_array(tf), eff, (t,e)->t*e))``
+      inside whole-stage codegen. No Python stage in the M1–M3 plan.
+    * wider vocab: sparse-preserving Arrow UDF — the multiply touches
+      only a doc's ACTIVE entries (``values * effective[indices]``) and
+      rebuilds ``SparseVector`` with the same index set (the floor
+      multiplies by a nonzero scalar, so the active set is unchanged).
+      The reference likewise never densifies its doc-term matrix
+      (LDAClustering.scala:165,191 keeps SparseVector end-to-end); the
+      idf array is a model parameter captured once per executor via the
+      UDF closure — O(vocab), not O(corpus). Arrow-batched, per-row
+      work O(nnz).
+    """
     effective = np.where(idf_values == 0.0, IDF_FLOOR, idf_values)
+
+    if len(effective) <= DENSE_FLOOR_MAX_VOCAB:
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        eff = F.lit([float(x) for x in effective])
+        return df.withColumn(
+            "tfidf",
+            array_to_vector(
+                F.zip_with(vector_to_array("tf"), eff, lambda t, e: t * e)
+            ),
+        )
+
+    from pyspark.ml.linalg import DenseVector, SparseVector, VectorUDT, Vectors
 
     def floor_mul(v):
         if isinstance(v, SparseVector):

@@ -83,17 +83,77 @@ def test_idf_floor_golden(spark, mini):
         assert all(v > 0 for v in arr if v != 0.0)
 
 
-def test_idf_floor_stays_sparse(spark, mini):
-    """M3 scale contract: the floor must NOT densify — every tfidf vector is
-    a SparseVector with the same active-index set as its tf input (the floor
-    multiplies active entries by a nonzero scalar; reference keeps
-    SparseVector end-to-end, LDAClustering.scala:165,191)."""
+def test_idf_floor_stays_sparse_wide_vocab(spark):
+    """M3 scale contract, WIDE-vocab regime (round 12: vocab ≤ 64 k now
+    takes a pure-JVM dense path — no Python stage; see
+    DENSE_FLOOR_MAX_VOCAB): past the threshold the floor must NOT
+    densify — every tfidf vector is a SparseVector with the same
+    active-index set as its tf input (the floor multiplies active
+    entries by a nonzero scalar; reference keeps SparseVector
+    end-to-end, LDAClustering.scala:165,191)."""
+    import numpy as np
     from pyspark.ml.linalg import SparseVector
 
-    df, _ = vectorize(mini, vocab_size=100, min_doc_freq=2)
-    for r in df.select("tf", "tfidf").collect():
-        assert isinstance(r["tfidf"], SparseVector)
+    from spark_text_clustering_spark.ml.vectorize import (
+        DENSE_FLOOR_MAX_VOCAB,
+        apply_idf_floor,
+    )
+
+    n = DENSE_FLOOR_MAX_VOCAB + 8
+    idf = np.zeros(n)
+    idf[3] = 0.7  # one non-floored term; the rest hit the 1e-4 floor
+    hi = n - 1
+    tf = spark.createDataFrame(
+        [(0, SparseVector(n, [3, hi], [2.0, 5.0])),
+         (1, SparseVector(n, [1], [4.0]))],
+        ["doc_id", "tf"],
+    )
+    out = {r["doc_id"]: r for r in apply_idf_floor(tf, idf).collect()}
+    for doc_id, r in out.items():
+        assert isinstance(r["tfidf"], SparseVector), doc_id
         assert list(r["tfidf"].indices) == list(r["tf"].indices)
+    assert out[0]["tfidf"][3] == pytest.approx(2.0 * 0.7, rel=1e-12)
+    assert out[0]["tfidf"][hi] == pytest.approx(5.0 * IDF_FLOOR, rel=1e-12)
+    assert out[1]["tfidf"][1] == pytest.approx(4.0 * IDF_FLOOR, rel=1e-12)
+
+
+def test_idf_floor_dense_and_sparse_paths_agree(spark):
+    """The JVM dense path (vocab ≤ threshold) and the sparse Arrow-UDF
+    path compute bit-identical floors — one IEEE double multiply per
+    term either way."""
+    import numpy as np
+    from pyspark.ml.linalg import SparseVector
+    from pyspark.ml.functions import vector_to_array
+
+    from spark_text_clustering_spark.ml import vectorize as V
+
+    n = 64
+    rng = np.random.default_rng(7)
+    idf = rng.random(n)
+    idf[::5] = 0.0
+    tf = spark.createDataFrame(
+        [(i, SparseVector(n, sorted(rng.choice(n, 6, replace=False).tolist()),
+                          rng.integers(1, 9, 6).astype(float).tolist()))
+         for i in range(8)],
+        ["doc_id", "tf"],
+    )
+
+    def values(df):
+        return {
+            r["doc_id"]: list(r["arr"])
+            for r in df.select(
+                "doc_id", vector_to_array("tfidf").alias("arr")
+            ).collect()
+        }
+
+    dense = values(V.apply_idf_floor(tf, idf))
+    orig = V.DENSE_FLOOR_MAX_VOCAB
+    try:
+        V.DENSE_FLOOR_MAX_VOCAB = 0  # force the sparse Arrow-UDF path
+        sparse = values(V.apply_idf_floor(tf, idf))
+    finally:
+        V.DENSE_FLOOR_MAX_VOCAB = orig
+    assert dense == sparse  # exact equality, not approx
 
 
 def test_empty_doc_dropped(spark, mini):
