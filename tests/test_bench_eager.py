@@ -115,3 +115,37 @@ def test_summary_schema_identical_partial_vs_final():
         assert fin["detail"] == "BENCH_FULL.json"
     bad = bench._summary(t, d, {"qbad": "Boom"}, partial=False)
     assert bad["n_failed"] == 1 and bad["value_complete"] is False
+
+
+def test_ann_recall_eval_does_not_invalidate_stored_ann_memos(spark):
+    """Round 12 (VERDICT r11 #3): `knn_cosine_ivfpq_stored` swung 21.8 s →
+    1.5 s → 8.2 s across three rounds; the remaining code-side suspect
+    (vs host load) was `ann_recall_eval` running between bench keys and
+    somehow invalidating the per-app stored-artifact memos (it invokes
+    the memoized IVF/PQ builders itself, and since round 12 it releases
+    its own localCheckpoints — which must NOT touch the stored twins'
+    artifacts). Pin it: warm the stored key, run ann_recall_eval, then
+    re-construct the stored key inside a job group — still at most the
+    read/probe bound. If this passes, a future swing on a quiet host
+    (bench load1 now recorded per run) is I/O, not memo eviction."""
+    from spark_text_clustering_spark.operators import similarity as S
+
+    sc = spark.sparkContext
+    QUERIES["knn_cosine_ivfpq_stored"](spark, SF_SMALL)  # warm
+    memo_before = set(S._PQ_MEMO)
+    QUERIES["ann_recall_eval"](spark, SF_SMALL).collect()
+    assert memo_before <= set(S._PQ_MEMO), (
+        "ann_recall_eval evicted stored-ANN memo entries: "
+        f"{memo_before - set(S._PQ_MEMO)}"
+    )
+    gid = "stored-ann-after-recall-eval"
+    sc.setJobGroup(gid, gid)
+    try:
+        QUERIES["knn_cosine_ivfpq_stored"](spark, SF_SMALL)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(gid)
+    assert len(jobs) <= _REMEASURE_JOB_BOUND, (
+        f"stored probe launched {len(jobs)} jobs after ann_recall_eval — "
+        "the eval invalidated the stored-index artifacts"
+    )
