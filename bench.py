@@ -189,6 +189,9 @@ HEADLINE = [
     "ann_recall_eval",
     "timeseries_interarrival",
     "dedup_minhash_clusters_twostar",
+    # round 12
+    "stopword_filter_reference",
+    "flagship_top_terms_de",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION

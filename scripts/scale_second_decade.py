@@ -75,6 +75,17 @@ KEYS = [
     # round 11e: row-side codegen regexp scan (the HOF token-lambda form
     # measured 3.1/28.2 s and was replaced; expect ~linear, sub-second)
     "search_phrase_match",
+    # round 12: the ANN eval harness — four index builds + exact baseline
+    # per call, then KB-sized recall joins. The 10x embedding corpus
+    # grows every build's input 10x but the query set stays N_QUERIES
+    # (vec_id < N_QUERIES lands in replica 0); expect build-dominated
+    # ~linear, nothing pairwise (each method is already bucketed)
+    "ann_recall_eval",
+    # round 12: the unknown-diameter two-star CC kernel on the replica
+    # corpus's near-dup cliques — same ~45x pair-graph growth regime as
+    # dedup_minhash_clusters, with diameter pinned at 1, so the star
+    # rounds should stay CONSTANT while the edge frames grow
+    "dedup_minhash_clusters_twostar",
 ]
 
 
@@ -219,6 +230,12 @@ TPCH_KEYS = [
     # unchanged length on one window exchange, then the exact disc
     # quantiles buffer per-GROUP gaps (k groups fixed; expect ~linear)
     "timeseries_interarrival",
+    # round 12: Brown-Forsythe — one group-sized median agg (exact
+    # percentile_disc buffers per-group values, same seam as winsorize)
+    # broadcast back + one map-side-combined moment agg; k event-type
+    # groups unchanged at 10x rows (expect ~linear with the disc-buffer
+    # term, mirroring winsorize's 1.3x)
+    "stats_levene_brownforsythe",
 ]
 
 

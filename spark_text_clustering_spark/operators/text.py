@@ -167,10 +167,10 @@ def stopword_filter_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     array lambda stays JVM-side; the isin list is a codegen'd literal set
     regardless of length, so at 100 TB the cost is identical."""
     from ..functions.textnorm import stopword_resource_path
-    from ..sources.text_corpus import read_stopwords
+    from ..sources.text_corpus import read_stopwords_cached
 
     docs = load_table(spark, sf_dir, "documents")
-    stop = read_stopwords(spark, stopword_resource_path("EN"))
+    stop = read_stopwords_cached(spark, stopword_resource_path("EN"))
     return docs.select(
         "doc_id",
         F.concat_ws(

@@ -72,9 +72,9 @@ def flagship_top_terms_german(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry shows the intent is to catch cased forms) and its duplicate
     entries are harmless under set-membership semantics."""
     from ..functions.textnorm import stopword_resource_path
-    from ..sources.text_corpus import read_stopwords
+    from ..sources.text_corpus import read_stopwords_cached
 
-    stop = [w.lower() for w in read_stopwords(spark, stopword_resource_path("GE"))]
+    stop = [w.lower() for w in read_stopwords_cached(spark, stopword_resource_path("GE"))]
     return flagship_top_terms_per_lang(
         spark, sf_dir, stopwords=stop, lang="de"
     )

@@ -46,6 +46,22 @@ def read_stopwords(spark: SparkSession, path: str) -> list[str]:
     return words
 
 
+_STOPWORD_MEMO: dict[tuple[str, str], list[str]] = {}
+
+
+def read_stopwords_cached(spark: SparkSession, path: str) -> list[str]:
+    """``read_stopwords`` memoized per (application, path) — the side
+    input is a static model-sized parameter, so query functions that
+    load it at plan-construction time (stopword_filter_reference, the
+    German flagship) stay construction-lazy after the first call (the
+    bench's eager-guard contract, tests/test_bench_eager.py). A cluster
+    deployment would broadcast the list once for the same reason."""
+    key = (spark.sparkContext.applicationId, path)
+    if key not in _STOPWORD_MEMO:
+        _STOPWORD_MEMO[key] = read_stopwords(spark, path)
+    return _STOPWORD_MEMO[key]
+
+
 def corpus_to_parquet(corpus: DataFrame, out_path: str) -> None:
     """Compact a whole-file corpus to parquet (doc_id via deterministic
     path-ordered ids — reference R1 ``zipWithIndex`` is partition-order
