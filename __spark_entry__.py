@@ -67,6 +67,7 @@ def _driver_sampled_keys() -> set[str]:
 _ROTATION_PRIORITY = [
     "stopword_filter_reference",
     "flagship_top_terms_de",
+    "quality_gopher_rules",
     "regexp_replace_clean",
     "tokenize_split",
     "stopword_filter",

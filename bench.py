@@ -192,6 +192,7 @@ HEADLINE = [
     # round 12
     "stopword_filter_reference",
     "flagship_top_terms_de",
+    "quality_gopher_rules",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION

@@ -864,6 +864,110 @@ def quality_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_STOPS = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> len(x) > 0) AS toks,
+         (len(text) - len(replace(text, '#', '')))
+           + (len(text) - len(replace(text, '...', ''))) / 3 AS n_sym
+  FROM documents WHERE text IS NOT NULL),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS sum_len,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         len(list_intersect(list_distinct(toks), {_GOPHER_STOPS})) AS stop_hits,
+         n_sym
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+       round(CAST(n_sym AS DOUBLE) / n_words, 6) AS symbol_ratio,
+       round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS frac_alpha_words,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10
+                  AND CAST(n_sym AS DOUBLE) / n_words <= 0.1
+                  AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+                  AND stop_hits >= 2
+             THEN 1 ELSE 0 END AS INTEGER) AS gopher_pass
+FROM m
+"""
+
+
+@REG.register("quality_gopher_rules", oracle=_GOPHER_ORACLE)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, "Scaling
+    Language Models", appendix A1.1 — the public heuristic set MassiveWeb
+    and most subsequent pretraining pipelines gate on): per document,
+    word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio ('#' and '...') <= 0.1, >=80% of words contain
+    an alphabetic character, and >=2 distinct hits on the 8-word English
+    function-word probe — emitted as metrics plus the 0/1 gate so a
+    pipeline can threshold OR inspect. The battery's repetition rules
+    (duplicate lines/n-grams) are separate registered keys
+    (`quality_dup_line_fraction`, `dedup_boilerplate_lines`,
+    `quality_ngram_diversity`) — composable via `pipeline_quality_gate`.
+
+    Plan: ONE projection computes every metric from a single tokens
+    array (CSE applies within a project — the HOF-re-evaluation class
+    documented on `quality_ngram_diversity` is avoided by gating on the
+    cheap `size(split) > 0` predicate, never on a HOF output), then the
+    pass flag is plain arithmetic on the projected columns. Narrow map,
+    no shuffle, no Python; at 100 TB this runs at scan speed alongside
+    any other per-doc pass."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.filter(F.split("text", r"\s+"), lambda x: F.length(x) > 0)
+    n_sym = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+        + (F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
+    )
+    stops = [s.strip("' ") for s in _GOPHER_STOPS.strip("[]").split(",")]
+    base = (
+        docs.where(F.size(F.split("text", r"\s+")) > 0)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_words"),
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).alias("sum_len"),
+            F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).alias("n_alpha"),
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(toks), F.array(*[F.lit(s) for s in stops])
+                )
+            ).alias("stop_hits"),
+            n_sym.alias("n_sym"),
+        )
+        .where(F.col("n_words") > 0)
+    )
+    mean_len = F.col("sum_len").cast("double") / F.col("n_words")
+    sym_ratio = F.col("n_sym").cast("double") / F.col("n_words")
+    frac_alpha = F.col("n_alpha").cast("double") / F.col("n_words")
+    return base.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(frac_alpha, 6).alias("frac_alpha_words"),
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        F.when(
+            F.col("n_words").between(50, 100000)
+            & mean_len.between(3, 10)
+            & (sym_ratio <= 0.1)
+            & (frac_alpha >= 0.8)
+            & (F.col("stop_hits") >= 2),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("gopher_pass"),
+    )
+
+
 @REG.register(
     "quality_dup_line_fraction",
     oracle="""
