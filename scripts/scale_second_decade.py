@@ -86,6 +86,15 @@ KEYS = [
     # dedup_minhash_clusters, with diameter pinned at 1, so the star
     # rounds should stay CONSTANT while the edge frames grow
     "dedup_minhash_clusters_twostar",
+    # round 12: three scan-shaped keys — INSET token filter with the
+    # full 119-word reference list (expect ~linear, the probe is O(1)
+    # per token), the German flagship (lang='de' pushed to the scan, so
+    # only 1/5 of the 10x rows survive the filter), and the Gopher rule
+    # battery (one projection off one tokens array; expect ~linear,
+    # zero shuffle)
+    "stopword_filter_reference",
+    "flagship_top_terms_de",
+    "quality_gopher_rules",
 ]
 
 
