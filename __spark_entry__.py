@@ -34,29 +34,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_top_terms_per_lang(spark, SF0001)
 
 
-def _driver_sampled_keys() -> set[str]:
-    """Keys that have ever appeared in a committed CORRECTNESS_r*.json.
+def _driver_sample_history() -> dict[str, int]:
+    """Map key -> highest round number whose committed CORRECTNESS_r*.json
+    sampled it (absent = never driver-confirmed).
 
     The driver samples the first ~50 keys of queries() each round; after
     11 rounds only 81/291 registry keys had ever been driver-confirmed
     (VERDICT r11 "Next round" #2). Rotating never-sampled keys to the
     front of the dict spends each round's 50-key correctness budget on
-    fresh keys, converging on full driver-confirmed coverage.
+    fresh keys; once every key has been sampled, least-recently-sampled
+    ordering keeps the window cycling instead of re-confirming the same
+    front forever.
     """
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
-            if isinstance(data, dict):
-                seen.update(data.keys())
         except (OSError, ValueError):
             continue
-    return seen
+        if isinstance(data, dict):
+            for k in data:
+                last[k] = max(last.get(k, 0), rnd)
+    return last
 
 
 # Keys added THIS round lead the rotation (ADVICE r11: the committed
@@ -87,16 +94,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordered so keys never yet sampled by the driver's ~50-key
-    correctness window come first (judge-named §2 text keys leading,
-    then registry order); previously-confirmed keys follow. Same key
-    set as the registry either way.
+    correctness window come first (new-this-round and judge-named §2
+    text keys leading, then registry order); previously-confirmed keys
+    follow, least-recently-sampled first, so the window keeps cycling
+    after full coverage is reached. Same key set as the registry either
+    way.
     """
-    sampled = _driver_sampled_keys()
-    prio = [k for k in _ROTATION_PRIORITY if k in QUERIES and k not in sampled]
-    fresh = [
-        k for k in QUERIES if k not in sampled and k not in prio
-    ]
-    rest = [k for k in QUERIES if k in sampled]
+    last = _driver_sample_history()
+    prio = [k for k in _ROTATION_PRIORITY if k in QUERIES and k not in last]
+    fresh = [k for k in QUERIES if k not in last and k not in prio]
+    order = {k: i for i, k in enumerate(QUERIES)}
+    rest = sorted(
+        (k for k in QUERIES if k in last), key=lambda k: (last[k], order[k])
+    )
     return {k: QUERIES[k] for k in (*prio, *fresh, *rest)}
 
 
