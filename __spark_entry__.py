@@ -75,6 +75,7 @@ _ROTATION_PRIORITY = [
     "stopword_filter_reference",
     "flagship_top_terms_de",
     "quality_gopher_rules",
+    "lang_id_confusion_eval",
     "regexp_replace_clean",
     "tokenize_split",
     "stopword_filter",

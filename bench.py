@@ -193,6 +193,7 @@ HEADLINE = [
     "stopword_filter_reference",
     "flagship_top_terms_de",
     "quality_gopher_rules",
+    "lang_id_confusion_eval",
 ]
 
 # Keys whose registered callable does the work at PLAN-CONSTRUCTION

@@ -1505,6 +1505,88 @@ WHERE rnk = 1
 """
 
 
+_LANG_CONFUSION_ORACLE = f"""
+WITH pred AS ({_LANG_NB_ORACLE}),
+truth AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct
+  FROM pred GROUP BY lang),
+guessed AS (
+  SELECT predicted_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_pred
+  FROM pred GROUP BY predicted_lang)
+SELECT t.lang,
+       t.n_true,
+       COALESCE(g.n_pred, 0) AS n_pred,
+       t.n_correct,
+       CASE WHEN COALESCE(g.n_pred, 0) > 0
+            THEN round(CAST(t.n_correct AS DOUBLE) / g.n_pred, 6) END
+         AS precision,
+       round(CAST(t.n_correct AS DOUBLE) / t.n_true, 6) AS recall,
+       CASE WHEN COALESCE(g.n_pred, 0) > 0 AND
+                 CAST(t.n_correct AS DOUBLE) / g.n_pred
+                   + CAST(t.n_correct AS DOUBLE) / t.n_true > 0
+            THEN round(2 * (CAST(t.n_correct AS DOUBLE) / g.n_pred)
+                         * (CAST(t.n_correct AS DOUBLE) / t.n_true)
+                       / (CAST(t.n_correct AS DOUBLE) / g.n_pred
+                          + CAST(t.n_correct AS DOUBLE) / t.n_true), 6) END
+         AS f1
+FROM truth t LEFT JOIN guessed g USING (lang)
+"""
+
+
+@REG.register("lang_id_confusion_eval", oracle=_LANG_CONFUSION_ORACLE)
+def lang_id_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall/F1 for the trained char-bigram
+    language-ID model (round 12) — the eval a platform runs before
+    trusting a classifier to route documents, as a first-class queryable
+    operator (the `ann_recall_eval` pattern applied to lang-ID, but
+    fully DuckDB-oracled because `lang_id_trained`'s whole train+score
+    pipeline is SQL-replayable: the oracle simply wraps that key's
+    oracle in a CTE and aggregates — engine and oracle share the
+    prediction semantics by construction).
+
+    Shape: the prediction frame is doc-count-sized; both aggregates are
+    map-side-combined L-row reductions (L = 5 langs), and the
+    precision/recall join is L×L-tiny. A language never predicted gets
+    NULL precision/F1 (0/0), matching the oracle's CASE. At 100 TB this
+    is one pass over the scored corpus — the model itself is the
+    memoized artifact `lang_id_trained` already trains."""
+    pred = lang_id_trained(spark, sf_dir)
+    truth = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(
+            F.when(F.col("predicted_lang") == F.col("lang"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
+    guessed = pred.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred")
+    )
+    j = truth.join(F.broadcast(guessed), "lang", "left").select(
+        "lang",
+        "n_true",
+        F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+        "n_correct",
+    )
+    prec = F.col("n_correct").cast("double") / F.col("n_pred")
+    rec = F.col("n_correct").cast("double") / F.col("n_true")
+    return j.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "n_correct",
+        F.when(F.col("n_pred") > 0, F.round(prec, 6)).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.when(
+            (F.col("n_pred") > 0) & (prec + rec > 0),
+            F.round(2 * prec * rec / (prec + rec), 6),
+        ).alias("f1"),
+    )
+
+
 @REG.register("lang_id_trained_words", oracle=_LANG_NB_WORD_ORACLE)
 def lang_id_trained_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-unigram naive-Bayes language ID (round 6) — the stronger
