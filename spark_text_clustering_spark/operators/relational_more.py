@@ -446,29 +446,60 @@ def mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REG.register("freq_items_sketch")
+@REG.register(
+    "freq_items_sketch",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n FROM events),
+    cnt AS (
+      SELECT 'event_type' AS col, CAST(event_type AS VARCHAR) AS value,
+             CAST(COUNT(*) AS BIGINT) AS n_occur
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'user_id', CAST(user_id AS VARCHAR), CAST(COUNT(*) AS BIGINT)
+      FROM events GROUP BY user_id)
+    SELECT col, value, n_occur FROM cnt, tot WHERE 10 * n_occur > n
+    """,
+)
 def freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate heavy hitters (`DataFrame.stat.freqItems`, the
-    Karp-Papadimitriou-Shenker single-pass sketch): all values with
-    frequency > 10% of rows, per column. Rows-only: the sketch may
-    over-report (false positives allowed by design, verified against
-    exact counts in tests/test_props.py). Scale: fixed-size state per
-    partition, merged associatively — no shuffle of raw data.
-    Sorted+joined atomic output for external hashers (freqItems result
-    order is partition-dependent, so the sort also makes it stable)."""
+    """EXACT >10%-frequency items per column via the freqItems sketch →
+    candidate → exact-verify pipeline (same pattern as
+    ``heavy_hitters_cms``, sketches.py — promoted from rows-only to
+    oracled in round 13 per VERDICT r12 #4).
+
+    Pass 1: ``DataFrame.stat.freqItems`` (Karp-Papadimitriou-Shenker
+    single-pass sketch, fixed <= 1/support counters per partition,
+    merged associatively — no raw-data shuffle) yields a candidate
+    SUPERSET: every value with frequency > support is guaranteed
+    present; false positives are allowed. Pass 2 verifies exactly:
+    re-scan filtered to the driver-sized candidate IN-list (<= 10
+    values per column at support 0.1), groupBy-count the survivors,
+    keep 10*count > total (integer math, no float threshold drift vs
+    the oracle). The verify shuffle therefore carries only
+    candidate-key rows — at 100 TB that is a few dozen groups, not the
+    full value space, while the output is exact and plain-SQL-checkable.
+    """
     ev = load_table(spark, sf_dir, "events")
-    raw = ev.stat.freqItems(["event_type", "user_id"], 0.1)
-    return raw.select(
-        F.concat_ws(",", F.sort_array("event_type_freqItems")).alias(
-            "event_type_freqItems"
-        ),
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.sort_array("user_id_freqItems"), lambda x: x.cast("string")
-            ),
-        ).alias("user_id_freqItems"),
-    )
+    raw = ev.stat.freqItems(["event_type", "user_id"], 0.1).collect()[0]
+    cand_type = list(raw["event_type_freqItems"])  # <= 10 values each:
+    cand_user = list(raw["user_id_freqItems"])  # driver-sized by design
+    total = ev.count()
+    per_col = []
+    for col, cands in (("event_type", cand_type), ("user_id", cand_user)):
+        if not cands:
+            continue
+        per_col.append(
+            ev.where(F.col(col).isin(cands))
+            .groupBy(F.col(col).cast("string").alias("value"))
+            .agg(F.count(F.lit(1)).alias("n_occur"))
+            .where(F.lit(10) * F.col("n_occur") > F.lit(total))
+            .select(F.lit(col).alias("col"), "value", "n_occur")
+        )
+    if not per_col:
+        return spark.createDataFrame([], "col string, value string, n_occur long")
+    out = per_col[0]
+    for df in per_col[1:]:
+        out = out.unionAll(df)
+    return out
 
 
 @REG.register(

@@ -68,9 +68,17 @@ def flagship_top_terms_german(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's GERMAN run (round 12): lang='de' documents filtered
     with the reference's actual stopWords_GE.txt side input, loaded
     through the registered S2 source. The list is case-folded for the
-    match (our tokenizer lowercases; the reference file's cased 'Sie'
-    entry shows the intent is to catch cased forms) and its duplicate
-    entries are harmless under set-membership semantics."""
+    match and its duplicate entries are harmless under set-membership
+    semantics.
+
+    DELIBERATE interpretive divergence from the reference (ADVICE r12):
+    the reference's filter is case-SENSITIVE contains() over unlowercased
+    SimpleTokenizer output (LDAClustering.scala:136), so its cased 'Sie'
+    entry would NOT filter lowercase 'sie' occurrences there. This
+    engine's tokenizer lowercases by design, so the list is lowercased
+    to match — the cased file entry shows the intent is to catch the
+    pronoun, and case-folding both sides realizes that intent uniformly.
+    Engine and oracle agree internally (driver-hash-green r12)."""
     from ..functions.textnorm import stopword_resource_path
     from ..sources.text_corpus import read_stopwords_cached
 

@@ -83,23 +83,19 @@ def test_idf_floor_golden(spark, mini):
         assert all(v > 0 for v in arr if v != 0.0)
 
 
-def test_idf_floor_stays_sparse_wide_vocab(spark):
-    """M3 scale contract, WIDE-vocab regime (round 12: vocab ≤ 64 k now
-    takes a pure-JVM dense path — no Python stage; see
-    DENSE_FLOOR_MAX_VOCAB): past the threshold the floor must NOT
-    densify — every tfidf vector is a SparseVector with the same
-    active-index set as its tf input (the floor multiplies active
-    entries by a nonzero scalar; reference keeps SparseVector
-    end-to-end, LDAClustering.scala:165,191)."""
+@pytest.mark.parametrize("n", [64, 66_000], ids=["narrow_vocab", "wide_vocab"])
+def test_idf_floor_stays_sparse(spark, n):
+    """M3 scale contract, EVERY vocab width (round 13, ADVICE r12: the
+    single ElementwiseProduct path replaced the dense zip_with form):
+    the floor must NOT densify — every tfidf vector is a SparseVector
+    with the same active-index set as its tf input (the floor
+    multiplies active entries by a nonzero scalar; reference keeps
+    SparseVector end-to-end, LDAClustering.scala:165,191)."""
     import numpy as np
     from pyspark.ml.linalg import SparseVector
 
-    from spark_text_clustering_spark.ml.vectorize import (
-        DENSE_FLOOR_MAX_VOCAB,
-        apply_idf_floor,
-    )
+    from spark_text_clustering_spark.ml.vectorize import apply_idf_floor
 
-    n = DENSE_FLOOR_MAX_VOCAB + 8
     idf = np.zeros(n)
     idf[3] = 0.7  # one non-floored term; the rest hit the 1e-4 floor
     hi = n - 1
@@ -117,10 +113,11 @@ def test_idf_floor_stays_sparse_wide_vocab(spark):
     assert out[1]["tfidf"][1] == pytest.approx(4.0 * IDF_FLOOR, rel=1e-12)
 
 
-def test_idf_floor_dense_and_sparse_paths_agree(spark):
-    """The JVM dense path (vocab ≤ threshold) and the sparse Arrow-UDF
-    path compute bit-identical floors — one IEEE double multiply per
-    term either way."""
+def test_idf_floor_matches_numpy_reference(spark):
+    """The JVM ElementwiseProduct floor computes bit-identical values to
+    the straight numpy multiply — one IEEE double multiply per active
+    term (the same equality the r12 dense/sparse-path agreement test
+    locked; kept across the r13 single-path rewrite)."""
     import numpy as np
     from pyspark.ml.linalg import SparseVector
     from pyspark.ml.functions import vector_to_array
@@ -131,29 +128,23 @@ def test_idf_floor_dense_and_sparse_paths_agree(spark):
     rng = np.random.default_rng(7)
     idf = rng.random(n)
     idf[::5] = 0.0
-    tf = spark.createDataFrame(
-        [(i, SparseVector(n, sorted(rng.choice(n, 6, replace=False).tolist()),
-                          rng.integers(1, 9, 6).astype(float).tolist()))
-         for i in range(8)],
-        ["doc_id", "tf"],
-    )
-
-    def values(df):
-        return {
-            r["doc_id"]: list(r["arr"])
-            for r in df.select(
-                "doc_id", vector_to_array("tfidf").alias("arr")
-            ).collect()
-        }
-
-    dense = values(V.apply_idf_floor(tf, idf))
-    orig = V.DENSE_FLOOR_MAX_VOCAB
-    try:
-        V.DENSE_FLOOR_MAX_VOCAB = 0  # force the sparse Arrow-UDF path
-        sparse = values(V.apply_idf_floor(tf, idf))
-    finally:
-        V.DENSE_FLOOR_MAX_VOCAB = orig
-    assert dense == sparse  # exact equality, not approx
+    effective = np.where(idf == 0.0, IDF_FLOOR, idf)
+    docs = [
+        (i, SparseVector(n, sorted(rng.choice(n, 6, replace=False).tolist()),
+                         rng.integers(1, 9, 6).astype(float).tolist()))
+        for i in range(8)
+    ]
+    tf = spark.createDataFrame(docs, ["doc_id", "tf"])
+    got = {
+        r["doc_id"]: list(r["arr"])
+        for r in V.apply_idf_floor(tf, idf)
+        .select("doc_id", vector_to_array("tfidf").alias("arr"))
+        .collect()
+    }
+    for doc_id, v in docs:
+        expect = np.zeros(n)
+        expect[v.indices] = v.values * effective[v.indices]
+        assert got[doc_id] == expect.tolist()  # exact equality, not approx
 
 
 def test_empty_doc_dropped(spark, mini):

@@ -185,26 +185,29 @@ def test_hll_sketch_merge_error_bound(spark):
     assert rows["__all__"]["exact_distinct"] == exact_union
 
 
-def test_freq_items_superset_of_exact_heavy_hitters(spark):
-    """freqItems must contain every value whose exact frequency exceeds
-    the support threshold (sketch guarantees no false negatives)."""
-    from pyspark.sql import functions as F
-
+def test_freq_items_equals_exact_heavy_hitters(spark):
+    """The candidate→exact-verify pipeline must return EXACTLY the values
+    whose frequency exceeds the 10% support threshold (r13: promoted
+    from superset-only to equality — the sketch's no-false-negative
+    guarantee plus the verify pass make the output exact)."""
     from spark_text_clustering_spark.catalog import load_table
     from spark_text_clustering_spark.operators.relational_more import (
         freq_items_sketch,
     )
     from .conftest import SF_ORACLE
 
-    row = freq_items_sketch(spark, SF_ORACLE).collect()[0]
+    got = {
+        (r["col"], r["value"], r["n_occur"])
+        for r in freq_items_sketch(spark, SF_ORACLE).collect()
+    }
     ev = load_table(spark, SF_ORACLE, "events")
     n = ev.count()
-    exact = {
-        r["event_type"]
-        for r in ev.groupBy("event_type").count().collect()
-        if r["count"] > 0.1 * n
-    }
-    assert exact <= set(row["event_type_freqItems"].split(","))
+    exact = set()
+    for col in ("event_type", "user_id"):
+        for r in ev.groupBy(col).count().collect():
+            if 10 * r["count"] > n:
+                exact.add((col, str(r[col]), r["count"]))
+    assert got == exact
 
 
 def test_funnel_monotone_and_centroid_bounds(spark):
