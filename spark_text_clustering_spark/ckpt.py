@@ -35,6 +35,29 @@ def ckpt_tracked(df: DataFrame) -> tuple[DataFrame, set]:
     return out, after - before
 
 
+def ckpt_tracked_lazy(df: DataFrame) -> tuple[DataFrame, set]:
+    """localCheckpoint(eager=False) + pinned-id set (round 13).
+
+    The LAZY variant fuses checkpoint materialization into the caller's
+    NEXT action over the frame (local checkpoint is persist-based, so
+    blocks are cached as that job computes them — no separate
+    materialization job). For a loop that runs one aggregate per round
+    anyway (BPE: the top-pair collect), this halves the job count per
+    iteration.
+
+    STRICTER safety contract than the eager form: the predecessor's
+    blocks must stay pinned until an action has FULLY materialized this
+    frame (its lineage still reads them until then) — so the caller
+    drops round N-1 only AFTER round N's aggregate returns, and the
+    materializing action must compute every partition (a full shuffle
+    aggregate does; a limit-style partial scan would leave holes)."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet())
+    out = df.localCheckpoint(eager=False)
+    after = set(sc._jsc.getPersistentRDDs().keySet())
+    return out, after - before
+
+
 def drop_ckpt(any_df: DataFrame, ids: set) -> None:
     """Free a SUPERSEDED checkpoint's blocks (see module docstring for
     the safety contract). ``any_df`` is only used to reach the session."""
