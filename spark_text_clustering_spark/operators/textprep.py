@@ -742,14 +742,11 @@ _WP_UNK = "[UNK]"
 
 def _wp_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same corpus-weighted distinct-word table every trainer in this
-    module works over (lowercase, whitespace split, len >= 2)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
-        .where(F.length("word") >= 2)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    module works over (lowercase, whitespace split, len >= 2) — the
+    DEFINITION is identical to BPE's, so since round 13 this serves the
+    fingerprint-keyed cross-session artifact (`bpe_word_base`): one
+    corpus scan feeds BPE and WordPiece training across sessions."""
+    return bpe_word_base(spark, sf_dir)
 
 
 _WP_INIT_SYMS = (
