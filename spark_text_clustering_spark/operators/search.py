@@ -110,17 +110,98 @@ def search_corpus(
     return search_tfidf(corpus_entries, query_entries, k=k)
 
 
-@REG.register("search_tfidf_topk")  # rows-only: depends on the fitted model state
+_SEARCH_QUERIES = ("table scan join", "stream window batch", "vector hash group")
+_SEARCH_K = 5
+
+
+def _search_tfidf_oracle() -> str:
+    """DuckDB twin of the ENTIRE deterministic TF-IDF search pipeline
+    (round 13 — promotes search_tfidf_topk from rows-only to oracled):
+    P2 clean → P5 tokenize → P6 stopword filter → P8 empty-doc drop →
+    T1 deterministic vocab (cnt desc, token asc, top 10k) → M2 IDF
+    (ln((m+1)/(df+1)), minDocFreq=2 → 0) → M3 1e-4 floor (df<2 OR df=m)
+    → sparse cosine → top-5 per query with the doc_id tiebreak. Every
+    stage is the fitted PipelineModel's exact arithmetic; scores round
+    to 6 decimals on both sides, absorbing ln/summation-order ulps.
+    The inlined query tokens assume the fixed queries are lowercase and
+    punctuation-free (they are — _SEARCH_QUERIES)."""
+    from ..functions.textnorm import CLEAN_PATTERN_SQL, stopwords_sql_list
+
+    stop = stopwords_sql_list()
+    qvals = ", ".join(
+        f"({qi}, '{tok}')"
+        for qi, qs in enumerate(_SEARCH_QUERIES)
+        for tok in qs.split()
+    )
+    return f"""
+    WITH cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+                   regexp_replace(lower(text), '{CLEAN_PATTERN_SQL}', ' ', 'g'),
+                   '\\s+', ' ', 'g')) AS ct
+      FROM documents),
+    toks AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(ct, '\\s+')) AS t
+            FROM cleaned WHERE len(ct) > 0)
+      WHERE NOT list_contains({stop}, t)),
+    corpus_m AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS m FROM toks),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, token),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY SUM(tf) DESC, token) AS rk
+        FROM tf GROUP BY token)
+      WHERE rk <= 10000),
+    eff AS (
+      SELECT tf.token,
+             CASE WHEN COUNT(*) >= 2 AND COUNT(*) < (SELECT m FROM corpus_m)
+                  THEN ln((CAST((SELECT m FROM corpus_m) AS DOUBLE) + 1.0)
+                          / (COUNT(*) + 1.0))
+                  ELSE 1e-4 END AS eff
+      FROM tf JOIN vocab ON tf.token = vocab.token
+      GROUP BY tf.token),
+    dw AS (
+      SELECT tf.doc_id, tf.token, tf.tf * eff.eff AS w
+      FROM tf JOIN eff ON tf.token = eff.token),
+    dn AS (SELECT doc_id, sqrt(SUM(w * w)) AS dn FROM dw GROUP BY doc_id),
+    qtok AS (
+      SELECT query_id, token FROM (VALUES {qvals}) AS t(query_id, token)
+      WHERE NOT list_contains({stop}, token)),
+    qtf AS (SELECT query_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM qtok GROUP BY query_id, token),
+    qw AS (
+      SELECT qtf.query_id, qtf.token, qtf.tf * eff.eff AS w
+      FROM qtf JOIN eff ON qtf.token = eff.token),
+    qn AS (SELECT query_id, sqrt(SUM(w * w)) AS qn FROM qw GROUP BY query_id),
+    dots AS (
+      SELECT qw.query_id, dw.doc_id, SUM(qw.w * dw.w) AS dot
+      FROM qw JOIN dw ON qw.token = dw.token
+      GROUP BY qw.query_id, dw.doc_id),
+    scored AS (
+      SELECT dots.query_id, dots.doc_id, dots.dot / (qn.qn * dn.dn) AS s
+      FROM dots
+      JOIN qn ON dots.query_id = qn.query_id
+      JOIN dn ON dots.doc_id = dn.doc_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           round(s, 6) AS score, CAST(rk AS INTEGER) AS rank
+    FROM (SELECT query_id, doc_id, s,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY s DESC, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= {_SEARCH_K}
+    """
+
+
+@REG.register("search_tfidf_topk", oracle=_search_tfidf_oracle())
 def search_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable search demo: three fixed query strings against the
     corpus, top-5 each (deterministic: fixed vocab tiebreak + rank
-    tiebreak)."""
-    return search_corpus(
-        spark,
-        sf_dir,
-        ["table scan join", "stream window batch", "vector hash group"],
-        k=5,
-    )
+    tiebreak). Round 13: fully DuckDB-oracled — the oracle replays the
+    ENTIRE fitted pipeline (clean/tokenize/stopwords/vocab/IDF/floor/
+    cosine) in SQL, so the model state the key was previously rows-only
+    for is itself hash-checked (see _search_tfidf_oracle)."""
+    return search_corpus(spark, sf_dir, list(_SEARCH_QUERIES), k=_SEARCH_K)
 
 
 # ---------------------------------------------------------------------------

@@ -352,7 +352,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REG.register("knn_cosine_gemm")  # rows-only: same results as knn_cosine_exact (asserted in tests)
+@REG.register("knn_cosine_gemm", oracle=_KNN_ORACLE)  # round 13: exact by
+# construction, so it carries knn_cosine_exact's oracle (identical output
+# was already equality-asserted in tests; the BLAS-vs-JVM summation-order
+# difference is ~1 ulp, invisible at the 1e-6 rounding both the compare
+# and the emitted cosine_sim column apply)
 def knn_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine via numpy GEMM inside mapInPandas: the query
     matrix (Q×d, model-sized) is captured in the closure and broadcast once
