@@ -198,7 +198,7 @@ def apply_idf_floor(df: DataFrame, idf_values: np.ndarray) -> DataFrame:
 
     effective = np.where(idf_values == 0.0, IDF_FLOOR, idf_values)
     ep = ElementwiseProduct(
-        scalingVec=Vectors.dense(effective.tolist()),
+        scalingVec=Vectors.dense(effective),  # ndarray direct — no list copy
         inputCol="tf",
         outputCol="tfidf",
     )

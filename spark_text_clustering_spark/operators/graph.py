@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from .._registry import Registry
 from ..catalog import load_table
-from ..ckpt import ckpt_tracked, drop_ckpt
+from ..ckpt import ckpt_tracked, ckpt_tracked_lazy, drop_ckpt
 
 REG = Registry()
 
@@ -251,7 +251,10 @@ def pagerank_until_convergence(
         it += 1
         new_ids = None
         if it % checkpoint_every == 0:
-            new_pr, new_ids = _ckpt_tracked(new_pr)
+            # LAZY (round 13): the L1-delta aggregate below scans every
+            # new_pr partition, so it doubles as the checkpoint
+            # materializer — one job per checkpointed round, not two
+            new_pr, new_ids = _ckpt_tracked_lazy(new_pr)
         # L1 delta: one broadcast-sized agg over the joined vectors
         delta = (
             new_pr.join(pr.withColumnRenamed("pr", "prev"), "id")
@@ -260,10 +263,11 @@ def pagerank_until_convergence(
         )
         pr = new_pr
         if new_ids is not None:
-            # a NEWER eager checkpoint exists and the delta (the last
-            # read through the old chain) is computed — the superseded
-            # rank checkpoint's blocks are dead (round-11 hygiene; see
-            # _ckpt_tracked). Bounded pinning: edges + deg + latest rank.
+            # a NEWER checkpoint is materialized (by the delta scan) and
+            # the delta (the last read through the old chain) is computed
+            # — the superseded rank checkpoint's blocks are dead
+            # (round-11 hygiene; see _ckpt_tracked). Bounded pinning:
+            # edges + deg + latest rank.
             _drop_ckpt(edges, pr_ids)
             pr_ids = new_ids
     return pr, it, float(delta)
@@ -689,7 +693,10 @@ def label_propagation_until_stable(
         it += 1
         new_ids = None
         if it % checkpoint_every == 0:
-            new_labels, new_ids = _ckpt_tracked(new_labels)
+            # LAZY (r13): the change-count join below scans every
+            # new_labels partition (filter drops rows, not partitions),
+            # so it materializes the checkpoint — one job per round
+            new_labels, new_ids = _ckpt_tracked_lazy(new_labels)
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("label", "prev"), "id"
@@ -699,9 +706,9 @@ def label_propagation_until_stable(
         )
         labels = new_labels
         if new_ids is not None:
-            # newer eager checkpoint in place, change-count (the final
-            # read through the old chain) done — free the superseded
-            # label checkpoint (round-11 hygiene, see _ckpt_tracked)
+            # newer checkpoint materialized (by the change-count scan),
+            # change-count (the final read through the old chain) done —
+            # free the superseded label checkpoint (round-11 hygiene)
             _drop_ckpt(edges, lbl_ids)
             lbl_ids = new_ids
     return labels, it, int(changed)
@@ -720,23 +727,25 @@ def kcore_until_fixpoint(
     frame, rounds_run). Per round: one degree agg + two survivor
     joins, localCheckpoint per round (a round references its
     predecessor three times; the cut keeps cost linear in rounds). The
-    stopping signal is the edge count — already materialized by the
-    eager checkpoint, so it costs one count on checkpointed data."""
+    stopping signal is the edge count, which doubles as the LAZY
+    checkpoint's materializer (round 13) — one job per round."""
     edges, prev_ids = _ckpt_tracked(edges)
     n_edges = edges.count()
     rounds = 0
     while rounds < max_rounds:
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.where(F.col("d") >= k).select(F.col("src").alias("id"))
-        new_edges, new_ids = _ckpt_tracked(
+        # LAZY (r13): the stopping-signal count below materializes the
+        # peeled frame — one job per round instead of two
+        new_edges, new_ids = _ckpt_tracked_lazy(
             edges.join(keep, keep["id"] == edges["src"]).drop("id")
             .join(keep, keep["id"] == edges["dst"]).drop("id")
         )
         rounds += 1
         n_new = new_edges.count()
         edges = new_edges
-        # the peeled round's survivors are eagerly materialized — the
-        # previous edge frame is dead (round-11 hygiene, _ckpt_tracked)
+        # the peeled round's survivors are materialized by the count —
+        # the previous edge frame is dead (round-11 hygiene)
         _drop_ckpt(edges, prev_ids)
         prev_ids = new_ids
         if n_new == n_edges:
@@ -804,7 +813,8 @@ def personalized_pagerank_until_convergence(
         it += 1
         new_ids = None
         if it % checkpoint_every == 0:
-            new_pr, new_ids = _ckpt_tracked(new_pr)
+            # LAZY: the full-outer delta agg below materializes it (r13)
+            new_pr, new_ids = _ckpt_tracked_lazy(new_pr)
         delta = (
             new_pr.join(pr.withColumnRenamed("pr", "prev"), "id", "full_outer")
             .agg(
@@ -882,6 +892,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-11 hygiene measurement (37 pinned RDDs after 4 CC constructions)
 # is documented on the ckpt module
 _ckpt_tracked = ckpt_tracked
+_ckpt_tracked_lazy = ckpt_tracked_lazy
 _drop_ckpt = drop_ckpt
 
 
@@ -925,7 +936,9 @@ def _hash_min_cc(und: DataFrame, max_rounds: int = 50) -> DataFrame:
             .groupBy(F.col("v").alias("id2"))
             .agg(F.min("comp").alias("nbr"))
         )
-        nxt, nxt_ids = _ckpt_tracked(
+        # LAZY (r13): the change-count below scans every nxt partition,
+        # materializing the checkpoint — one job per round instead of two
+        nxt, nxt_ids = _ckpt_tracked_lazy(
             comp.join(nbr_min, comp["id"] == nbr_min["id2"], "left").select(
                 "id",
                 F.least(F.col("comp"), F.coalesce("nbr", F.col("comp"))).alias(
@@ -934,11 +947,12 @@ def _hash_min_cc(und: DataFrame, max_rounds: int = 50) -> DataFrame:
                 F.col("comp").alias("prev"),
             )
         )
-        # nxt is eagerly materialized above: the previous round's label
-        # blocks can never be read again — free them now (bounded
-        # footprint: at most 2 label frames + the edge frame pinned)
-        _drop_ckpt(und, prev_ids)
         changed = nxt.where(F.col("comp") != F.col("prev")).count()
+        # nxt is now fully materialized (the count's filter drops rows,
+        # not partitions): the previous round's label blocks can never be
+        # read again — free them (bounded footprint: at most 2 label
+        # frames + the edge frame pinned)
+        _drop_ckpt(und, prev_ids)
         comp, prev_ids = nxt.select("id", "comp"), nxt_ids
         if changed == 0:
             _drop_ckpt(und, und_ids)  # returned labels don't read edges
@@ -1075,7 +1089,8 @@ def _two_star_cc(und: DataFrame, max_rounds: int = 40) -> tuple[DataFrame, int]:
             .where(F.col("y") != F.col("m"))
             .select(F.col("y").alias("x"), F.col("m").alias("y"))
         )
-        nxt, nxt_ids = _ckpt_tracked(
+        # LAZY (r13): the convergence count below materializes the round
+        nxt, nxt_ids = _ckpt_tracked_lazy(
             mn2.select("x", F.col("m").alias("y")).unionAll(re_rooted).distinct()
         )
         n_nxt = nxt.count()
