@@ -1196,7 +1196,16 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist, dist_ids = _ckpt_tracked(
         roots.select("br", "id", F.lit(0).cast("long").alias("hops"))
     )
+    # ONE job per level (round 13; was three — eager frontier ckpt +
+    # limit-probe + eager dist ckpt): the level's frontier count is a
+    # full scan of every input (the frontier equi-join reads und and the
+    # old frontier whole; the anti-join hash-builds over all of dist),
+    # so it materializes the LAZY frontier checkpoint, and the lazily-
+    # checkpointed dist∪new union materializes inside the NEXT level's
+    # count — its predecessor's blocks are therefore dropped one level
+    # later (dist_prev_ids), per ckpt_tracked_lazy's contract.
     frontier, frontier_ids = dist, set()
+    dist_prev_ids: set = set()  # dist(k-1): dead once dist(k) materializes
     for depth in range(1, _BFS_MAX_DEPTH + 1):
         cand = (
             und.join(
@@ -1206,21 +1215,31 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(und["br"].alias("br"), F.col("v").alias("id"))
             .distinct()
         )
-        new = cand.join(dist, ["br", "id"], "left_anti").select(
-            "br", "id", F.lit(depth).cast("long").alias("hops")
+        new, new_ids = _ckpt_tracked_lazy(
+            cand.join(dist, ["br", "id"], "left_anti").select(
+                "br", "id", F.lit(depth).cast("long").alias("hops")
+            )
         )
-        new, new_ids = _ckpt_tracked(new)
-        if new.limit(1).count() == 0:
-            _drop_ckpt(und, und_ids | frontier_ids | new_ids)
+        n_new = new.count()
+        # this count fully materialized `new` AND the current dist (the
+        # anti-join's build side) — so the PREVIOUS dist (unioned into
+        # the current one) and the old frontier are now dead
+        _drop_ckpt(und, dist_prev_ids | frontier_ids)
+        dist_prev_ids, frontier_ids = set(), set()
+        if n_new == 0:
+            _drop_ckpt(und, und_ids | new_ids)
             break
-        nxt, nxt_ids = _ckpt_tracked(dist.unionByName(new))
-        # nxt materialized: the old dist and the old frontier are dead
-        # (`new` stays — it IS the next frontier and feeds no one else)
-        _drop_ckpt(und, dist_ids | frontier_ids)
+        nxt, nxt_ids = _ckpt_tracked_lazy(dist.unionByName(new))
+        dist_prev_ids = dist_ids  # droppable after nxt materializes
         dist, dist_ids = nxt, nxt_ids
         frontier, frontier_ids = new, new_ids
     else:
-        _drop_ckpt(und, und_ids | frontier_ids)
+        # depth cap reached with the last union never probed: materialize
+        # it NOW so its inputs (last frontier + previous dist) can be
+        # freed — without this the returned lazy frame would still read
+        # them and the drop below would sever its lineage
+        dist.count()
+        _drop_ckpt(und, und_ids | frontier_ids | dist_prev_ids)
     return dist.select(
         "br",
         F.col("id").cast("long").alias("part_id"),

@@ -117,6 +117,9 @@ def test_cc_kernels_free_superseded_round_checkpoints(spark):
         ("graph_pagerank", 2),
         ("graph_kcore_peel", 2),
         ("graph_label_propagation", 2),
+        # round 13 (lazy-ckpt fusion): BFS keeps the final distance
+        # frame + the shared _brand_edges checkpoint per call, like CC
+        ("graph_bfs_hops", 2),
     ]:
         QUERIES[key](spark, SF_SMALL).count()  # warm (memos, parquet footers)
         base = pinned()
