@@ -387,3 +387,40 @@ def test_ann_recall_eval_control_and_floors(spark):
     for r in rows.values():
         assert 0.0 <= r["min_recall"] <= r["macro_recall"] <= 1.0
         assert r["n_queries"] >= 1
+
+
+def test_bfs_depth_cap_exhaustion_path(spark, monkeypatch):
+    """Round 13: the depth-cap exhaustion branch (loop completes without
+    an empty frontier) must still return correct capped distances AND
+    free its deferred lazy-checkpoint blocks — the final distance union
+    is materialized explicitly before its inputs are dropped, so the
+    returned frame must stay readable after the call. Patch the cap to
+    2 (the sf0.001 graph is deeper), matching the python twin at the
+    same cap; pinned growth stays bounded like the break path."""
+    from spark_text_clustering_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "_BFS_MAX_DEPTH", 2)
+    sc = spark.sparkContext
+
+    def pinned() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    edges = [
+        (r["br"], r["a"], r["b"]) for r in _brand_edges(spark, SF_SMALL).collect()
+    ]
+    roots: dict = {}
+    for br, a, _b in edges:
+        roots[br] = min(roots.get(br, a), a)
+    want = _python_bfs(edges, roots, max_depth=2)
+    # the deeper graph must exist or this test exercises the break path
+    assert want != _python_bfs(edges, roots, max_depth=12)
+
+    base = pinned()
+    got_df = QUERIES["graph_bfs_hops"](spark, SF_SMALL)
+    got = {(r["br"], r["part_id"]): r["hops"] for r in got_df.collect()}
+    assert got == want
+    # readable twice (the materialize-then-drop fix: a severed lineage
+    # would raise CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the second read)
+    assert len(got_df.collect()) == len(want)
+    QUERIES["graph_bfs_hops"](spark, SF_SMALL).count()
+    assert pinned() - base <= 4  # 2 per call (edges ckpt + final dist)
