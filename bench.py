@@ -91,6 +91,8 @@ HEADLINE = [
     "ngram_lm_score",
     "search_bm25_scores",
     "search_bm25_stored",
+    "search_tfidf_topk",
+    "freq_items_sketch",
     "join_asof_keyless_bucketed",
     "pipeline_train_ready",
     "layout_zorder_key",
@@ -281,6 +283,8 @@ EAGER_KEYS = {
     "heavy_hitters_cms",  # CMS sketch aggregation (treeAggregate)
     "bloom_semi_join_prune",  # Bloom bitset build (tree-merged collect)
     "search_bm25_stored",  # stored-index stats load at construction
+    "search_tfidf_topk",  # fits the TF-IDF pipeline at construction (r13)
+    "freq_items_sketch",  # freqItems collect + count at construction (r13)
     "knn_cosine_pq_stored",  # stored codebook load at construction
     "knn_cosine_ivfpq_stored",  # stored centroid/codebook load
     "quality_classifier_nb",  # NB training-score aggregation
