@@ -43,3 +43,27 @@ def test_sql_args_still_bind(spark):
         t=df,
     )
     assert [r["x"] for r in out.collect()] == [5]
+
+
+def test_concurrent_plan_construction(spark):
+    """Two threads building plans from the same frame keyword must not
+    clobber each other's catalog entries (the per-call counter claim)."""
+    import threading
+
+    results, errors = {}, []
+
+    def build(i):
+        try:
+            df = spark.createDataFrame([(i,)], ["x"])
+            out = sql_over(spark, "SELECT x + 0 AS x FROM {t}", t=df)
+            results[i] = out.collect()[0]["x"]
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=build, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert results == {i: i for i in range(8)}
