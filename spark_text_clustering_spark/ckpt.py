@@ -24,11 +24,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# RDD.doCheckpoint stops at the FIRST marked RDD from the top unless this
+# LOCAL PROPERTY (not a spark conf — RDD.scala reads it via
+# sc.getLocalProperty) is set: an intermediate lazily-marked frame that is
+# only ever computed as an ancestor of a newer marked frame would then be
+# persisted but never checkpoint-FINALIZED, so its lineage still references
+# predecessor blocks that drop_ckpt has freed. Safe in local mode (the
+# MEMORY_AND_DISK blocks survive), but on a real cluster a lost block
+# would force a recompute through severed inputs (ADVICE r13). Setting the
+# property makes every materialization finalize all marked ancestors —
+# true lineage truncation per round. Cost is ~zero when the caller's
+# contract is followed: the ancestor's partitions are already cached by
+# the descendant's job, so finalization finds no missing partitions.
+_ANCESTORS_PROP = "spark.checkpoint.checkpointAllMarkedAncestors"
+
+
+def _mark_ancestors(sc) -> None:
+    if sc.getLocalProperty(_ANCESTORS_PROP) != "true":
+        sc.setLocalProperty(_ANCESTORS_PROP, "true")
+
 
 def ckpt_tracked(df: DataFrame) -> tuple[DataFrame, set]:
     """localCheckpoint(eager=True) + the set of persistent-RDD ids the
     call pinned, for a later targeted ``drop_ckpt``."""
     sc = df.sparkSession.sparkContext
+    _mark_ancestors(sc)
     before = set(sc._jsc.getPersistentRDDs().keySet())
     out = df.localCheckpoint(eager=True)
     after = set(sc._jsc.getPersistentRDDs().keySet())
@@ -50,8 +70,14 @@ def ckpt_tracked_lazy(df: DataFrame) -> tuple[DataFrame, set]:
     frame (its lineage still reads them until then) — so the caller
     drops round N-1 only AFTER round N's aggregate returns, and the
     materializing action must compute every partition (a full shuffle
-    aggregate does; a limit-style partial scan would leave holes)."""
+    aggregate does; a limit-style partial scan would leave holes).
+
+    Lineage truncation is real for marked ancestors too: the
+    ``checkpointAllMarkedAncestors`` local property is set (see
+    ``_ANCESTORS_PROP``) so the next action finalizes EVERY marked frame
+    on the lineage, not just the topmost one."""
     sc = df.sparkSession.sparkContext
+    _mark_ancestors(sc)
     before = set(sc._jsc.getPersistentRDDs().keySet())
     out = df.localCheckpoint(eager=False)
     after = set(sc._jsc.getPersistentRDDs().keySet())

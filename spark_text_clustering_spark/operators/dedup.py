@@ -590,6 +590,7 @@ def incremental_dedup_minhash(
     store_path: str,
     batch_id: str | None = None,
     threshold: float = 0.6,
+    prior_state: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dedup against a persistent MinHash signature store —
     the near-dup twin of ``incremental_dedup``: each ingest batch drops
@@ -620,7 +621,16 @@ def incremental_dedup_minhash(
     With 16 bands × 4 rows, P(candidate | jaccard=0.6) ≈ 0.89 and ≈ 0.999
     at 0.8 — recall vs exact Jaccard is measured in
     tests/test_incremental_dedup.py. Only SURVIVORS' signatures enter the
-    store (dups point to an already-stored near-identical signature)."""
+    store (dups point to an already-stored near-identical signature).
+
+    ``prior_state`` (round 14, VERDICT r13 #3): an optional
+    (prior_bands, prior_sigs) pair — (band, key, old_id) and
+    (old_id, sig_old) frames holding EVERY committed batch except
+    ``batch_id``. A long-running ingest loop that already has the
+    previous batches' survivor frames in hand (e.g. the read-back frames
+    this function returns state for) passes them here and skips the
+    store-wide parquet listing + read per batch; the store on disk stays
+    the durable source of truth and ``None`` (the default) reads it."""
     import os
 
     def _existing_batches() -> list[str]:
@@ -642,30 +652,11 @@ def incremental_dedup_minhash(
     sigs = minhash_signatures(new_docs).localCheckpoint(eager=True)
     bands = _band_rows(sigs)
 
-    # (1) intra-batch: min-id greedy survivor over banded candidates
-    cand_self = (
-        bands.alias("l")
-        .join(bands.alias("r"), ["band", "key"])
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    intra_dups = (
-        cand_self.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(_est_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
-    alive = sigs.join(intra_dups, "doc_id", "left_anti")
-
-    # (2) history: band join against all OTHER batches, signature verify
+    # resolve the history side (explicit prior_state / store read / none)
     history = [b for b in batches if b != batch_id]
-    if history:
+    if prior_state is not None:
+        prior_bands, prior_sigs = prior_state
+    elif history:
         prior_bands = (
             spark.read.parquet(f"{store_path}/bands")
             .where(F.col("batch_id") != batch_id)
@@ -676,28 +667,62 @@ def incremental_dedup_minhash(
             .where(F.col("batch_id") != batch_id)
             .select(F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old"))
         )
-        cand_hist = (
-            _band_rows(alive)
-            .join(prior_bands, ["band", "key"])
-            .select("doc_id", "old_id")
-            .distinct()
-        )
-        hist_dups = (
-            cand_hist.join(alive.select("doc_id", "sig"), "doc_id")
-            .join(prior_sigs, "old_id")
-            .where(_est_jaccard(F.col("sig"), F.col("sig_old")) >= threshold)
-            .select("doc_id")
-            .distinct()
-        )
-        survivors = alive.join(hist_dups, "doc_id", "left_anti")
     else:
-        survivors = alive
-    survivors = survivors.localCheckpoint(eager=True)
+        prior_bands = prior_sigs = None
 
-    # (3) commit: overwrite ONLY this batch's partition directories
-    survivors.write.mode("overwrite").parquet(
-        f"{store_path}/signatures/batch_id={batch_id}"
+    # UNIFIED candidate generation + verify (round 14, VERDICT r13 #3):
+    # a new doc d drops iff SOME partner p has est-Jaccard >= threshold,
+    # where p is either a smaller-id batch-mate (the intra-batch greedy
+    # min-id survivor rule) or ANY committed doc (the history rule).
+    # Partner band rows union the batch's own rows (own=true, the p < d
+    # condition applied post-join) with the store's; partner signatures
+    # union the same way. ONE band join + ONE signature verify replaces
+    # the former two-phase form's two of each — half the shuffle rounds
+    # per batch, identical survivor set (history dups were formerly
+    # checked only for intra survivors, but a doc dropped by both rules
+    # drops either way; the extra verified pairs are candidate-sized).
+    partner_bands = bands.select(
+        "band", "key", F.col("doc_id").alias("pid"), F.lit(True).alias("own")
     )
+    partner_sigs = sigs.select(
+        F.col("doc_id").alias("pid"), F.col("sig").alias("sig_p")
+    )
+    if prior_bands is not None:
+        partner_bands = partner_bands.unionAll(
+            prior_bands.select(
+                "band", "key", F.col("old_id").alias("pid"),
+                F.lit(False).alias("own"),
+            )
+        )
+        partner_sigs = partner_sigs.unionAll(
+            prior_sigs.select(
+                F.col("old_id").alias("pid"), F.col("sig_old").alias("sig_p")
+            )
+        )
+    cand = (
+        bands.join(partner_bands, ["band", "key"])
+        .where((~F.col("own")) | (F.col("pid") < F.col("doc_id")))
+        .select("doc_id", "pid")
+        .distinct()
+    )
+    dups = (
+        cand.join(sigs, "doc_id")
+        .join(partner_sigs, "pid")
+        .where(_est_jaccard(F.col("sig"), F.col("sig_p")) >= threshold)
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = sigs.join(dups, "doc_id", "left_anti")
+    # (3) commit: overwrite ONLY this batch's partition directories.
+    # The commit write IS the materializing job (round 14, VERDICT r13
+    # #3: fused — previously an eager localCheckpoint computed the
+    # pipeline and the write re-scanned the cached blocks, one extra job
+    # per batch); the read-back then serves every downstream use from
+    # the tiny just-written parquet (an all-dup batch still reads back
+    # fine: Spark writes a schema-bearing part file for an empty frame).
+    sig_dir = f"{store_path}/signatures/batch_id={batch_id}"
+    survivors.write.mode("overwrite").parquet(sig_dir)
+    survivors = spark.read.parquet(sig_dir)
     _band_rows(survivors).write.mode("overwrite").parquet(
         f"{store_path}/bands/batch_id={batch_id}"
     )
@@ -712,7 +737,7 @@ def incremental_dedup_minhash(
     # retry-idempotence contract.
     unsigned = new_docs.select("doc_id").join(
         sigs.select("doc_id"), "doc_id", "left_anti"
-    ).localCheckpoint(eager=True)
+    )
     # ...and persist them durably beside the signatures (round-7 ADVICE
     # fix): the streaming composition's foreachBatch discards this
     # function's return value and later reads THE STORE, so a survivor
@@ -720,10 +745,13 @@ def incremental_dedup_minhash(
     # from any fresh session reading the store). Same per-partition
     # overwrite commit => same retry-idempotence contract. coalesce(1)
     # guarantees a schema-bearing part file even for an empty batch.
-    unsigned.coalesce(1).write.mode("overwrite").parquet(
-        f"{store_path}/unsigned/batch_id={batch_id}"
+    # (the unsigned write is its own materializing job too — round 14
+    # dropped its eager checkpoint; the return value reads the parquet)
+    uns_dir = f"{store_path}/unsigned/batch_id={batch_id}"
+    unsigned.coalesce(1).write.mode("overwrite").parquet(uns_dir)
+    return survivors.select("doc_id").unionAll(
+        spark.read.parquet(uns_dir).select("doc_id")
     )
-    return survivors.select("doc_id").unionAll(unsigned)
 
 
 _INC_MH_CAP = 1500  # registered-demo bound: ids below this ingest
@@ -764,14 +792,38 @@ def incremental_dedup_minhash_batches(spark: SparkSession, sf_dir: str) -> DataF
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+        # thread the committed batches' read-back frames forward as
+        # prior_state (round 14, VERDICT r13 #3): each batch's history
+        # side is then a lazy union of per-batch parquet scans instead
+        # of a store-wide listing + partition-discovery read per batch
+        prior_bands = prior_sigs = None
         for i, (lo, hi) in enumerate(bounds):
             part = docs
             if lo is not None:
                 part = part.where(F.col("doc_id") > lo)
             if hi is not None:
                 part = part.where(F.col("doc_id") <= hi)
+            bid = f"b{i:06d}"
             incremental_dedup_minhash(
-                spark, part, store, batch_id=f"b{i:06d}"
+                spark,
+                part,
+                store,
+                batch_id=bid,
+                prior_state=(
+                    (prior_bands, prior_sigs)
+                    if prior_bands is not None
+                    else None
+                ),
+            )
+            bsig = spark.read.parquet(
+                f"{store}/signatures/batch_id={bid}"
+            ).select(F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old"))
+            bband = spark.read.parquet(f"{store}/bands/batch_id={bid}").select(
+                "band", "key", F.col("doc_id").alias("old_id")
+            )
+            prior_sigs = bsig if prior_sigs is None else prior_sigs.unionAll(bsig)
+            prior_bands = (
+                bband if prior_bands is None else prior_bands.unionAll(bband)
             )
         sigs = spark.read.parquet(f"{store}/signatures").select("doc_id")
         unsigned = spark.read.parquet(f"{store}/unsigned").select("doc_id")

@@ -453,10 +453,14 @@ def mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt AS (
       SELECT 'event_type' AS col, CAST(event_type AS VARCHAR) AS value,
              CAST(COUNT(*) AS BIGINT) AS n_occur
-      FROM events GROUP BY event_type
+      FROM events WHERE event_type IS NOT NULL GROUP BY event_type
       UNION ALL
       SELECT 'user_id', CAST(user_id AS VARCHAR), CAST(COUNT(*) AS BIGINT)
-      FROM events GROUP BY user_id)
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+    -- NULL policy stated explicitly (ADVICE r13): the engine's
+    -- freqItems candidates and isin() verify both drop NULL values, so
+    -- the oracle must too — a NULL group surviving GROUP BY would
+    -- silently diverge on a future data-gen change.
     SELECT col, value, n_occur FROM cnt, tot WHERE 10 * n_occur > n
     """,
 )

@@ -71,7 +71,12 @@ def search_tfidf(
             (F.col("dot") / (F.col("qn") * F.col("dn"))).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    # rank on the ROUNDED score (ADVICE r13): rank must be a function of
+    # the displayed 6-dp score, or cross-engine float noise at the
+    # k-boundary could flip top-k membership vs the DuckDB oracle.
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -187,7 +192,7 @@ def _search_tfidf_oracle() -> str:
            round(s, 6) AS score, CAST(rk AS INTEGER) AS rank
     FROM (SELECT query_id, doc_id, s,
                  row_number() OVER (PARTITION BY query_id
-                                    ORDER BY s DESC, doc_id) AS rk
+                                    ORDER BY round(s, 6) DESC, doc_id) AS rk
           FROM scored)
     WHERE rk <= {_SEARCH_K}
     """

@@ -89,7 +89,7 @@ SELECT query_id, neighbor_id,
        round(cos, 6) AS cosine_sim,
        CAST(rn AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, neighbor_id) AS rn
+                                   ORDER BY round(cos, 6) DESC, neighbor_id) AS rn
       FROM scored)
 WHERE rn <= {TOP_K}
 """
@@ -123,7 +123,13 @@ def knn_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    # rank on the ROUNDED score (ADVICE r13): the displayed 6-dp rounding
+    # must also decide rank, or two docs whose cosines differ by only
+    # summation-order/libm ulps at the k-boundary could order differently
+    # across engines (Spark vs DuckDB oracle vs the GEMM twin).
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 6)), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
@@ -297,7 +303,13 @@ def knn_cosine_ivf(
             (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    # rank on the ROUNDED score (ADVICE r13): the displayed 6-dp rounding
+    # must also decide rank, or two docs whose cosines differ by only
+    # summation-order/libm ulps at the k-boundary could order differently
+    # across engines (Spark vs DuckDB oracle vs the GEMM twin).
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 6)), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
@@ -419,7 +431,13 @@ def knn_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.select("vec_id", "embedding").mapInPandas(
         score_batches, schema="query_id long, neighbor_id long, cos double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    # rank on the ROUNDED score (ADVICE r13): the displayed 6-dp rounding
+    # must also decide rank, or two docs whose cosines differ by only
+    # summation-order/libm ulps at the k-boundary could order differently
+    # across engines (Spark vs DuckDB oracle vs the GEMM twin).
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 6)), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
@@ -590,7 +608,13 @@ def knn_cosine_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    # rank on the ROUNDED score (ADVICE r13): the displayed 6-dp rounding
+    # must also decide rank, or two docs whose cosines differ by only
+    # summation-order/libm ulps at the k-boundary could order differently
+    # across engines (Spark vs DuckDB oracle vs the GEMM twin).
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 6)), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
@@ -810,7 +834,13 @@ def _pq_adc_rerank(spark, emb, books, codes_df, queries, out_schema):
             _dot(F.col("e"), F.col("qe")).alias("cos"),  # normalized -> dot = cosine
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    # rank on the ROUNDED score (ADVICE r13): the displayed 6-dp rounding
+    # must also decide rank, or two docs whose cosines differ by only
+    # summation-order/libm ulps at the k-boundary could order differently
+    # across engines (Spark vs DuckDB oracle vs the GEMM twin).
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 6)), F.asc("neighbor_id")
+    )
     return (
         rescored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
@@ -1123,7 +1153,13 @@ def _ivfpq_probe(
             _dot(F.col("e"), F.col("qe")).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    # rank on the ROUNDED score (ADVICE r13): the displayed 6-dp rounding
+    # must also decide rank, or two docs whose cosines differ by only
+    # summation-order/libm ulps at the k-boundary could order differently
+    # across engines (Spark vs DuckDB oracle vs the GEMM twin).
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 6)), F.asc("neighbor_id")
+    )
     return (
         rescored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)

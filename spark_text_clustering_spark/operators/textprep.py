@@ -490,13 +490,31 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()[:16]
 
 
+# Version token for the word-base DEFINITION (split regex, lowercase,
+# len >= 2). Embedded in the artifact path so a future definition change
+# misses old artifacts instead of silently serving stale ones (ADVICE r13).
+_WORD_BASE_DEF = "wb1-lower-ws-len2"
+
+
 def _artifact_dir() -> str:
+    """Per-user artifact root, created 0700 (ADVICE r13): a shared
+    world-writable path would let another local user pre-seed arbitrary
+    parquet that gets served, and concurrent sessions would race on it."""
     import os
     import tempfile
 
-    return os.environ.get(
-        "STC_ARTIFACT_DIR", os.path.join(tempfile.gettempdir(), "stc_artifacts")
-    )
+    override = os.environ.get("STC_ARTIFACT_DIR")
+    if override:
+        os.makedirs(override, mode=0o700, exist_ok=True)
+        return override
+    d = os.path.join(tempfile.gettempdir(), f"stc_artifacts_{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid():
+        # pre-seeded by someone else under tmp's sticky bit: refuse to
+        # share; fall back to a fresh private dir for this process
+        d = tempfile.mkdtemp(prefix="stc_artifacts_")
+    return d
 
 
 def bpe_word_base(
@@ -519,8 +537,16 @@ def bpe_word_base(
     run amortizes: one corpus scan feeds every subsequent train/encode
     experiment; the artifact itself is vocab-sized, not corpus-sized."""
     import os
+    import shutil
+    import uuid
 
-    path = os.path.join(_artifact_dir(), f"bpe_words_{_corpus_fingerprint(sf_dir)}")
+    # path embeds BOTH the corpus fingerprint and the word-base
+    # definition version (ADVICE r13): changing the split regex / length
+    # rule must miss old artifacts, not silently serve them
+    path = os.path.join(
+        _artifact_dir(),
+        f"bpe_words_{_WORD_BASE_DEF}_{_corpus_fingerprint(sf_dir)}",
+    )
     if not refresh and os.path.exists(os.path.join(path, "_SUCCESS")):
         return spark.read.parquet(path)
     docs = load_table(spark, sf_dir, "documents")
@@ -530,7 +556,18 @@ def bpe_word_base(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    words.write.mode("overwrite").parquet(path)
+    # write to a session-private temp path, then atomically rename into
+    # place (ADVICE r13): concurrent sessions that miss simultaneously
+    # must never expose a half-written directory behind a visible
+    # _SUCCESS; the loser of the rename race serves the winner's copy
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    words.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise
     return spark.read.parquet(path)
 
 

@@ -50,6 +50,33 @@ def test_drop_is_idempotent(spark):
     drop_ckpt(df, ids)  # second drop of the same ids: no-op, no raise
 
 
+def test_ancestors_property_set_and_intermediate_finalized(spark):
+    """ADVICE r13: with checkpointAllMarkedAncestors unset, an
+    intermediate lazily-marked frame computed only as an ancestor of a
+    newer marked frame is persisted but never checkpoint-FINALIZED — its
+    lineage still references predecessor blocks. The helpers set the
+    local property so the next action finalizes every marked ancestor
+    (true lineage truncation per round, as on a real cluster)."""
+    base = spark.range(200).select("id", (F.col("id") % 5).alias("k"))
+    r0, ids0 = ckpt_tracked_lazy(base)
+    r1, ids1 = ckpt_tracked_lazy(r0.select("id", (F.col("k") + 1).alias("k")))
+    assert (
+        spark.sparkContext.getLocalProperty(
+            "spark.checkpoint.checkpointAllMarkedAncestors"
+        )
+        == "true"
+    )
+    r1.groupBy("k").count().count()  # materializing action over r1
+    # the INTERMEDIATE r0's marked RDD must be checkpoint-finalized too,
+    # not just r1's (doCheckpoint would stop at the first marked RDD from
+    # the top without the property)
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids0 | ids1:
+        assert m.containsKey(i)
+        assert m[i].rdd().isCheckpointed(), f"marked RDD {i} not finalized"
+    drop_ckpt(r1, ids0 | ids1)
+
+
 def test_eager_and_lazy_agree_on_rows(spark):
     base = spark.range(500).select("id", (F.col("id") * 3).alias("v"))
     e, ide = ckpt_tracked(base)
