@@ -75,6 +75,10 @@ _FORCE_RESAMPLE = [
     "knn_cosine_gemm",
     # r14: oracle states the NULL policy explicitly (ADVICE r13)
     "freq_items_sketch",
+    # r14 core-lite triage: plan changed (probe-side repartition /
+    # id-only stored index) — re-evidence both under the new plans
+    "dedup_fuzzy_levenshtein",
+    "knn_cosine_lsh_stored",
 ]
 
 # VERDICT r13 #1: spend the driver's ~50-key correctness budget on the

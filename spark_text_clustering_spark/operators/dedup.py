@@ -414,9 +414,16 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is record-linkage-style dedup for short strings (titles, names)
     where shingle/MinHash granularity is too coarse. At 100 TB: pick a
     blocking key with bounded frequency (first-token + length bucket) so
-    no block degenerates to quadratic."""
+    no block degenerates to quadratic. The probe side is repartitioned
+    to the session parallelism before the broadcast join: the part table
+    arrives as a single parquet split at small SFs, and without the
+    exchange every in-block levenshtein (4.4M calls at sf0.1) runs on
+    ONE core — measured 22.9 s -> 1.9 s at sf0.1. (A length-band
+    prefilter and the thresholded levenshtein kernel were both A/B'd
+    and NET-NEGATIVE here: the band prunes almost nothing on
+    similar-length p_names and costs an extra comparison per pair.)"""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    a = p.select(
+    a = p.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
         F.split("p_name", " ").getItem(0).alias("block"),

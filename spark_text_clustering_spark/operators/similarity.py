@@ -1346,8 +1346,14 @@ def build_lsh_index(
     seeded random-projection model once, hash every normalized vector,
     and WRITE the bucket assignment as parquet partitioned by
     (hash-table, bucket) plus the normalized vectors alongside — queries
-    then read only their own buckets at the directory level. Memoized per
-    (sf_dir, tables). Returns None on an empty corpus."""
+    then read only their own buckets at the directory level. The bucket
+    assignment is ID-ONLY (vec_id per (t, bucket)); the normalized
+    vectors live once in ``{base}/vectors`` — candidate generation then
+    shuffles 16-byte id pairs instead of pairs of embedding arrays, and
+    the index is ~(1 + tables·id/vec) of the corpus instead of ~tables×
+    (round 14; the old layout made the stored variant SLOWER than the
+    live join it exists to amortize). Memoized per (sf_dir, tables).
+    Returns None on an empty corpus."""
     import tempfile
 
     from pyspark.ml.feature import BucketedRandomProjectionLSH
@@ -1381,17 +1387,18 @@ def build_lsh_index(
     model = lsh.fit(normed)
     hashed = model.transform(normed).select(
         "vec_id",
-        "ne",
         F.posexplode("hashes").alias("t", "hv"),
     ).select(
         "vec_id",
-        "ne",
         "t",
         vector_to_array("hv").getItem(0).cast("long").alias("bucket"),
     )
     base = tempfile.mkdtemp(prefix="lsh_index_")
     hashed.write.mode("overwrite").partitionBy("t", "bucket").parquet(
         f"{base}/buckets"
+    )
+    normed.select("vec_id", "ne").write.mode("overwrite").parquet(
+        f"{base}/vectors"
     )
     _PQ_MEMO[memo_key] = base
     return base
@@ -1413,23 +1420,28 @@ def knn_cosine_lsh_stored(
     `knn_cosine_lsh` (asserted in tests/test_search.py; cosine values are
     equal to 6 decimals, the operator's output precision). At 100 TB the
     bucket join is partition-pruned parquet reads, and the index build is
-    a once-per-corpus batch job like its IVF/PQ siblings."""
+    a once-per-corpus batch job like its IVF/PQ siblings. Candidate
+    generation self-joins the ID-ONLY bucket assignment and dedups the
+    id pairs BEFORE the vectors are attached (round 14): the pair-dedup
+    shuffle carries 16-byte rows, and the exact verify reads the stored
+    normalized vectors through two id joins on the already-distributed
+    pair set (AQE broadcasts the vector side while it is small)."""
     base = build_lsh_index(spark, sf_dir, num_hash_tables=num_hash_tables)
     out_schema = "id_a long, id_b long, cosine_sim double"
     if base is None:
         return spark.createDataFrame([], out_schema)
     idx = spark.read.parquet(f"{base}/buckets")
-    a = idx.select(
-        "t", "bucket", F.col("vec_id").alias("id_a"), F.col("ne").alias("na")
-    )
-    b = idx.select(
-        "t", "bucket", F.col("vec_id").alias("id_b"), F.col("ne").alias("nb")
-    )
+    vecs = spark.read.parquet(f"{base}/vectors")
     cand = (
-        a.join(b, ["t", "bucket"])
+        idx.select("t", "bucket", F.col("vec_id").alias("id_a"))
+        .join(idx.select("t", "bucket", F.col("vec_id").alias("id_b")), ["t", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "na", "nb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(vecs.select(F.col("vec_id").alias("id_a"), F.col("ne").alias("na")), "id_a")
+        .join(vecs.select(F.col("vec_id").alias("id_b"), F.col("ne").alias("nb")), "id_b")
     )
     d2 = F.aggregate(
         F.zip_with(F.col("na"), F.col("nb"), lambda x, y: (x - y) * (x - y)),
@@ -1438,7 +1450,7 @@ def knn_cosine_lsh_stored(
     )
     euclid = F.sqrt(d2)
     return (
-        cand.withColumn("euclid", euclid)
+        pairs.withColumn("euclid", euclid)
         .where(F.col("euclid") <= F.lit(euclid_threshold))
         .select(
             "id_a",
