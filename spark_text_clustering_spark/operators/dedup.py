@@ -484,9 +484,14 @@ def dedup_fuzzy_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution (matches are >=0.95, non-matches <=0.87 at both test
     SFs), so the cut is stable against float noise."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # repartition before the blocked self-join: a single-split corpus
+    # otherwise runs the probe-side join + the JW Python stage on ONE
+    # core (round-14 lesson; 1.3 -> 0.84 s warm at sf0.1)
     heads = docs.where(
         F.col("text").isNotNull() & (F.length("text") >= 8)
-    ).select("doc_id", F.substring("text", 1, 60).alias("head"))
+    ).select("doc_id", F.substring("text", 1, 60).alias("head")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.split("head", " ")
     blocked = heads.withColumn(
         "block",

@@ -586,9 +586,15 @@ def udf_scalar_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stemming via an Arrow-batched pandas UDF over token arrays
     (reference P7). One Python roundtrip per batch, not per row; at 100 TB
     this is the pattern for any CPU-bound Python text transform.
-    Space-joined atomic output for external hashers."""
+    Space-joined atomic output for external hashers. The scan is
+    repartitioned to the session parallelism first: small corpora arrive
+    as one parquet split, and a narrow Python stage over one partition
+    runs on ONE core (round-14 lesson; 2.3 -> 0.55 s at sf0.1 — at real
+    scale the input has many splits and the exchange is grain-neutral)."""
     stem_udf = pandas_udf(_stem_series, "array<string>")
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         "doc_id", F.concat_ws(" ", stem_udf(_tokens_col())).alias("stemmed")
     )
