@@ -204,6 +204,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.select(*[f.name for f in SCHEMAS[name].fields])
 
 
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to the session parallelism ONLY if its planned
+    partition count is below it.
+
+    Why conditional (round 14): a small corpus arrives as a single
+    parquet split, and any narrow compute-heavy stage over it — a
+    pandas-UDF codec, shingling, an ML fit — runs on ONE core until the
+    first exchange (measured 4-12x slowdowns across six operators). But
+    an UNCONDITIONAL repartition would be wrong at scale: on a corpus
+    that already scans as thousands of splits it forces a full shuffle
+    of the data for nothing. This helper is the idiom both regimes
+    share: deficient grain gets spread, natural grain is left alone.
+    Partition-count inspection is plan-time (file listing, no job)."""
+    n = df.rdd.getNumPartitions()
+    p = spark.sparkContext.defaultParallelism
+    return df.repartition(p) if n < p else df
+
+
 def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
     """``readStream`` variant of ``load_table`` for the events table
     (same footer-sniffed timestamp handling, file-source directory scan).

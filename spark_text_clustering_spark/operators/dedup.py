@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from .._registry import Registry
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..functions.textnorm import stopwords_sql_list
 
 REG = Registry()
@@ -130,7 +130,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     if memo_key in _MINHASH_FEAT_MEMO:
         feat = _MINHASH_FEAT_MEMO[memo_key]
     else:
-        docs = load_table(spark, sf_dir, "documents")
+        # spread before shingling: the checkpointed frame inherits the
+        # scan's partitioning, and a single-split corpus would pin
+        # shingling, the 8-table minhash transform, and the banding
+        # join's map side to ONE core (round-14 grain lesson)
+        docs = spread(spark, load_table(spark, sf_dir, "documents"))
         sh = shingle_arrays(docs).where(F.size("shingles") > 0)
         tf = HashingTF(
             inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
@@ -274,6 +278,9 @@ def _ngram_pair_counts(docs: DataFrame) -> DataFrame:
     signal; denominators (n_a, n_b) keep the full shingle-set sizes."""
     from pyspark.sql import Window
 
+    # spread a single-split corpus so tokenize+posexplode parallelize
+    # (round-14 grain lesson; cold 8.4 -> 3.0 s at sf0.1, warm neutral)
+    docs = spread(docs.sparkSession, docs)
     toks = F.split(F.lower(F.col("text")), r"\s+")
     tok_rows = docs.select(
         "doc_id", "lang", F.posexplode(toks).alias("pos", "token")
@@ -414,16 +421,17 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is record-linkage-style dedup for short strings (titles, names)
     where shingle/MinHash granularity is too coarse. At 100 TB: pick a
     blocking key with bounded frequency (first-token + length bucket) so
-    no block degenerates to quadratic. The probe side is repartitioned
-    to the session parallelism before the broadcast join: the part table
-    arrives as a single parquet split at small SFs, and without the
-    exchange every in-block levenshtein (4.4M calls at sf0.1) runs on
-    ONE core — measured 22.9 s -> 1.9 s at sf0.1. (A length-band
-    prefilter and the thresholded levenshtein kernel were both A/B'd
-    and NET-NEGATIVE here: the band prunes almost nothing on
-    similar-length p_names and costs an extra comparison per pair.)"""
+    no block degenerates to quadratic. The probe side goes through
+    ``catalog.spread`` before the broadcast join: the part table arrives
+    as a single parquet split at small SFs, and without the exchange
+    every in-block levenshtein (4.4M calls at sf0.1) runs on ONE core —
+    measured 22.9 s -> 1.9 s at sf0.1; at scale a many-split probe keeps
+    its grain (spread is conditional). (A length-band prefilter and the
+    thresholded levenshtein kernel were both A/B'd and NET-NEGATIVE
+    here: the band prunes almost nothing on similar-length p_names and
+    costs an extra comparison per pair.)"""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    a = p.repartition(spark.sparkContext.defaultParallelism).select(
+    a = spread(spark, p).select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
         F.split("p_name", " ").getItem(0).alias("block"),
@@ -484,13 +492,14 @@ def dedup_fuzzy_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution (matches are >=0.95, non-matches <=0.87 at both test
     SFs), so the cut is stable against float noise."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # repartition before the blocked self-join: a single-split corpus
+    # spread before the blocked self-join: a single-split corpus
     # otherwise runs the probe-side join + the JW Python stage on ONE
     # core (round-14 lesson; 1.3 -> 0.84 s warm at sf0.1)
-    heads = docs.where(
-        F.col("text").isNotNull() & (F.length("text") >= 8)
-    ).select("doc_id", F.substring("text", 1, 60).alias("head")).repartition(
-        spark.sparkContext.defaultParallelism
+    heads = spread(
+        spark,
+        docs.where(
+            F.col("text").isNotNull() & (F.length("text") >= 8)
+        ).select("doc_id", F.substring("text", 1, 60).alias("head")),
     )
     toks = F.split("head", " ")
     blocked = heads.withColumn(

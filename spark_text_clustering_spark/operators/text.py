@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from .._registry import Registry
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..functions.textnorm import CLEAN_PATTERN, CLEAN_PATTERN_SQL, STOPWORDS, stopwords_sql_list
 
 REG = Registry()
@@ -586,15 +586,14 @@ def udf_scalar_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stemming via an Arrow-batched pandas UDF over token arrays
     (reference P7). One Python roundtrip per batch, not per row; at 100 TB
     this is the pattern for any CPU-bound Python text transform.
-    Space-joined atomic output for external hashers. The scan is
-    repartitioned to the session parallelism first: small corpora arrive
-    as one parquet split, and a narrow Python stage over one partition
-    runs on ONE core (round-14 lesson; 2.3 -> 0.55 s at sf0.1 — at real
-    scale the input has many splits and the exchange is grain-neutral)."""
+    Space-joined atomic output for external hashers. The scan goes
+    through ``catalog.spread`` first: small corpora arrive as one
+    parquet split, and a narrow Python stage over one partition runs on
+    ONE core (round-14 lesson; 2.3 -> 0.55 s at sf0.1). spread is
+    conditional, so a many-split corpus at scale keeps its natural
+    grain — no shuffle."""
     stem_udf = pandas_udf(_stem_series, "array<string>")
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(spark, load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.concat_ws(" ", stem_udf(_tokens_col())).alias("stemmed")
     )

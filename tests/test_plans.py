@@ -399,3 +399,22 @@ def test_kmeans_assign_broadcasts_centroids(spark):
     plan = plan_of(spark, "kmeans_assign_exact")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("Arguments: hashpartitioning") == 1  # the argmin window
+
+
+def test_spread_conditional_on_partition_grain(spark):
+    """catalog.spread (round 14): a frame whose planned parallelism is
+    below the session cores gets repartitioned to them; a frame already
+    at/above natural grain is returned UNTOUCHED (no exchange at scale —
+    the conditional is the whole point of the idiom)."""
+    from spark_text_clustering_spark.catalog import spread
+
+    p = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    widened = spread(spark, narrow)
+    assert widened.rdd.getNumPartitions() == p
+    assert widened.count() == 1000
+
+    wide = spark.range(1000).repartition(p + 4)
+    same = spread(spark, wide)
+    assert same is wide  # no-op object identity: no plan node added
