@@ -897,8 +897,14 @@ def _span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64. Split out so tests/test_plans.py can audit the
     pre-checkpoint plan: the exchange must carry the hash, never the gram
     string."""
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.length("text") >= _SPAN_L
+    # spread before the per-char explode: a single-split corpus would
+    # otherwise build (and checkpoint) ~len(text) gram rows per doc on
+    # ONE core (round-14 grain lesson; pipeline+ckpt 15.1 -> 7.8 s cold,
+    # 4.6 -> 3.2 s warm at sf0.1). The doc-level exchange carries text
+    # once; the gram exchange still carries only the 8-byte hash.
+    docs = spread(
+        spark,
+        load_table(spark, sf_dir, "documents").where(F.length("text") >= _SPAN_L),
     )
     return docs.select(
         "doc_id",
@@ -1033,13 +1039,12 @@ def dup_spans_strided_frames(
     # the seed explode amplifies ~len(text) rows per doc; spread the docs
     # across all slots FIRST so the (cheap, pre-amplification) shuffle of
     # raw text buys parallel explode/hash/bloom stages — a 1-file corpus
-    # otherwise runs the whole pipeline on one core
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.length("text") >= _SPAN_L)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)  # scanned by discovery AND re-scan
-    )
+    # otherwise runs the whole pipeline on one core (conditional: a
+    # many-split corpus at scale keeps its grain, no shuffle)
+    docs = spread(
+        spark,
+        load_table(spark, sf_dir, "documents").where(F.length("text") >= _SPAN_L),
+    ).localCheckpoint(eager=True)  # scanned by discovery AND re-scan
     seeds = docs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.length("text") - m + 1)).alias("pos"),

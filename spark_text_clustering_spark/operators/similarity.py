@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .._registry import Registry
-from ..catalog import load_table
+from ..catalog import load_table, spread
 
 REG = Registry()
 
@@ -181,8 +181,11 @@ def knn_cosine_lsh(
     else:
         # when() keeps array_to_vector lazy: Catalyst is free to reorder a
         # deterministic UDF above the isNotNull filter, so the guard must live
-        # INSIDE the expression, not in a preceding .where()
-        normed = emb.select(
+        # INSIDE the expression, not in a preceding .where().
+        # spread first: the checkpoint freezes the layout, and a single-split
+        # corpus would pin the hash transform + approxSimilarityJoin map side
+        # to ONE core (round-14 grain lesson; 4.2 -> 0.9 s warm at sf0.1)
+        normed = spread(spark, emb).select(
             "vec_id",
             F.when(
                 F.col("e").isNotNull(),
@@ -737,7 +740,7 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cut lineage (localCheckpoint) so repeated queries are probe-only
         # — at scale this is the stored parquet code table
         codes_df = (
-            emb.repartition(spark.sparkContext.defaultParallelism)
+            spread(spark, emb)
             .mapInPandas(
                 _pq_encode_iter(books), schema="vec_id long, code array<long>"
             )
@@ -888,7 +891,7 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> str | None:
         "s int, c int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{base}/codebooks")
     (
-        emb.repartition(spark.sparkContext.defaultParallelism)
+        spread(spark, emb)
         .mapInPandas(_pq_encode_iter(books), schema="vec_id long, code array<long>")
         .write.mode("overwrite")
         .parquet(f"{base}/codes")
@@ -1054,7 +1057,7 @@ def knn_cosine_ivfpq(
     # session, cut lineage, reuse across queries (the stored-parquet shape
     # at scale — cf. knn_cosine_ivf_stored)
     codes_df = (
-        assigned.repartition(spark.sparkContext.defaultParallelism)
+        spread(spark, assigned)
         .mapInPandas(
             _pq_encode_iter(books, extra_cols=("cluster",)),
             schema="vec_id long, cluster int, code array<long>",
@@ -1240,7 +1243,7 @@ def build_ivfpq_index(
         "s int, c int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{base}/codebooks")
     (
-        assigned.repartition(spark.sparkContext.defaultParallelism)
+        spread(spark, assigned)
         .mapInPandas(
             _pq_encode_iter(books, extra_cols=("cluster",)),
             schema="vec_id long, cluster int, code array<long>",

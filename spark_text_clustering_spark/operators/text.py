@@ -1328,14 +1328,15 @@ def lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_nb_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    # the bigram explode amplifies ~len(text) rows per doc: spread the
+    # (cheap) raw text across all slots first so a single-file corpus
+    # doesn't run the train/score chain on one core (conditional — a
+    # many-split corpus keeps its natural grain)
+    return spread(
+        spark,
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull())
-        .select("doc_id", "lang", F.lower("text").alias("t"))
-        # the bigram explode amplifies ~len(text) rows per doc: spread the
-        # (cheap) raw text across all slots first so a single-file corpus
-        # doesn't run the train/score chain on one core
-        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", F.lower("text").alias("t")),
     )
 
 
@@ -1710,7 +1711,8 @@ def quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement is modest (0.56 at sf0.01 vs the 0.512 majority baseline
     — pinned above-baseline in tests/test_lm.py); on real corpora the
     same plan is the standard fastText-quality-filter shape."""
-    docs = (
+    docs = spread(
+        spark,
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull())
         .select(
@@ -1719,8 +1721,7 @@ def quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("bad"))
             .alias("lang"),
             F.lower("text").alias("t"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
+        ),
     )
     occ = _lang_nb_occ(docs, "word")
     model = (
