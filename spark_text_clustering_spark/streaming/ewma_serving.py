@@ -47,7 +47,7 @@ from .._registry import Registry
 from ..catalog import load_table
 from ..operators.analytics import _EWMA_ALPHA
 from ..session import ensure_utc
-from ._util import await_drain
+from ._util import await_drain, state_grain
 
 REG = Registry()
 
@@ -107,14 +107,16 @@ def streaming_ewma(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        out.writeStream.foreachBatch(_commit)
-        .outputMode("update")  # required by the Update-mode stateful op
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_drain(q, 180, "ewma stream")
+    # bounded user slice — state grain sized to keys, not the batch default
+    with state_grain(spark, 8):
+        q = (
+            out.writeStream.foreachBatch(_commit)
+            .outputMode("update")  # required by the Update-mode stateful op
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drain(q, 180, "ewma stream")
 
 
 def _split_by_time(spark: SparkSession, ev: DataFrame, src: str, base: str) -> int:

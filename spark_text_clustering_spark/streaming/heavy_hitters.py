@@ -59,7 +59,7 @@ from pyspark.sql.types import (
 from .._registry import Registry
 from ..catalog import load_table
 from ..session import ensure_utc
-from ._util import await_drain
+from ._util import await_drain, state_grain
 
 REG = Registry()
 
@@ -222,14 +222,16 @@ def heavy_hitters_window_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    q = (
-        cand.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_drain(q, 180, "heavy-hitters stream")
+    # state keys are windows — a handful; see state_grain
+    with state_grain(spark, 8):
+        q = (
+            cand.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drain(q, 180, "heavy-hitters stream")
     candidates = spark.table(table_name).select("window_start", "user_id")
 
     # exact verify over the archive: candidate-restricted windowed counts
@@ -333,14 +335,16 @@ def heavy_hitters_sliding_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    q = (
-        cand.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_drain(q, 180, "heavy-hitters stream")
+    # state keys are windows — a handful; see state_grain
+    with state_grain(spark, 8):
+        q = (
+            cand.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drain(q, 180, "heavy-hitters stream")
     candidates = spark.table(table_name).select("window_start", "user_id")
 
     archive = (

@@ -27,7 +27,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ._util import await_drain
+from ._util import await_drain, state_grain
 
 from ..catalog import stream_events
 from ..session import ensure_utc
@@ -96,14 +96,15 @@ def running_user_counters_stream(
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )
         )
-        q = (
-            out.writeStream.format("memory")
-            .queryName(table_name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_drain(q, 180, "stateful stream")
+        with state_grain(spark, 8):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(table_name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            await_drain(q, 180, "stateful stream")
         return spark.table(table_name)
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -236,14 +237,15 @@ def user_sessions_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_drain(q, 180, "stateful stream")
+    with state_grain(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drain(q, 180, "stateful stream")
     return spark.table(table_name)
 
 
