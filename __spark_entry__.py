@@ -79,6 +79,22 @@ _FORCE_RESAMPLE = [
     # id-only stored index) — re-evidence both under the new plans
     "dedup_fuzzy_levenshtein",
     "knn_cosine_lsh_stored",
+    # r14 grain/memo/state-grain batch: results identical by design and
+    # parity-verified, but the plans changed — re-evidence under them
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    "dedup_fuzzy_jaro_winkler",
+    "dedup_duplicate_spans",
+    "dedup_duplicate_spans_strided",
+    "udf_scalar_stem",
+    "knn_cosine_lsh",
+    "assoc_itemsets_fp",
+    "heavy_hitters_window_stream",
+    "stream_ewma_serving",
+    "wordpiece_encode_corpus",
+    "lang_id_trained",
+    "quality_filter_lm_perplexity",
 ]
 
 # VERDICT r13 #1: spend the driver's ~50-key correctness budget on the
