@@ -818,6 +818,7 @@ def incremental_dedup_minhash_batches(spark: SparkSession, sf_dir: str) -> DataF
         # side is then a lazy union of per-batch parquet scans instead
         # of a store-wide listing + partition-discovery read per batch
         prior_bands = prior_sigs = None
+        batch_outs: list[DataFrame] = []
         for i, (lo, hi) in enumerate(bounds):
             part = docs
             if lo is not None:
@@ -825,16 +826,18 @@ def incremental_dedup_minhash_batches(spark: SparkSession, sf_dir: str) -> DataF
             if hi is not None:
                 part = part.where(F.col("doc_id") <= hi)
             bid = f"b{i:06d}"
-            incremental_dedup_minhash(
-                spark,
-                part,
-                store,
-                batch_id=bid,
-                prior_state=(
-                    (prior_bands, prior_sigs)
-                    if prior_bands is not None
-                    else None
-                ),
+            batch_outs.append(
+                incremental_dedup_minhash(
+                    spark,
+                    part,
+                    store,
+                    batch_id=bid,
+                    prior_state=(
+                        (prior_bands, prior_sigs)
+                        if prior_bands is not None
+                        else None
+                    ),
+                )
             )
             bsig = spark.read.parquet(
                 f"{store}/signatures/batch_id={bid}"
@@ -846,9 +849,17 @@ def incremental_dedup_minhash_batches(spark: SparkSession, sf_dir: str) -> DataF
             prior_bands = (
                 bband if prior_bands is None else prior_bands.unionAll(bband)
             )
-        sigs = spark.read.parquet(f"{store}/signatures").select("doc_id")
-        unsigned = spark.read.parquet(f"{store}/unsigned").select("doc_id")
-        return sigs.unionAll(unsigned).localCheckpoint(eager=True)
+        # final survivor set = the union of the per-batch returns, each a
+        # lazy read-back of that batch's just-committed partitions (round
+        # 14 session 2): the store-wide listing + partition-discovery
+        # reads of signatures/ and unsigned/ were redundant — the loop
+        # already holds every batch's read-back frame. The store on disk
+        # stays the durable source of truth; this replay just skips
+        # re-discovering what it wrote moments ago.
+        out = batch_outs[0]
+        for nxt in batch_outs[1:]:
+            out = out.unionAll(nxt)
+        return out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(store, ignore_errors=True)

@@ -517,28 +517,61 @@ def _artifact_dir() -> str:
     return d
 
 
+_WORD_BASE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def bpe_word_base(
-    spark: SparkSession, sf_dir: str, *, refresh: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    refresh: bool = False,
+    persist: bool | None = None,
 ) -> DataFrame:
     """The distinct-word frequency table (word, freq) every BPE phase
-    starts from — persisted as a cross-session parquet artifact keyed by
-    the corpus fingerprint (round 13, VERDICT r12 #6: the cold-session
-    cost of ``bpe_train_merges`` was build-term-dominated; a cold
-    session now LOADS the vocab-sized base instead of re-aggregating the
-    corpus, the same artifact lifecycle as ``bpe_save_merges`` /
-    ``knn_*_stored``).
+    starts from.
 
-    Invalidation: the artifact path embeds a size+mtime digest of the
-    corpus file, so a changed corpus misses the artifact and rebuilds —
-    stale serves are impossible by construction (cf. the stored-ANN memo
-    guard). Equality of the loaded base vs a fresh in-session build —
-    and of merges trained from each — is asserted in tests/test_lm.py.
-    At 100 TB this is the batch artifact job every tokenizer-training
-    run amortizes: one corpus scan feeds every subsequent train/encode
-    experiment; the artifact itself is vocab-sized, not corpus-sized."""
+    Default (``persist=None`` and ``STC_ARTIFACT_PERSIST`` unset): the
+    base is computed from the corpus parquet and memoized per
+    (applicationId, sf_dir) as an eager localCheckpoint — the same
+    in-session amortization discipline as the minhash-feature and
+    FP-basket memos. Every new application recomputes from the parquet
+    inputs; nothing derived from the corpus outlives the session (round
+    14: a cross-session cache of a corpus-derived intermediate would
+    make repeated bench invocations serve precomputed state instead of
+    measuring the engine).
+
+    Production artifact mode (``persist=True`` or
+    ``STC_ARTIFACT_PERSIST=1``): the round-13 cross-session parquet
+    artifact lifecycle, keyed by a size+mtime corpus fingerprint plus a
+    word-base definition-version token (ADVICE r13) so a changed corpus
+    or definition misses the artifact and rebuilds — stale serves are
+    impossible by construction (cf. the stored-ANN memo guard). This is
+    the 100 TB posture: one corpus scan feeds every tokenizer
+    train/encode experiment across sessions, and the artifact itself is
+    vocab-sized, not corpus-sized. Equality of the loaded base vs a
+    fresh in-session build — and of merges trained from each — is
+    asserted in tests/test_lm.py."""
     import os
     import shutil
     import uuid
+
+    if persist is None:
+        persist = os.environ.get("STC_ARTIFACT_PERSIST", "0") == "1"
+    if not persist:
+        memo_key = (spark.sparkContext.applicationId, sf_dir)
+        if not refresh and memo_key in _WORD_BASE_MEMO:
+            return _WORD_BASE_MEMO[memo_key]
+        docs = load_table(spark, sf_dir, "documents")
+        words = (
+            docs.select(
+                F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+            )
+            .where(F.length("word") >= 2)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        ).localCheckpoint(eager=True)
+        _WORD_BASE_MEMO[memo_key] = words
+        return words
 
     # path embeds BOTH the corpus fingerprint and the word-base
     # definition version (ADVICE r13): changing the split regex / length
@@ -599,9 +632,10 @@ def bpe_train_merges(
     doubles as the checkpoint materializer and each iteration is ONE
     job, not two (see ``ckpt_tracked_lazy``; the predecessor's blocks
     are dropped only after that aggregate returns, per its contract).
-    The word base loads from the fingerprint-keyed cross-session
-    artifact when fresh (round 13 — see ``bpe_word_base``), so only the
-    first session after a corpus change pays the corpus scan."""
+    The word base comes from ``bpe_word_base``: computed from the
+    corpus parquet and memoized per application (round 14), so within a
+    session the corpus scan is paid once; in production artifact mode
+    (``STC_ARTIFACT_PERSIST=1``) it loads cross-session."""
     words = bpe_word_base(spark, sf_dir)
     syms, syms_ids = ckpt_tracked_lazy(
         words.select(
@@ -780,9 +814,10 @@ _WP_UNK = "[UNK]"
 def _wp_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same corpus-weighted distinct-word table every trainer in this
     module works over (lowercase, whitespace split, len >= 2) — the
-    DEFINITION is identical to BPE's, so since round 13 this serves the
-    fingerprint-keyed cross-session artifact (`bpe_word_base`): one
-    corpus scan feeds BPE and WordPiece training across sessions."""
+    DEFINITION is identical to BPE's, so this shares `bpe_word_base`
+    (per-application memo; cross-session artifact only in production
+    persist mode): one corpus scan feeds BPE and WordPiece training
+    within a session."""
     return bpe_word_base(spark, sf_dir)
 
 

@@ -429,6 +429,10 @@ def test_bpe_word_base_artifact_roundtrip(spark, tmp_path, monkeypatch):
     from .conftest import SF_SMALL
 
     monkeypatch.setenv("STC_ARTIFACT_DIR", str(tmp_path / "artifacts"))
+    # artifact persistence is opt-in since round 14 — the default path
+    # computes from the corpus parquet per application (memoized); this
+    # test exercises the production persist mode end-to-end
+    monkeypatch.setenv("STC_ARTIFACT_PERSIST", "1")
 
     fresh = {
         (r["word"], r["freq"])
@@ -468,3 +472,17 @@ def test_bpe_word_base_artifact_roundtrip(spark, tmp_path, monkeypatch):
         "doc_id long, text string, lang string, source string, n_chars long",
     ).write.parquet(os.path.join(other, "documents.parquet"))
     assert T._corpus_fingerprint(SF_SMALL) != T._corpus_fingerprint(other)
+
+    # default mode (persist off): no artifact is read OR written — the
+    # base computes from parquet and memoizes per application only
+    monkeypatch.delenv("STC_ARTIFACT_PERSIST")
+    T._WORD_BASE_MEMO.clear()
+    before_listing = sorted(os.listdir(str(tmp_path / "artifacts")))
+    default = {
+        (r["word"], r["freq"])
+        for r in T.bpe_word_base(spark, SF_SMALL, refresh=True).collect()
+    }
+    assert default == fresh
+    # the artifact dir is untouched by the default path
+    assert sorted(os.listdir(str(tmp_path / "artifacts"))) == before_listing
+    T._WORD_BASE_MEMO.clear()
