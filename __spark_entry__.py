@@ -95,6 +95,13 @@ _FORCE_RESAMPLE = [
     "wordpiece_encode_corpus",
     "lang_id_trained",
     "quality_filter_lm_perplexity",
+    # r14 session 2: word-base persistence made opt-in (plan of the
+    # shared word table changed: artifact scan -> in-session build) and
+    # the incremental replay's final union now threads per-batch frames
+    "bpe_train_merges",
+    "bpe_encode_corpus",
+    "wordpiece_train_merges",
+    "incremental_dedup_minhash",
 ]
 
 # VERDICT r13 #1: spend the driver's ~50-key correctness budget on the
