@@ -253,27 +253,42 @@ def knn_cosine_ivf(
     )
     # bounded probe: we only need the exact count when it is <= n_clusters,
     # so scan at most n_clusters+1 rows instead of aggregating the table
-    n_probe = emb.limit(n_clusters + 1).count()
-    if n_probe < 2:  # KMeans needs k>=2; <2 vectors admit no neighbor pairs
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
-        )
-    vecs = emb.select(
-        "vec_id",
-        "e",
-        F.when(F.col("e").isNotNull(), array_to_vector(F.col("e"))).alias("features"),
-    ).where(F.col("features").isNotNull())
-    # KMeans aborts when k exceeds the number of points (tiny corpora)
-    km = KMeans(k=min(n_clusters, n_probe), seed=42, maxIter=20, featuresCol="features")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).select(
-        "vec_id", "e", _l2norm(F.col("e")).alias("nrm"), F.col("prediction").alias("cluster")
-    )
+    # (skipped entirely on a memoized fit — the memo implies a non-empty
+    # corpus, so the tiny guard job runs once per session, not per probe)
+    fit_key = (spark.sparkContext.applicationId, sf_dir, "ivf-fit", n_clusters)
+    if fit_key not in _PQ_MEMO:
+        n_probe = emb.limit(n_clusters + 1).count()
+        if n_probe < 2:  # KMeans needs k>=2; <2 vectors admit no neighbor pairs
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+            )
+    # The coarse quantizer IS the index — "cluster assignment is a one-time
+    # batch job" (this docstring) — yet this live key refit the seeded
+    # KMeans and re-assigned the corpus on every call while its PQ/IVFPQ
+    # siblings memoized theirs. Memoize the fitted assignment + centroid
+    # table per (app, sf_dir, k) exactly like _PQ_MEMO's codes (r14
+    # session 3): the fit is seeded, so the memoized index is
+    # bit-identical to a fresh fit and every probe returns the same rows.
+    if fit_key in _PQ_MEMO:
+        assigned, centroids = _PQ_MEMO[fit_key]
+    else:
+        vecs = emb.select(
+            "vec_id",
+            "e",
+            F.when(F.col("e").isNotNull(), array_to_vector(F.col("e"))).alias("features"),
+        ).where(F.col("features").isNotNull())
+        # KMeans aborts when k exceeds the number of points (tiny corpora)
+        km = KMeans(k=min(n_clusters, n_probe), seed=42, maxIter=20, featuresCol="features")
+        model = km.fit(vecs)
+        assigned = model.transform(vecs).select(
+            "vec_id", "e", _l2norm(F.col("e")).alias("nrm"), F.col("prediction").alias("cluster")
+        ).localCheckpoint(eager=True)
 
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cluster int, centroid array<double>",
-    )
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "cluster int, centroid array<double>",
+        )
+        _PQ_MEMO[fit_key] = (assigned, centroids)
     q = assigned.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
@@ -636,6 +651,17 @@ _PQ_RERANK = 100  # ADC shortlist size fed to the exact re-rank stage
 _PQ_MEMO: dict = {}
 
 
+def _pq_sample_rows(spark, sf_dir: str, emb):
+    """The model-sized PQ training/query sample (vec_id < _PQ_SAMPLE over
+    the L2-NORMALIZED embedding frame), collected once per (app, sf_dir)
+    and shared by the pq / ivfpq / pq_stored probes — each used to pay
+    this collect on every call (r14 session 3)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "pq-sample-normed")
+    if key not in _PQ_MEMO:
+        _PQ_MEMO[key] = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()
+    return _PQ_MEMO[key]
+
+
 def _pq_train_codebooks(sample: "object", seed: int = 42):
     """Per-subspace k-means (numpy, fixed 10 Lloyd iterations, seeded
     farthest-point-ish init) over an (n, d) sample of NORMALIZED vectors.
@@ -724,7 +750,11 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out_schema = "query_id long, neighbor_id long, cosine_sim double, rank int"
-    sample_rows = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()  # model-sized
+    # model-sized sample; memoized per (app, sf_dir) — the stored variant
+    # already cached this collect, the live keys re-scanned per probe
+    # (r14 session 3). The frame is identical in pq/ivfpq/pq_stored:
+    # vec_id < _PQ_SAMPLE over the L2-normalized embedding table.
+    sample_rows = _pq_sample_rows(spark, sf_dir, emb)
     if len(sample_rows) < 2:
         return spark.createDataFrame([], out_schema)
     if memo_key in _PQ_MEMO:
@@ -945,17 +975,13 @@ def knn_cosine_pq_stored(
         .where(F.col("nrm") > 0)
         .select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("e"))
     )
-    sample_key = (app, sf_dir, "pq-stored-sample")
     if n_queries > _PQ_SAMPLE:
         # the memoized sample covers vec_id < _PQ_SAMPLE only — honor a
         # larger query set with a fresh collect rather than silently
         # truncating it to the cached bound (round-7 ADVICE fix)
         sample_rows = emb.where(F.col("vec_id") < n_queries).collect()
-    elif sample_key in _PQ_MEMO:
-        sample_rows = _PQ_MEMO[sample_key]
     else:
-        sample_rows = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()
-        _PQ_MEMO[sample_key] = sample_rows
+        sample_rows = _pq_sample_rows(spark, sf_dir, emb)
     queries = [
         (int(r["vec_id"]), np.asarray(r["e"], dtype=np.float64))
         for r in sample_rows
@@ -1006,7 +1032,7 @@ def knn_cosine_ivfpq(
         return spark.createDataFrame([], out_schema)
 
     # --- PQ codebooks on a model-sized sample (shared helper) ---
-    sample_rows = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()
+    sample_rows = _pq_sample_rows(spark, sf_dir, emb)
     if len(sample_rows) < 2:
         return spark.createDataFrame([], out_schema)
     # codebook TRAINING stays bounded at the model-sized _PQ_SAMPLE; the
