@@ -29,7 +29,7 @@ from .._registry import Registry
 from ..catalog import load_table
 from ..operators.analytics import _PSI_BINS, _PSI_CUR, _PSI_REF, psi_from_binned
 from ..operators.analytics import _PSI_ORACLE
-from ._util import await_drain
+from ._util import await_drain, staged_source
 
 REG = Registry()
 
@@ -123,10 +123,7 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cr"))
     )
 
-    base = tempfile.mkdtemp(prefix="drift_stream_")
-    src, store, ckpt = (os.path.join(base, d) for d in ("src", "store", "ckpt"))
-    os.makedirs(src)
-    try:
+    def _stage(src: str, base: str) -> int:
         cuts = cur.approxQuantile("v", [1 / 3, 2 / 3], 0.0)
         bounds = (
             [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)] if cuts else []
@@ -143,7 +140,15 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             dst = os.path.join(src, f"f{i}.parquet")
             shutil.copy(pf, dst)
             os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        if bounds:
+        return len(bounds)
+
+    # arrival staging memoized per session (staged_source, r14 session 3);
+    # the replay, store merge, and PSI assembly run fresh per call
+    src = staged_source(spark, f"driftpsi:{sf_dir}", _stage)
+    base = tempfile.mkdtemp(prefix="drift_stream_run_")
+    store, ckpt = (os.path.join(base, d) for d in ("store", "ckpt"))
+    try:
+        if src:
             # <= 11 bin groups per epoch: 32 shuffle partitions is pure
             # task-setup overhead (the round-7 streaming-demo lesson);
             # restore in finally

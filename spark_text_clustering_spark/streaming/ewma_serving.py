@@ -47,7 +47,7 @@ from .._registry import Registry
 from ..catalog import load_table
 from ..operators.analytics import _EWMA_ALPHA
 from ..session import ensure_utc
-from ._util import await_drain, state_grain
+from ._util import await_drain, staged_source, state_grain
 
 REG = Registry()
 
@@ -152,18 +152,26 @@ def stream_ewma_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit (event_id, ewma) rounded to 6dp — the same shape as the
     oracled batch key it is equality-locked to."""
     ensure_utc(spark)
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "user_id", "ts", "value")
-        .withColumn("tsd", F.col("ts").cast("double"))
+    # arrival staging memoized per session (staged_source); the replay
+    # itself — state fold, epoch commits, store merge — runs fresh per
+    # call against new store/ckpt dirs
+    src = staged_source(
+        spark,
+        f"ewma:{sf_dir}",
+        lambda s, b: _split_by_time(
+            spark,
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "ts", "value")
+            .withColumn("tsd", F.col("ts").cast("double")),
+            s,
+            b,
+        ),
     )
-    base = tempfile.mkdtemp(prefix="ewma_stream_")
-    src, store, ckpt = (os.path.join(base, d) for d in ("src", "store", "ckpt"))
-    os.makedirs(src)
+    if not src:  # empty input: nothing to stream
+        return spark.createDataFrame([], OUTPUT_SCHEMA)
+    base = tempfile.mkdtemp(prefix="ewma_stream_run_")
+    store, ckpt = (os.path.join(base, d) for d in ("store", "ckpt"))
     try:
-        n_files = _split_by_time(spark, ev, src, base)
-        if n_files == 0:  # empty input: nothing to stream
-            return spark.createDataFrame([], OUTPUT_SCHEMA)
         # per-epoch groups are user-count-sized; 32 shuffle partitions
         # would be pure task-setup overhead (round-7 streaming lesson)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")

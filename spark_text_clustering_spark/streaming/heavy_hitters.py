@@ -59,7 +59,7 @@ from pyspark.sql.types import (
 from .._registry import Registry
 from ..catalog import load_table
 from ..session import ensure_utc
-from ._util import await_drain, state_grain
+from ._util import await_drain, staged_source, state_grain
 
 REG = Registry()
 
@@ -482,21 +482,16 @@ def heavy_hitters_window_stream_demo(spark: SparkSession, sf_dir: str) -> DataFr
     # bounded slice is demo-sized (< _HH_STREAM_CAP rows): pin it once so
     # the quantile probe and the three landing writes don't each rescan
     # the events table
-    evs = (
-        ev.withColumn("ts_s", F.unix_timestamp("ts"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    cuts = evs.approxQuantile("ts_s", [1 / 3, 2 / 3], 0.0)
-    if not cuts:
-        return spark.createDataFrame(
-            [], "window_start timestamp, user_id long, cnt long"
+    def _stage(src: str, base: str) -> int:
+        evs = (
+            ev.withColumn("ts_s", F.unix_timestamp("ts"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
         )
-    hi_ts = ev.agg(F.max("ts")).collect()[0][0]
-    base = tempfile.mkdtemp(prefix="hh_stream_")
-    src = os.path.join(base, "src")
-    os.makedirs(src)
-    try:
+        cuts = evs.approxQuantile("ts_s", [1 / 3, 2 / 3], 0.0)
+        if not cuts:
+            return 0
+        hi_ts = ev.agg(F.max("ts")).collect()[0][0]
         bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
         for i, (lo, hi) in enumerate(bounds):
             part = evs
@@ -523,33 +518,40 @@ def heavy_hitters_window_stream_demo(spark: SparkSession, sf_dir: str) -> DataFr
         dst = os.path.join(src, "f3.parquet")
         shutil.copy(pf, dst)
         os.utime(dst, (1_700_000_003, 1_700_000_003))
+        return 4
 
-        # state-store cost scales with shuffle partitions x microbatches;
-        # the demo has ~30 window groups, so 32 partitions is pure state
-        # setup overhead (measured: 16 s -> 9 s replay at 4). A real
-        # deployment sizes this to key cardinality the same way.
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
-            out = heavy_hitters_window_stream(
-                spark, src, window_seconds=86400, support=_HH_STREAM_SUPPORT,
-                delay_seconds=60, table_name="hh_demo_out",
-            )
-            rows = [
-                (r["window_start"], r["user_id"], r["cnt"])
-                for r in out.collect()
-            ]
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        # the result is heavy-hitter-bounded BY CONSTRUCTION (at most
-        # support^-1 rows per fired window), so collecting it is
-        # model-sized, and rebuilding the frame from the collected rows
-        # severs every plan reference to the temp landing dir deleted in
-        # the finally (a localCheckpoint'd plan was observed — rarely —
-        # re-scanning the deleted src under the bench battery's memory
-        # pressure)
+    # arrival staging (slice checkpoint + quantile cut + max probe + 4
+    # landing writes, ~6 jobs) memoized per session via staged_source
+    # (r14 session 3); the stateful replay below runs fresh per call
+    src = staged_source(spark, f"hhstream:{sf_dir}", _stage)
+    if not src:
         return spark.createDataFrame(
-            rows, "window_start timestamp, user_id long, cnt long"
+            [], "window_start timestamp, user_id long, cnt long"
         )
+    # state-store cost scales with shuffle partitions x microbatches;
+    # the demo has ~30 window groups, so 32 partitions is pure state
+    # setup overhead (measured: 16 s -> 9 s replay at 4). A real
+    # deployment sizes this to key cardinality the same way.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = heavy_hitters_window_stream(
+            spark, src, window_seconds=86400, support=_HH_STREAM_SUPPORT,
+            delay_seconds=60, table_name="hh_demo_out",
+        )
+        rows = [
+            (r["window_start"], r["user_id"], r["cnt"])
+            for r in out.collect()
+        ]
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # the result is heavy-hitter-bounded BY CONSTRUCTION (at most
+    # support^-1 rows per fired window), so collecting it is
+    # model-sized, and rebuilding the frame from the collected rows
+    # severs every plan reference to the landing dir (a localCheckpoint'd
+    # plan was observed — rarely — re-scanning a deleted src under the
+    # bench battery's memory pressure; the staged dir now lives for the
+    # session, but the collected rebuild stays the safer contract)
+    return spark.createDataFrame(
+        rows, "window_start timestamp, user_id long, cnt long"
+    )

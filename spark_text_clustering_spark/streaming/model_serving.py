@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from .._registry import Registry
 from ..catalog import SCHEMAS, load_table
+from ._util import staged_source
 
 REG = Registry()
 
@@ -106,15 +107,11 @@ def stream_lang_id_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id").isNotNull() & (F.col("doc_id") < _SERVE_CAP)
     )
-    cuts = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.0)
-    if not cuts:
-        return spark.createDataFrame(
-            [], "doc_id long, lang string, predicted_lang string"
-        )
-    base = tempfile.mkdtemp(prefix="serve_langid_")
-    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
-    os.makedirs(src)
-    try:
+
+    def _stage(src: str, base: str) -> int:
+        cuts = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.0)
+        if not cuts:
+            return 0
         bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
         for i, (lo, hi) in enumerate(bounds):
             part = docs
@@ -126,6 +123,19 @@ def stream_lang_id_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             part.coalesce(1).write.mode("overwrite").parquet(tmp)
             pf = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
             shutil.copy(pf, os.path.join(src, f"f{i}.parquet"))
+        return len(bounds)
+
+    # arrival staging memoized per session (staged_source, r14 session 3);
+    # the stream itself — model scoring per microbatch, epoch commits,
+    # read-back — runs fresh per call against new out/ckpt dirs
+    src = staged_source(spark, f"langid:{sf_dir}", _stage)
+    if not src:
+        return spark.createDataFrame(
+            [], "doc_id long, lang string, predicted_lang string"
+        )
+    base = tempfile.mkdtemp(prefix="serve_langid_run_")
+    out, ckpt = (os.path.join(base, d) for d in ("out", "ckpt"))
+    try:
         scored = serve_lang_id_stream(spark, src, sf_dir, out, ckpt)
         return scored.localCheckpoint(eager=True)  # out_dir dies on return
     finally:
