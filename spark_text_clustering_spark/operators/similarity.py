@@ -651,6 +651,24 @@ _PQ_RERANK = 100  # ADC shortlist size fed to the exact re-rank stage
 _PQ_MEMO: dict = {}
 
 
+def _probe_grain(codes_df, n_rows: int, rows_per_part: int = 512):
+    """Size the MEMOIZED code table's partition grain for the probe side
+    (r14 session 3): the ADC scan is a trivial numpy lookup per row, so a
+    2 000-row sf0.1 code table spread across 32 encode partitions pays 32
+    Python-task setups and emits 32 partial top-RERANK batches into the
+    shortlist window — per-task overhead, no compute to amortize. Coalesce
+    (narrow, no shuffle — the frame is already checkpointed) to ~512 rows
+    per partition, but NEVER above the natural grain: a 100 TB code table
+    has n_rows/512 >> partitions and keeps its layout untouched. The
+    global shortlist is a total-ordered window (score desc, id asc), so
+    batching never changes results."""
+    import math
+
+    parts = codes_df.rdd.getNumPartitions()
+    target = max(1, math.ceil(n_rows / rows_per_part))
+    return codes_df.coalesce(target) if target < parts else codes_df
+
+
 def _pq_sample_rows(spark, sf_dir: str, emb):
     """The model-sized PQ training/query sample (vec_id < _PQ_SAMPLE over
     the L2-NORMALIZED embedding frame), collected once per (app, sf_dir)
@@ -776,6 +794,7 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        codes_df = _probe_grain(codes_df, codes_df.count())
         _PQ_MEMO[codes_key] = codes_df
 
     queries = [
@@ -1090,6 +1109,11 @@ def knn_cosine_ivfpq(
         )
         .localCheckpoint(eager=True)
     )
+    # _probe_grain deliberately NOT applied here (measured 2.3-3.9 s at
+    # 32 partitions vs 5.4-6.2 coalesced, same session alternating): the
+    # IVFPQ ADC closure gathers a per-row (n, m, k) score table, so its
+    # probe is memory-bandwidth-bound and wants the parallelism the
+    # PQ closure (broadcast-indexed, no gather) does not need.
     _PQ_MEMO[index_key] = (books, centroids, codes_df)
     return _ivfpq_probe(
         spark, emb, books, centroids, codes_df, query_rows, nprobe, out_schema,
