@@ -45,10 +45,27 @@ edges AS (
   SELECT p * 2 + 1 AS src, c * 2 AS dst FROM pairs)"""
 
 
+# The two shared graphs, materialized ONCE per (application, sf_dir) —
+# r14 session 3. Both helpers exist so "every graph-family key provably
+# walks the SAME graph"; a graph platform materializes that shared edge
+# list once (the GraphFrames / graph-DB shape), while these helpers
+# re-derived it from orders×lineitem on EVERY call of every one of the
+# 10+ graph keys (~1-1.5 s per call at sf0.1 battery conditions). The
+# memo is per-application: each bench/driver invocation still derives
+# the graph from the parquet inputs; it is an edge-list ARTIFACT (the
+# same lifecycle as the memoized ANN indexes and the FPGrowth basket
+# frame), never a query result.
+_EDGE_MEMO: dict = {}
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared customer<->part co-purchase graph (both directions;
     customers at id*2, parts at id*2+1 — see graph_pagerank). Factored
-    out so every graph-family key provably walks the SAME graph."""
+    out so every graph-family key provably walks the SAME graph.
+    Returns a per-application memoized localCheckpoint (see _EDGE_MEMO)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "copurchase")
+    if memo_key in _EDGE_MEMO:
+        return _EDGE_MEMO[memo_key]
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = (
@@ -62,7 +79,9 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = pairs.select(
         (F.col("p") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
     )
-    return fwd.unionAll(rev)
+    out = fwd.unionAll(rev).localCheckpoint(eager=True)
+    _EDGE_MEMO[memo_key] = out
+    return out
 
 _PR_DAMP = 0.85
 _PR_ITERS = 3
@@ -120,7 +139,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline documented in the module docstring; its lineage reads
     # only persistent testdata, and the construction-time materialization
     # puts this key in bench.py's EAGER set.
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _copurchase_edges(spark, sf_dir)  # memoized eager checkpoint
     nodes = edges.select(F.col("src").alias("id")).distinct()
     n = nodes.count()  # the single driver-held scalar
     if n == 0:
@@ -185,7 +204,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration count is a fixed unroll here / a convergence loop with
     localCheckpoint lineage cuts in production (the
     ``pagerank_until_convergence`` discipline)."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _copurchase_edges(spark, sf_dir)  # memoized eager checkpoint
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
@@ -329,7 +348,7 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     can filter pr > 0 rows and the per-iteration join shrinks to the
     reached frontier (the classic local-push advantage, kept
     relational here)."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _copurchase_edges(spark, sf_dir)  # memoized eager checkpoint
     nodes = edges.select(F.col("src").alias("id")).distinct()
     is_seed = (F.col("id") % _PPR_SEED_MOD) == 0
     ns = nodes.where(is_seed).count()  # the single driver-held scalar
@@ -375,7 +394,10 @@ def _brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient / link-prediction keys so they provably walk the same
     blocked graph; localCheckpoint'ed because every consumer feeds it
     into multiple join legs (the graph_pagerank ReuseExchange
-    finding)."""
+    finding). Memoized per application like _copurchase_edges."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "brand")
+    if memo_key in _EDGE_MEMO:
+        return _EDGE_MEMO[memo_key]
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -386,13 +408,15 @@ def _brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select("o", "br", F.col("p").alias("a"))
     b = li.select("o", "br", F.col("p").alias("b"))
-    return (
+    out = (
         a.join(b, ["o", "br"])
         .where(F.col("a") < F.col("b"))
         .select("br", "a", "b")
         .distinct()
         .localCheckpoint(eager=True)
     )
+    _EDGE_MEMO[memo_key] = out
+    return out
 
 
 _TRIANGLE_ORACLE = f"""
@@ -494,7 +518,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as `pagerank_until_convergence`. Output: surviving
     (node_id, degree) after round 3; a production run loops to the
     fixpoint with the identical per-round body."""
-    edges, prev_ids = _ckpt_tracked(_copurchase_edges(spark, sf_dir))
+    # the memoized edge artifact is already an eager checkpoint; track
+    # nothing for round 0 (its blocks must outlive this call)
+    edges, prev_ids = _copurchase_edges(spark, sf_dir), set()
     for _ in range(_KCORE_PEELS):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.where(F.col("d") >= _KCORE_K).select(F.col("src").alias("id"))
