@@ -102,6 +102,22 @@ _FORCE_RESAMPLE = [
     "bpe_encode_corpus",
     "wordpiece_train_merges",
     "incremental_dedup_minhash",
+    # r14 session 3: per-session artifact memos (IVF fit, PQ sample,
+    # shared graph edge lists, streaming arrival staging) + PQ probe
+    # grain — results parity-verified identical on fresh AND memo-hit
+    # calls, but re-evidence under the new construct paths
+    "knn_cosine_ivf",
+    "knn_cosine_pq",
+    "knn_cosine_ivfpq",
+    "knn_cosine_pq_stored",
+    "ann_recall_eval",
+    "stream_lang_id_serving",
+    "stream_drift_psi",
+    "stream_ingest_dedup",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
+    "graph_kcore_peel",
 ]
 
 # VERDICT r13 #1: spend the driver's ~50-key correctness budget on the
