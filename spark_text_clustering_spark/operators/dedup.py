@@ -548,6 +548,31 @@ def _imh_hash_params(seed: int = 42):
     return a.tolist(), b.tolist()
 
 
+# Unresolved Column expression caches (round 14 session 4, guide §1/§4:
+# the JVM<->Python boundary is also the DRIVER-side py4j chatter): the
+# 64 min-agg expressions, the 16-band explode, and the est-Jaccard
+# aggregate are ~400 py4j round trips to CONSTRUCT (~1 s per replay
+# batch, measured) yet are pure functions of module constants. Column
+# objects wrap immutable unresolved JVM expressions that bind by NAME at
+# analysis time, so one process-wide instance serves every input frame.
+_IMH_EXPR_CACHE: dict = {}
+
+
+def _imh_agg_cols() -> list:
+    if "agg" not in _IMH_EXPR_CACHE:
+        a_s, b_s = _imh_hash_params()
+        _IMH_EXPR_CACHE["agg"] = [
+            F.min(
+                (F.lit(a_s[i]) * F.col("x") + F.lit(b_s[i])) % F.lit(_IMH_PRIME)
+            ).alias(f"s{i}")
+            for i in range(_IMH_K)
+        ]
+        _IMH_EXPR_CACHE["sig_array"] = F.array(
+            *[f"s{i}" for i in range(_IMH_K)]
+        ).alias("sig")
+    return _IMH_EXPR_CACHE["agg"]
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, sig array<long>[k], band rows exploded separately) — k=64
     min-wise signatures over 3-gram shingles, entirely JVM-side: shingle →
@@ -555,32 +580,22 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     (map-side partial, so the shuffle carries 64 longs per doc per
     partition, never shingles). The standard MinHash estimator:
     P[sig_i(A) == sig_i(B)] = Jaccard(A, B)."""
-    a_s, b_s = _imh_hash_params()
+    agg_cols = _imh_agg_cols()
     sh = shingle_arrays(docs).where(F.size("shingles") > 0)
     ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id",
         F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF)).alias("x"),
     )
-    mins = ex.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a_s[i]) * F.col("x") + F.lit(b_s[i])) % F.lit(_IMH_PRIME)).alias(
-                f"s{i}"
-            )
-            for i in range(_IMH_K)
-        ]
-    )
-    return mins.select(
-        "doc_id", F.array(*[f"s{i}" for i in range(_IMH_K)]).alias("sig")
-    )
+    mins = ex.groupBy("doc_id").agg(*agg_cols)
+    return mins.select("doc_id", _IMH_EXPR_CACHE["sig_array"])
 
 
 def _band_rows(sig_df: DataFrame) -> DataFrame:
     """Explode a signature frame into (band, key, doc_id) LSH bucket rows:
     key = xxhash64 of the band's r signature components."""
-    r = _IMH_K // _IMH_BANDS
-    return sig_df.select(
-        "doc_id",
-        F.explode(
+    if "bands" not in _IMH_EXPR_CACHE:
+        r = _IMH_K // _IMH_BANDS
+        _IMH_EXPR_CACHE["bands"] = F.explode(
             F.array(
                 *[
                     F.struct(
@@ -592,17 +607,25 @@ def _band_rows(sig_df: DataFrame) -> DataFrame:
                     for i in range(_IMH_BANDS)
                 ]
             )
-        ).alias("bk"),
-    ).select("bk.band", "bk.key", "doc_id")
+        ).alias("bk")
+    return sig_df.select("doc_id", _IMH_EXPR_CACHE["bands"]).select(
+        "bk.band", "bk.key", "doc_id"
+    )
 
 
 def _est_jaccard(sig_a, sig_b) -> F.Column:
-    """Signature-estimated Jaccard: fraction of equal components."""
-    return F.aggregate(
-        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(_IMH_K)
+    """Signature-estimated Jaccard: fraction of equal components.
+    The built Column is cached per (sig_a, sig_b) name pair — the
+    higher-order-function lambdas are the chattiest py4j constructs in
+    the replay loop (see _IMH_EXPR_CACHE)."""
+    key = ("estj", str(sig_a), str(sig_b))
+    if key not in _IMH_EXPR_CACHE:
+        _IMH_EXPR_CACHE[key] = F.aggregate(
+            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.lit(_IMH_K)
+    return _IMH_EXPR_CACHE[key]
 
 
 def incremental_dedup_minhash(
@@ -744,9 +767,6 @@ def incremental_dedup_minhash(
     sig_dir = f"{store_path}/signatures/batch_id={batch_id}"
     survivors.write.mode("overwrite").parquet(sig_dir)
     survivors = spark.read.parquet(sig_dir)
-    _band_rows(survivors).write.mode("overwrite").parquet(
-        f"{store_path}/bands/batch_id={batch_id}"
-    )
     # Documents too short to carry a 3-gram shingle (< 3 whitespace
     # tokens, or null/empty text) produce NO signature, so they appear in
     # neither the candidate machinery nor the store. Under the 3-gram
@@ -769,7 +789,34 @@ def incremental_dedup_minhash(
     # (the unsigned write is its own materializing job too — round 14
     # dropped its eager checkpoint; the return value reads the parquet)
     uns_dir = f"{store_path}/unsigned/batch_id={batch_id}"
-    unsigned.coalesce(1).write.mode("overwrite").parquet(uns_dir)
+    # The bands commit (reads the survivors parquet just written) and the
+    # unsigned commit (reads new_docs + the sigs checkpoint) share no
+    # input or output — submit them CONCURRENTLY (round 14 session 4,
+    # guide §2: two serial ~0.5-1 s jobs per batch become one wall-clock
+    # step; Spark's scheduler runs independent jobs from separate driver
+    # threads). InheritableThread propagates the local properties the
+    # ckpt helpers set; both writes complete before the function returns,
+    # so the per-partition-overwrite commit contract is unchanged.
+    from pyspark import InheritableThread
+
+    errs: list = []
+
+    def _bands_commit() -> None:
+        try:
+            _band_rows(survivors).write.mode("overwrite").parquet(
+                f"{store_path}/bands/batch_id={batch_id}"
+            )
+        except BaseException as e:  # re-raised on the caller thread
+            errs.append(e)
+
+    t = InheritableThread(target=_bands_commit)
+    t.start()
+    try:
+        unsigned.coalesce(1).write.mode("overwrite").parquet(uns_dir)
+    finally:
+        t.join()
+    if errs:
+        raise errs[0]
     return survivors.select("doc_id").unionAll(
         spark.read.parquet(uns_dir).select("doc_id")
     )
