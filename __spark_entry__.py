@@ -124,6 +124,18 @@ _FORCE_RESAMPLE = [
     "split_assign_cluster_safe",
     "dedup_minhash_clusters",
     "dedup_minhash_clusters_twostar",
+    # r14 session 5: the remaining keys whose physical-plan signature
+    # moved this round (goldens regen diff — fewer exchanges from the
+    # shared assoc/graph scans, 4 -> 2 Python stages from the staged
+    # multimodal corpora); parity-verified, re-evidence under the plans
+    "graph_degree_histogram",
+    "assoc_copurchase_rules",
+    "assoc_triple_rules",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_keyframe_select",
+    "multimodal_mp4_frames",
+    "pipeline_multimodal_stats",
 ]
 
 # VERDICT r13 #1: spend the driver's ~50-key correctness budget on the
