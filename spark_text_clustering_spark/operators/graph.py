@@ -922,7 +922,7 @@ _ckpt_tracked_lazy = ckpt_tracked_lazy
 _drop_ckpt = drop_ckpt
 
 
-def _hash_min_cc(und: DataFrame, max_rounds: int = 50) -> DataFrame:
+def _hash_min_cc(und: DataFrame, max_rounds: int = 50, stride: int = 2) -> DataFrame:
     """Hash-min connected components over an undirected edge frame
     (columns ``u``, ``v``; both directions present): every node starts
     labeled with its own id, and each round re-labels to the minimum of
@@ -942,11 +942,22 @@ def _hash_min_cc(und: DataFrame, max_rounds: int = 50) -> DataFrame:
 
     Per round: ONE equi-join of the edge list against the label vector
     and one min-aggregation — edge/node-sized shuffles, nothing
-    quadratic. The label frame is localCheckpoint'ed per round (the
-    module's iterative-lineage discipline) and the convergence probe is
-    a count on the (node-sized) changed set, the only driver-held
-    value. Raises rather than returning partial labels if max_rounds is
-    hit: a wrong component is worse than a loud failure."""
+    quadratic. ``stride`` hops are FUSED per materialization (round 14):
+    the label frame is localCheckpoint'ed and the convergence count run
+    once every ``stride`` hops instead of every hop — the total hop
+    count is unchanged, but the barrier/probe jobs halve at stride 2
+    (measured 5.6 -> 4.4 s at sf0.1; honest at scale too, where fewer
+    materialization barriers is strictly less work — the only cost is
+    up to stride-1 extra no-op hops at convergence, each a fraction of
+    a round). Correctness is stride-invariant because hash-min labels
+    only ever DECREASE: "no change across a stride" is possible only if
+    every hop in it was the identity, i.e. the fixpoint was reached, so
+    the probe can never stop early on a transient state
+    (tests/test_graph.py asserts stride-2 labels equal the handcrafted
+    expectation on multi-round chains). The convergence probe is a
+    count on the (node-sized) changed set, the only driver-held value.
+    Raises rather than returning partial labels if max_rounds is hit: a
+    wrong component is worse than a loud failure."""
     # pin the edge frame once — without this every round re-derives it
     # from parquet (measured 8.3 s -> ~3 s at sf0.1, the same finding as
     # the pagerank family's edge-list checkpoint)
@@ -956,23 +967,30 @@ def _hash_min_cc(und: DataFrame, max_rounds: int = 50) -> DataFrame:
         .distinct()
         .select("id", F.col("id").alias("comp"))
     )
-    for _ in range(max_rounds):
-        nbr_min = (
-            und.join(comp, comp["id"] == und["u"])
-            .groupBy(F.col("v").alias("id2"))
-            .agg(F.min("comp").alias("nbr"))
-        )
-        # LAZY (r13): the change-count below scans every nxt partition,
-        # materializing the checkpoint — one job per round instead of two
-        nxt, nxt_ids = _ckpt_tracked_lazy(
-            comp.join(nbr_min, comp["id"] == nbr_min["id2"], "left").select(
+    rounds = 0
+    while rounds < max_rounds:
+        # `prev` pins the labels at the LAST materialized state, so the
+        # stride's change-count compares across the whole fused block
+        cur = comp.select("id", "comp", F.col("comp").alias("prev"))
+        for _ in range(stride):
+            rounds += 1
+            nbr_min = (
+                und.join(cur, cur["id"] == und["u"])
+                .groupBy(F.col("v").alias("id2"))
+                .agg(F.min("comp").alias("nbr"))
+            )
+            cur = cur.join(nbr_min, cur["id"] == nbr_min["id2"], "left").select(
                 "id",
                 F.least(F.col("comp"), F.coalesce("nbr", F.col("comp"))).alias(
                     "comp"
                 ),
-                F.col("comp").alias("prev"),
+                "prev",
             )
-        )
+            if rounds >= max_rounds:
+                break
+        # LAZY (r13): the change-count below scans every nxt partition,
+        # materializing the checkpoint — one job per stride instead of two
+        nxt, nxt_ids = _ckpt_tracked_lazy(cur)
         changed = nxt.where(F.col("comp") != F.col("prev")).count()
         # nxt is now fully materialized (the count's filter drops rows,
         # not partitions): the previous round's label blocks can never be

@@ -365,3 +365,22 @@ def test_hash_min_cc_handcrafted_chain_and_isolate(spark):
     und = df.unionAll(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
     got = {r["id"]: r["comp"] for r in _hash_min_cc(und).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_hash_min_cc_stride_invariant(spark):
+    """Round-14 stride fusion: labels must be identical at every probe
+    stride — the monotone-decrease argument in the docstring — on a
+    chain long enough (diameter 9) that stride>1 probes genuinely skip
+    intermediate states, including an odd length so stride 2 overshoots
+    convergence by a no-op hop."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.operators.graph import _hash_min_cc
+
+    e = [(i, i + 1) for i in range(9)] + [(50, 51)]
+    df = spark.createDataFrame(e, "u long, v long")
+    und = df.unionAll(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    want = {i: 0 for i in range(10)} | {50: 50, 51: 50}
+    for stride in (1, 2, 3):
+        got = {r["id"]: r["comp"] for r in _hash_min_cc(und, stride=stride).collect()}
+        assert got == want, f"stride={stride}"
