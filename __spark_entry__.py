@@ -136,6 +136,13 @@ _FORCE_RESAMPLE = [
     "multimodal_keyframe_select",
     "multimodal_mp4_frames",
     "pipeline_multimodal_stats",
+    # r14 session 6: hash-min CC stride fusion (construct-time; labels
+    # stride-invariant, parity-verified at sf0.001+sf0.01) and the
+    # IVFPQ grouped-closure ADC (probe join removed; outputs verified
+    # bit-equal) — re-evidence the consumers under the new paths
+    "graph_connected_components",
+    "dedup_transitive",
+    "knn_cosine_ivfpq_stored",
 ]
 
 # VERDICT r13 #1: spend the driver's ~50-key correctness budget on the
