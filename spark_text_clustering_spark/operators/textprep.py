@@ -604,6 +604,36 @@ def bpe_word_base(
     return spark.read.parquet(path)
 
 
+# One greedy left-to-right merge fold, shared by BPE train/encode and
+# WordPiece train. Building this as a python-lambda HOF costs ~100 py4j
+# round trips (~0.19 s measured) PER MERGE — ~2 s of pure driver-side
+# plan construction per 10-merge train call (guide §1/§4 driver-side,
+# the _IMH_EXPR_CACHE finding again). One parsed SQL expression is a
+# single round trip, and the resulting Column is unresolved (binds by
+# name at analysis), so it is memoized per (col, a, b, merged) and
+# reused across every frame and every call — semantics identical:
+# CASE/ELSE mirrors F.when().otherwise(), 0-based get() on an empty
+# accumulator yields NULL and falls to ELSE exactly as before.
+_MERGE_FOLD_MEMO: dict = {}
+
+
+def _merge_fold(col: str, a: str, b: str, merged: str):
+    key = (col, a, b, merged)
+    got = _MERGE_FOLD_MEMO.get(key)
+    if got is None:
+        qa, qb, qm = (
+            s.replace("\\", "\\\\").replace("'", "\\'") for s in (a, b, merged)
+        )
+        got = F.expr(
+            f"aggregate({col}, cast(array() as array<string>), (acc, x) -> "
+            f"CASE WHEN get(acc, size(acc) - 1) = '{qa}' AND x = '{qb}' "
+            f"THEN concat(slice(acc, 1, greatest(size(acc) - 1, 0)), "
+            f"array('{qm}')) ELSE concat(acc, array(x)) END)"
+        )
+        _MERGE_FOLD_MEMO[key] = got
+    return got
+
+
 @REG.register("bpe_train_merges")  # rows-only: iterative algorithm (driver loop);
 # no single-statement SQL oracle exists — golden-tested against a pure-Python
 # BPE reference over the identical word-frequency table in tests/test_lm.py
@@ -681,18 +711,7 @@ def bpe_train_merges(
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((step, a, b, cnt))
         merged = a + b
-        la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
-        apply_merge = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.get(acc, F.size(acc) - 1) == la) & (x == lb),
-                F.concat(
-                    F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
-                    F.array(lm),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
+        apply_merge = _merge_fold("syms", a, b, merged)
         syms, new_ids = ckpt_tracked_lazy(
             syms.select("freq", apply_merge.alias("syms"))
         )
@@ -719,19 +738,7 @@ def bpe_apply_merges(
     )
     prev_ids: set = set()
     for step, (a, b) in enumerate(merges):
-        la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
-        apply_merge = F.aggregate(
-            F.col("tokens"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.get(acc, F.size(acc) - 1) == la) & (x == lb),
-                F.concat(
-                    F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
-                    F.array(lm),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        syms = syms.withColumn("tokens", apply_merge)
+        syms = syms.withColumn("tokens", _merge_fold("tokens", a, b, a + b))
         if (step + 1) % 4 == 0:
             syms, new_ids = ckpt_tracked(syms)
             if prev_ids:  # newer checkpoint live -> predecessor is dead
@@ -952,18 +959,7 @@ def wordpiece_train_merges(
         cnt, score = int(win["cnt"]), float(win["score"])
         merged = a + (b[2:] if b.startswith("##") else b)
         merges.append((step, a, b, score, cnt))
-        la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
-        apply_merge = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.get(acc, F.size(acc) - 1) == la) & (x == lb),
-                F.concat(
-                    F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
-                    F.array(lm),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
+        apply_merge = _merge_fold("syms", a, b, merged)
         syms, new_ids = ckpt_tracked_lazy(
             syms.select("freq", apply_merge.alias("syms"))
         )
