@@ -111,9 +111,6 @@ def shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
 # approxSimilarityJoin is a SELF-join, so without a checkpoint the
 # shingle build + hashing runs twice per call (measured 3.4 s -> 2.2 s at
 # sf0.1 with the checkpoint); memoized so repeated calls don't leak blocks
-_MINHASH_FEAT_MEMO: dict[tuple[str, str], DataFrame] = {}
-
-
 @REG.register("dedup_minhash")  # rows-only: MinHashLSH is approximate/seeded
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup candidates via MinHashLSH over 3-gram shingle sets.
@@ -126,21 +123,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    if memo_key in _MINHASH_FEAT_MEMO:
-        feat = _MINHASH_FEAT_MEMO[memo_key]
-    else:
-        # spread before shingling: the checkpointed frame inherits the
-        # scan's partitioning, and a single-split corpus would pin
-        # shingling, the 8-table minhash transform, and the banding
-        # join's map side to ONE core (round-14 grain lesson)
-        docs = spread(spark, load_table(spark, sf_dir, "documents"))
-        sh = shingle_arrays(docs).where(F.size("shingles") > 0)
-        tf = HashingTF(
-            inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
-        )
-        feat = tf.transform(sh).localCheckpoint(eager=True)
-        _MINHASH_FEAT_MEMO[memo_key] = feat
+    # spread before shingling: the checkpointed frame inherits the
+    # scan's partitioning, and a single-split corpus would pin
+    # shingling, the 8-table minhash transform, and the banding
+    # join's map side to ONE core (round-14 grain lesson). Checkpoint
+    # per CALL — the approxSimilarityJoin is a SELF-join, so the
+    # shingle+hash build would otherwise run twice per call (round 15,
+    # VERDICT r14 #1: no cross-call memo of corpus-derived work).
+    docs = spread(spark, load_table(spark, sf_dir, "documents"))
+    sh = shingle_arrays(docs).where(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feat = tf.transform(sh).localCheckpoint(eager=True)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, 0.6, distCol="jaccard_dist")
@@ -913,7 +908,6 @@ def incremental_dedup_minhash_batches(spark: SparkSession, sf_dir: str) -> DataF
 
 
 _SPAN_L = 30  # duplicated-substring window length (chars)
-_SPAN_GRAMS_MEMO: dict = {}
 
 _DUP_SPANS_ORACLE = f"""
 WITH grams AS (
@@ -1004,17 +998,12 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton grams (cf. bloom_semi_join_prune) so the shuffle carries
     only repeated grams; both drop in without changing these semantics.
     The groupBy ships (hash, doc_id) pairs, never text."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir, "dup-spans-grams")
-    if memo_key in _SPAN_GRAMS_MEMO:
-        grams = _SPAN_GRAMS_MEMO[memo_key]
-    else:
-        # the gram frame feeds BOTH the dup aggregate and the semi-join
-        # probe; one materialization avoids the double text explode
-        # (measured 4.7 -> 3.3 s at sf0.1); memoized per (app, sf_dir) so
-        # repeated driver calls don't leak checkpoint blocks — the same
-        # pattern as the minhash feature memo above
-        grams = _span_grams(spark, sf_dir).localCheckpoint(eager=True)
-        _SPAN_GRAMS_MEMO[memo_key] = grams
+    # the gram frame feeds BOTH the dup aggregate and the semi-join
+    # probe; one materialization per CALL avoids the double text explode
+    # (measured 4.7 -> 3.3 s at sf0.1). Round 15 (VERDICT r14 #1): no
+    # cross-call memo — the gram build is part of the declared
+    # computation (the oracle re-explodes the text on every check).
+    grams = _span_grams(spark, sf_dir).localCheckpoint(eager=True)
     dup = (
         grams.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -1052,11 +1041,10 @@ def _span_islands(hits: DataFrame) -> DataFrame:
 
 _SPAN_STRIDE = 4
 
-# memoized discovery frames per (applicationId, sf_dir, stride) — the same
-# pattern (and rationale) as _SPAN_GRAMS_MEMO on the full-scan twin: the
-# checkpointed seed/bloom/rescan build feeds every downstream call, so
-# repeated invocations pay only the final dup-agg + islands stages
-_SPAN_STRIDED_MEMO: dict = {}
+# discovery frames built fresh per call (round 15, VERDICT r14 #1: the
+# r14 memo let measured bench runs skip the seed/bloom/rescan build the
+# oracle recomputes); the checkpoints below are intra-call only — the
+# discovery frames feed multiple downstream consumers within one call
 
 
 def dup_spans_strided_frames(
@@ -1088,11 +1076,6 @@ def dup_spans_strided_frames(
         raise ValueError(f"stride must be in [2, {_SPAN_L}], got {stride}")
     if n_bloom_segments < 1:
         raise ValueError("n_bloom_segments must be >= 1")
-    memo_key = (
-        spark.sparkContext.applicationId, sf_dir, stride, n_bloom_segments
-    )
-    if memo_key in _SPAN_STRIDED_MEMO:
-        return _SPAN_STRIDED_MEMO[memo_key]
     m = _SPAN_L - stride + 1
     # the seed explode amplifies ~len(text) rows per doc; spread the docs
     # across all slots FIRST so the (cheap, pre-amplification) shuffle of
@@ -1205,7 +1188,6 @@ def dup_spans_strided_frames(
         "rescan": rescan,
         "result": _span_islands(hits),
     }
-    _SPAN_STRIDED_MEMO[memo_key] = frames
     return frames
 
 
@@ -1246,16 +1228,11 @@ def dedup_minhash_fast(
     2^18-dim sparse vectors never exist). Output (id_a, id_b,
     est_jaccard); pair-recall vs exact shingle Jaccard pinned in
     tests/test_dedup_quality.py next to the ML twin's."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir, "mh-fast-sigs")
-    if memo_key in _MINHASH_FEAT_MEMO:
-        sigs = _MINHASH_FEAT_MEMO[memo_key]
-    else:
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        # checkpointed: the band join is a SELF-join and the signatures
-        # feed the est-Jaccard verify twice; memoized per (app, sf_dir)
-        # like the ML twin's feature memo above
-        sigs = minhash_signatures(docs).localCheckpoint(eager=True)
-        _MINHASH_FEAT_MEMO[memo_key] = sigs
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # checkpointed per CALL: the band join is a SELF-join and the
+    # signatures feed the est-Jaccard verify twice (round 15: no
+    # cross-call memo of corpus-derived work, VERDICT r14 #1)
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
     bands = _band_rows(sigs)
     cand = (
         bands.alias("l")
@@ -1276,46 +1253,38 @@ def dedup_minhash_fast(
     )
 
 
-# Shared CLUSTER-stage pair graphs, materialized once per session (round
-# 14 session 4 — the _brand_edges/_ASSOC_BASE_MEMO precedent):
-# `dedup_cluster_best_quality` and traindata's `split_assign_cluster_safe`
-# both walk the SAME exact-Jaccard pair graph, and the two
-# minhash-cluster keys walk the SAME banded-MinHash pair graph, yet each
-# call re-ran the candidate self-join. The REGISTERED pair keys
-# (`dedup_ngram_jaccard`, `dedup_minhash_fast`) keep computing fresh —
-# the pair join IS their measured work; only the cluster-stage CONSUMERS
-# (whose declared computation is the closure/selection ON the graph) read
-# the shared artifact. Keyed on applicationId: every new application
-# derives the graph from parquet.
-_PAIR_GRAPH_MEMO: dict = {}
+# Shared CLUSTER-stage pair graphs: `dedup_cluster_best_quality` and
+# traindata's `split_assign_cluster_safe` both walk the SAME
+# exact-Jaccard pair graph, and the two minhash-cluster keys walk the
+# SAME banded-MinHash pair graph — these helpers keep that equality
+# provable in one place. Round 15 (VERDICT r14 #1): the r14
+# per-(applicationId, sf_dir) memo is GONE — the pair-graph derivation
+# is part of each consumer key's declared computation (the oracle
+# recomputes it on every check), so every call re-derives it from the
+# parquet inputs. The eager checkpoint stays per call: the pair frame
+# feeds the CC kernel's per-round joins.
 
 
 def _jaccard_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eager-checkpointed (id_a, id_b) exact 3-gram-Jaccard (>= 0.5) pair
-    graph, memoized per (applicationId, sf_dir)."""
-    key = (spark.sparkContext.applicationId, sf_dir, "jac")
-    if key not in _PAIR_GRAPH_MEMO:
-        _PAIR_GRAPH_MEMO[key] = (
-            dedup_ngram_jaccard(spark, sf_dir)
-            .select("id_a", "id_b")
-            .localCheckpoint(eager=True)
-        )
-    return _PAIR_GRAPH_MEMO[key]
+    graph — fresh per call."""
+    return (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
 
 
 def _minhash_pairs_shared(
     spark: SparkSession, sf_dir: str, threshold: float
 ) -> DataFrame:
     """Eager-checkpointed (id_a, id_b) banded-MinHash pair graph at
-    ``threshold``, memoized per (applicationId, sf_dir, threshold)."""
-    key = (spark.sparkContext.applicationId, sf_dir, "mh", threshold)
-    if key not in _PAIR_GRAPH_MEMO:
-        _PAIR_GRAPH_MEMO[key] = (
-            dedup_minhash_fast(spark, sf_dir, threshold)
-            .select("id_a", "id_b")
-            .localCheckpoint(eager=True)
-        )
-    return _PAIR_GRAPH_MEMO[key]
+    ``threshold`` — fresh per call."""
+    return (
+        dedup_minhash_fast(spark, sf_dir, threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
 
 
 def _cluster_labels(

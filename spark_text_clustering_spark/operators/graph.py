@@ -45,27 +45,21 @@ edges AS (
   SELECT p * 2 + 1 AS src, c * 2 AS dst FROM pairs)"""
 
 
-# The two shared graphs, materialized ONCE per (application, sf_dir) —
-# r14 session 3. Both helpers exist so "every graph-family key provably
-# walks the SAME graph"; a graph platform materializes that shared edge
-# list once (the GraphFrames / graph-DB shape), while these helpers
-# re-derived it from orders×lineitem on EVERY call of every one of the
-# 10+ graph keys (~1-1.5 s per call at sf0.1 battery conditions). The
-# memo is per-application: each bench/driver invocation still derives
-# the graph from the parquet inputs; it is an edge-list ARTIFACT (the
-# same lifecycle as the memoized ANN indexes and the FPGrowth basket
-# frame), never a query result.
-_EDGE_MEMO: dict = {}
+# The two shared graphs. Both helpers exist so "every graph-family key
+# provably walks the SAME graph"; each call derives the edge list from
+# the parquet inputs and localCheckpoints it ONCE for the call (every
+# consumer feeds it into multiple join legs). Round 15 (VERDICT r14 #1):
+# the r14 per-(applicationId, sf_dir) memo is GONE — it let the bench's
+# measured runs skip the derivation the oracle recomputes on every
+# check, so the timed number no longer measured the declared query.
+# Recomputing per call IS the declared semantics.
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared customer<->part co-purchase graph (both directions;
     customers at id*2, parts at id*2+1 — see graph_pagerank). Factored
     out so every graph-family key provably walks the SAME graph.
-    Returns a per-application memoized localCheckpoint (see _EDGE_MEMO)."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir, "copurchase")
-    if memo_key in _EDGE_MEMO:
-        return _EDGE_MEMO[memo_key]
+    Returns a fresh per-call eager localCheckpoint."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = (
@@ -79,9 +73,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = pairs.select(
         (F.col("p") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
     )
-    out = fwd.unionAll(rev).localCheckpoint(eager=True)
-    _EDGE_MEMO[memo_key] = out
-    return out
+    return fwd.unionAll(rev).localCheckpoint(eager=True)
 
 _PR_DAMP = 0.85
 _PR_ITERS = 3
@@ -393,11 +385,8 @@ def _brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per (brand, a, b). Shared by the triangle / clustering-
     coefficient / link-prediction keys so they provably walk the same
     blocked graph; localCheckpoint'ed because every consumer feeds it
-    into multiple join legs (the graph_pagerank ReuseExchange
-    finding). Memoized per application like _copurchase_edges."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir, "brand")
-    if memo_key in _EDGE_MEMO:
-        return _EDGE_MEMO[memo_key]
+    into multiple join legs (the graph_pagerank ReuseExchange finding).
+    Derived fresh per call — see the round-15 note at _copurchase_edges."""
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -415,7 +404,6 @@ def _brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    _EDGE_MEMO[memo_key] = out
     return out
 
 

@@ -137,11 +137,6 @@ def knn_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# one checkpointed normalized frame per (applicationId, sf_dir): repeated
-# knn_cosine_lsh calls must not leak a new checkpoint RDD per invocation
-_LSH_NORMED_MEMO: dict[tuple[str, str], DataFrame] = {}
-
-
 @REG.register("knn_cosine_lsh")  # rows-only: LSH is approximate (seeded, deterministic)
 def knn_cosine_lsh(
     spark: SparkSession,
@@ -175,32 +170,28 @@ def knn_cosine_lsh(
     )
     if emb.isEmpty():  # LSH cannot fit on zero rows: empty-in -> empty-out
         return spark.createDataFrame([], "id_a long, id_b long, cosine_sim double")
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    if memo_key in _LSH_NORMED_MEMO:
-        normed = _LSH_NORMED_MEMO[memo_key]
-    else:
-        # when() keeps array_to_vector lazy: Catalyst is free to reorder a
-        # deterministic UDF above the isNotNull filter, so the guard must live
-        # INSIDE the expression, not in a preceding .where().
-        # spread first: the checkpoint freezes the layout, and a single-split
-        # corpus would pin the hash transform + approxSimilarityJoin map side
-        # to ONE core (round-14 grain lesson; 4.2 -> 0.9 s warm at sf0.1)
-        normed = spread(spark, emb).select(
-            "vec_id",
-            F.when(
-                F.col("e").isNotNull(),
-                array_to_vector(
-                    F.transform("e", lambda x: x / _l2norm(F.col("e")))
-                ),
-            ).alias("features"),
-        ).where(F.col("features").isNotNull())
-        # Catalyst reorders deterministic UDFs across filters (the LSH hash was
-        # observed evaluating on rows the isNotNull filter should have removed),
-        # so materialize the filtered frame and cut the lineage before fit.
-        # Memoized per (app, sf_dir) so repeated driver/bench invocations reuse
-        # one checkpointed frame instead of accumulating cached blocks.
-        normed = normed.localCheckpoint(eager=True)
-        _LSH_NORMED_MEMO[memo_key] = normed
+    # when() keeps array_to_vector lazy: Catalyst is free to reorder a
+    # deterministic UDF above the isNotNull filter, so the guard must live
+    # INSIDE the expression, not in a preceding .where().
+    # spread first: the checkpoint freezes the layout, and a single-split
+    # corpus would pin the hash transform + approxSimilarityJoin map side
+    # to ONE core (round-14 grain lesson; 4.2 -> 0.9 s warm at sf0.1)
+    normed = spread(spark, emb).select(
+        "vec_id",
+        F.when(
+            F.col("e").isNotNull(),
+            array_to_vector(
+                F.transform("e", lambda x: x / _l2norm(F.col("e")))
+            ),
+        ).alias("features"),
+    ).where(F.col("features").isNotNull())
+    # Catalyst reorders deterministic UDFs across filters (the LSH hash was
+    # observed evaluating on rows the isNotNull filter should have removed),
+    # so materialize the filtered frame and cut the lineage before fit —
+    # per CALL: the frame feeds the fit and both approxSimilarityJoin
+    # sides (round 15, VERDICT r14 #1: no cross-call memo of
+    # corpus-derived work).
+    normed = normed.localCheckpoint(eager=True)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -253,42 +244,33 @@ def knn_cosine_ivf(
     )
     # bounded probe: we only need the exact count when it is <= n_clusters,
     # so scan at most n_clusters+1 rows instead of aggregating the table
-    # (skipped entirely on a memoized fit — the memo implies a non-empty
-    # corpus, so the tiny guard job runs once per session, not per probe)
-    fit_key = (spark.sparkContext.applicationId, sf_dir, "ivf-fit", n_clusters)
-    if fit_key not in _PQ_MEMO:
-        n_probe = emb.limit(n_clusters + 1).count()
-        if n_probe < 2:  # KMeans needs k>=2; <2 vectors admit no neighbor pairs
-            return spark.createDataFrame(
-                [], "query_id long, neighbor_id long, cosine_sim double, rank int"
-            )
-    # The coarse quantizer IS the index — "cluster assignment is a one-time
-    # batch job" (this docstring) — yet this live key refit the seeded
-    # KMeans and re-assigned the corpus on every call while its PQ/IVFPQ
-    # siblings memoized theirs. Memoize the fitted assignment + centroid
-    # table per (app, sf_dir, k) exactly like _PQ_MEMO's codes (r14
-    # session 3): the fit is seeded, so the memoized index is
-    # bit-identical to a fresh fit and every probe returns the same rows.
-    if fit_key in _PQ_MEMO:
-        assigned, centroids = _PQ_MEMO[fit_key]
-    else:
-        vecs = emb.select(
-            "vec_id",
-            "e",
-            F.when(F.col("e").isNotNull(), array_to_vector(F.col("e"))).alias("features"),
-        ).where(F.col("features").isNotNull())
-        # KMeans aborts when k exceeds the number of points (tiny corpora)
-        km = KMeans(k=min(n_clusters, n_probe), seed=42, maxIter=20, featuresCol="features")
-        model = km.fit(vecs)
-        assigned = model.transform(vecs).select(
-            "vec_id", "e", _l2norm(F.col("e")).alias("nrm"), F.col("prediction").alias("cluster")
-        ).localCheckpoint(eager=True)
-
-        centroids = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-            "cluster int, centroid array<double>",
+    n_probe = emb.limit(n_clusters + 1).count()
+    if n_probe < 2:  # KMeans needs k>=2; <2 vectors admit no neighbor pairs
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
         )
-        _PQ_MEMO[fit_key] = (assigned, centroids)
+    # Round 15 (VERDICT r14 #1): the coarse-quantizer fit runs FRESH on
+    # every call — the r14 per-(app, sf_dir, k) memo let the bench's
+    # measured runs probe an index whose construction only the warmup
+    # paid. The fit is seeded, so repeated calls still return identical
+    # rows; the checkpoint below is intra-call (assignment feeds the
+    # query side and the candidate join).
+    vecs = emb.select(
+        "vec_id",
+        "e",
+        F.when(F.col("e").isNotNull(), array_to_vector(F.col("e"))).alias("features"),
+    ).where(F.col("features").isNotNull())
+    # KMeans aborts when k exceeds the number of points (tiny corpora)
+    km = KMeans(k=min(n_clusters, n_probe), seed=42, maxIter=20, featuresCol="features")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", "e", _l2norm(F.col("e")).alias("nrm"), F.col("prediction").alias("cluster")
+    ).localCheckpoint(eager=True)
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
+    )
     q = assigned.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
@@ -515,7 +497,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF as a STORED partitioned index (the 100 TB deployment shape)
 # ---------------------------------------------------------------------------
 
-_IVF_INDEX_MEMO: dict[str, tuple[str, str]] = {}
+_IVF_INDEX_MEMO: dict[tuple[str, str], tuple[str, str]] = {}
 _IVF_CLUSTERS, _IVF_NPROBE = 16, 4
 
 
@@ -525,10 +507,15 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str] | None:
     plus a tiny centroids table. At 100 TB this is the batch index job;
     queries then read only their probed partitions (directory-level
     pruning — no index structure needed beyond the filesystem layout).
-    Memoized per sf_dir for the driver's repeated query calls. Returns
+    Memoized per (applicationId, sf_dir) for the driver's repeated
+    query calls. Returns
     None when the corpus is empty (nothing to index)."""
-    if sf_dir in _IVF_INDEX_MEMO:
-        return _IVF_INDEX_MEMO[sf_dir]
+    # keyed on (applicationId, sf_dir) like every other per-app artifact
+    # memo (VERDICT r14 #6: an sf_dir-only key would silently serve a
+    # stale index if one long-lived process ever spanned two applications)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key in _IVF_INDEX_MEMO:
+        return _IVF_INDEX_MEMO[memo_key]
     import tempfile
 
     from pyspark.ml.clustering import KMeans
@@ -569,7 +556,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str] | None:
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cluster int, centroid array<double>",
     ).write.mode("overwrite").parquet(centroids_path)
-    _IVF_INDEX_MEMO[sf_dir] = (index_path, centroids_path)
+    _IVF_INDEX_MEMO[memo_key] = (index_path, centroids_path)
     return index_path, centroids_path
 
 
@@ -671,13 +658,12 @@ def _probe_grain(codes_df, n_rows: int, rows_per_part: int = 512):
 
 def _pq_sample_rows(spark, sf_dir: str, emb):
     """The model-sized PQ training/query sample (vec_id < _PQ_SAMPLE over
-    the L2-NORMALIZED embedding frame), collected once per (app, sf_dir)
-    and shared by the pq / ivfpq / pq_stored probes — each used to pay
-    this collect on every call (r14 session 3)."""
-    key = (spark.sparkContext.applicationId, sf_dir, "pq-sample-normed")
-    if key not in _PQ_MEMO:
-        _PQ_MEMO[key] = emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()
-    return _PQ_MEMO[key]
+    the L2-NORMALIZED embedding frame) — collected FRESH per call (round
+    15, VERDICT r14 #1: the r14 per-(app, sf_dir) memo made measured
+    bench runs of the live pq/ivfpq keys skip a collect their declared
+    computation includes). ann_recall_eval shares ONE collect across the
+    methods it evaluates within a single call via its `shared` dict."""
+    return emb.where(F.col("vec_id") < _PQ_SAMPLE).collect()
 
 
 def _pq_train_codebooks(sample: "object", seed: int = 42):
@@ -755,7 +741,6 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    memo_key = (spark.sparkContext.applicationId, sf_dir, "pq")
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .where(F.col("embedding").isNotNull())
@@ -768,34 +753,25 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out_schema = "query_id long, neighbor_id long, cosine_sim double, rank int"
-    # model-sized sample; memoized per (app, sf_dir) — the stored variant
-    # already cached this collect, the live keys re-scanned per probe
-    # (r14 session 3). The frame is identical in pq/ivfpq/pq_stored:
-    # vec_id < _PQ_SAMPLE over the L2-normalized embedding table.
+    # Round 15 (VERDICT r14 #1): sample collect, codebook training and
+    # corpus encode all run FRESH per call — the live key's declared
+    # computation is train + encode + probe; the per-application memos
+    # made measured bench runs probe-only. The stored-parquet lifecycle
+    # lives in `knn_cosine_pq_stored`; results here are seeded and
+    # identical across calls. The checkpoint is intra-call (the code
+    # table feeds the ADC scan).
     sample_rows = _pq_sample_rows(spark, sf_dir, emb)
     if len(sample_rows) < 2:
         return spark.createDataFrame([], out_schema)
-    if memo_key in _PQ_MEMO:
-        books = _PQ_MEMO[memo_key]
-    else:
-        books = _pq_train_codebooks([r["e"] for r in sample_rows])
-        _PQ_MEMO[memo_key] = books
-    codes_key = (spark.sparkContext.applicationId, sf_dir, "pq-codes")
-    if codes_key in _PQ_MEMO:
-        codes_df = _PQ_MEMO[codes_key]
-    else:
-        # the encoded code table IS the index: build once per session and
-        # cut lineage (localCheckpoint) so repeated queries are probe-only
-        # — at scale this is the stored parquet code table
-        codes_df = (
-            spread(spark, emb)
-            .mapInPandas(
-                _pq_encode_iter(books), schema="vec_id long, code array<long>"
-            )
-            .localCheckpoint(eager=True)
+    books = _pq_train_codebooks([r["e"] for r in sample_rows])
+    codes_df = (
+        spread(spark, emb)
+        .mapInPandas(
+            _pq_encode_iter(books), schema="vec_id long, code array<long>"
         )
-        codes_df = _probe_grain(codes_df, codes_df.count())
-        _PQ_MEMO[codes_key] = codes_df
+        .localCheckpoint(eager=True)
+    )
+    codes_df = _probe_grain(codes_df, codes_df.count())
 
     queries = [
         (int(r["vec_id"]), np.asarray(r["e"], dtype=np.float64))
@@ -912,10 +888,11 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> str | None:
     code table). At 100 TB this is the batch index job; the code table and
     codebooks are durable artifacts surviving the session, and queries are
     probe-only reads (cf. ``build_ivf_index`` — same lifecycle, this is the
-    compressed twin). Memoized per sf_dir. Returns None on an empty corpus."""
+    compressed twin). Memoized per (applicationId, sf_dir). Returns None
+    on an empty corpus."""
     import tempfile
 
-    memo_key = (sf_dir, "pq-stored-path")
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "pq-stored-path")
     if memo_key in _PQ_MEMO:
         return _PQ_MEMO[memo_key]
     emb = (
@@ -1062,13 +1039,11 @@ def knn_cosine_ivfpq(
         if n_queries <= _PQ_SAMPLE
         else emb.where(F.col("vec_id") < n_queries).collect()
     )
-    index_key = (spark.sparkContext.applicationId, sf_dir, "ivfpq", n_clusters)
-    if index_key in _PQ_MEMO:
-        books, centroids, codes_df = _PQ_MEMO[index_key]
-        return _ivfpq_probe(
-            spark, emb, books, centroids, codes_df, query_rows, nprobe, out_schema,
-            n_queries=n_queries,
-        )
+    # Round 15 (VERDICT r14 #1): codebook training, the coarse fit and
+    # the corpus encode all run FRESH per call — train + encode + probe
+    # is this live key's declared computation; the r14 per-application
+    # index memo made measured bench runs probe-only. The stored-parquet
+    # lifecycle lives in `knn_cosine_ivfpq_stored`.
     books = _pq_train_codebooks([r["e"] for r in sample_rows])
 
     # --- coarse quantizer (IVF stage) ---
@@ -1098,9 +1073,9 @@ def knn_cosine_ivfpq(
             "vec_id", "e", F.col("prediction").alias("cluster")
         )
         centroids = np.array(model.clusterCenters())
-    # the assigned+encoded code table IS the index: build once per
-    # session, cut lineage, reuse across queries (the stored-parquet shape
-    # at scale — cf. knn_cosine_ivf_stored)
+    # the assigned+encoded code table IS the index for this call: cut
+    # lineage so the probe below scans a materialized frame (the
+    # stored-parquet shape at scale — cf. knn_cosine_ivf_stored)
     codes_df = (
         spread(spark, assigned)
         .mapInPandas(
@@ -1114,7 +1089,6 @@ def knn_cosine_ivfpq(
     # IVFPQ ADC closure gathers a per-row (n, m, k) score table, so its
     # probe is memory-bandwidth-bound and wants the parallelism the
     # PQ closure (broadcast-indexed, no gather) does not need.
-    _PQ_MEMO[index_key] = (books, centroids, codes_df)
     return _ivfpq_probe(
         spark, emb, books, centroids, codes_df, query_rows, nprobe, out_schema,
         n_queries=n_queries,
@@ -1261,7 +1235,7 @@ def build_ivfpq_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    memo_key = (sf_dir, "ivfpq-stored-path", n_clusters)
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "ivfpq-stored-path", n_clusters)
     if memo_key in _PQ_MEMO:
         return _PQ_MEMO[memo_key]
     emb = (
@@ -1430,7 +1404,7 @@ def build_lsh_index(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    memo_key = (sf_dir, "lsh-stored-path", num_hash_tables)
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "lsh-stored-path", num_hash_tables)
     if memo_key in _PQ_MEMO:
         return _PQ_MEMO[memo_key]
     emb = (
@@ -1964,9 +1938,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: every method's result is a (query_id, neighbor_id) set of at
     most N_QUERIES×TOP_K rows — the joins and aggregates below run on
     KB-sized frames regardless of corpus scale; the real cost is the
-    methods' own index builds, which are memoized per session exactly as
-    in their registered keys. Output: (method, macro_recall, min_recall,
-    n_queries), macro = mean per-query recall, min = worst query."""
+    methods' own index builds, which run FRESH inside every call exactly
+    as in their registered keys (round 15: no per-session memos).
+    Output: (method, macro_recall, min_recall, n_queries), macro = mean
+    per-query recall, min = worst query."""
     methods = [
         ("gemm", knn_cosine_gemm),
         ("ivf", knn_cosine_ivf),

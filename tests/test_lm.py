@@ -474,9 +474,9 @@ def test_bpe_word_base_artifact_roundtrip(spark, tmp_path, monkeypatch):
     assert T._corpus_fingerprint(SF_SMALL) != T._corpus_fingerprint(other)
 
     # default mode (persist off): no artifact is read OR written — the
-    # base computes from parquet and memoizes per application only
+    # base computes from the corpus parquet on every call (round 15: no
+    # per-application memo either)
     monkeypatch.delenv("STC_ARTIFACT_PERSIST")
-    T._WORD_BASE_MEMO.clear()
     before_listing = sorted(os.listdir(str(tmp_path / "artifacts")))
     default = {
         (r["word"], r["freq"])
@@ -485,4 +485,3 @@ def test_bpe_word_base_artifact_roundtrip(spark, tmp_path, monkeypatch):
     assert default == fresh
     # the artifact dir is untouched by the default path
     assert sorted(os.listdir(str(tmp_path / "artifacts"))) == before_listing
-    T._WORD_BASE_MEMO.clear()
