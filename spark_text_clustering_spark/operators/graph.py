@@ -131,7 +131,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline documented in the module docstring; its lineage reads
     # only persistent testdata, and the construction-time materialization
     # puts this key in bench.py's EAGER set.
-    edges = _copurchase_edges(spark, sf_dir)  # memoized eager checkpoint
+    edges = _copurchase_edges(spark, sf_dir)  # per-call eager checkpoint
     nodes = edges.select(F.col("src").alias("id")).distinct()
     n = nodes.count()  # the single driver-held scalar
     if n == 0:
@@ -196,7 +196,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration count is a fixed unroll here / a convergence loop with
     localCheckpoint lineage cuts in production (the
     ``pagerank_until_convergence`` discipline)."""
-    edges = _copurchase_edges(spark, sf_dir)  # memoized eager checkpoint
+    edges = _copurchase_edges(spark, sf_dir)  # per-call eager checkpoint
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
@@ -340,7 +340,7 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     can filter pr > 0 rows and the per-iteration join shrinks to the
     reached frontier (the classic local-push advantage, kept
     relational here)."""
-    edges = _copurchase_edges(spark, sf_dir)  # memoized eager checkpoint
+    edges = _copurchase_edges(spark, sf_dir)  # per-call eager checkpoint
     nodes = edges.select(F.col("src").alias("id")).distinct()
     is_seed = (F.col("id") % _PPR_SEED_MOD) == 0
     ns = nodes.where(is_seed).count()  # the single driver-held scalar
@@ -506,19 +506,27 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as `pagerank_until_convergence`. Output: surviving
     (node_id, degree) after round 3; a production run loops to the
     fixpoint with the identical per-round body."""
-    # the memoized edge artifact is already an eager checkpoint; track
-    # nothing for round 0 (its blocks must outlive this call)
+    # the per-call edge artifact is an eager checkpoint; track nothing
+    # for round 0 (its blocks feed the whole cascade)
     edges, prev_ids = _copurchase_edges(spark, sf_dir), set()
-    for _ in range(_KCORE_PEELS):
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.where(F.col("d") >= _KCORE_K).select(F.col("src").alias("id"))
-        edges, new_ids = _ckpt_tracked(
-            edges.join(keep, keep["id"] == edges["src"]).drop("id")
-            .join(keep, keep["id"] == edges["dst"]).drop("id")
-        )
-        # peeled frame eagerly materialized — the predecessor is dead
-        _drop_ckpt(edges, prev_ids)
-        prev_ids = new_ids
+    # cap the peel cascade's shuffle grain to the edge count (round 15,
+    # VERDICT r14 #5 — this key's 8-core driver bench beat its 32-core
+    # one 2x: every peel is a degree aggregate + two node-sized joins
+    # over a few-MB frame, pure task-setup overhead at the relational
+    # default; measured 6.6-8.0 -> 2.4-3.4 s at local[32])
+    from ..catalog import iter_grain
+
+    with iter_grain(spark, edges.count()):
+        for _ in range(_KCORE_PEELS):
+            deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            keep = deg.where(F.col("d") >= _KCORE_K).select(F.col("src").alias("id"))
+            edges, new_ids = _ckpt_tracked(
+                edges.join(keep, keep["id"] == edges["src"]).drop("id")
+                .join(keep, keep["id"] == edges["dst"]).drop("id")
+            )
+            # peeled frame eagerly materialized — the predecessor is dead
+            _drop_ckpt(edges, prev_ids)
+            prev_ids = new_ids
     return edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     ).select(F.col("src").alias("node_id"), "degree")
@@ -950,6 +958,20 @@ def _hash_min_cc(und: DataFrame, max_rounds: int = 50, stride: int = 2) -> DataF
     # from parquet (measured 8.3 s -> ~3 s at sf0.1, the same finding as
     # the pagerank family's edge-list checkpoint)
     und, und_ids = _ckpt_tracked(und)
+    # cap the loop's shuffle grain to the (checkpointed, so the count is
+    # one cheap block scan) edge count — round 15, VERDICT r14 #5: the
+    # per-round joins/aggregates over node/edge-sized frames paid ~32
+    # task setups per stage for a few-MB frame; the cap is data-derived
+    # and never raises the configured value (see catalog.iter_grain)
+    from ..catalog import iter_grain
+
+    with iter_grain(und.sparkSession, und.count()):
+        return _hash_min_cc_loop(und, und_ids, max_rounds, stride)
+
+
+def _hash_min_cc_loop(
+    und: DataFrame, und_ids: set, max_rounds: int, stride: int
+) -> DataFrame:
     comp, prev_ids = _ckpt_tracked(
         und.select(F.col("u").alias("id"))
         .distinct()
@@ -1099,6 +1121,19 @@ def _two_star_cc(und: DataFrame, max_rounds: int = 40) -> tuple[DataFrame, int]:
     )
     n_prev = pairs.count()
     rounds = 0
+    # cap the per-round shuffle grain to the edge count (round 15,
+    # VERDICT r14 #5; scaling ratio 0.98-0.51 on the twostar consumers):
+    # every round's groupBy-min/joins/distincts are edge-sized — the
+    # symmetrized frame is 2*n_prev rows (see catalog.iter_grain)
+    from ..catalog import iter_grain
+
+    with iter_grain(und.sparkSession, 2 * max(n_prev, 1)):
+        return _two_star_loop(
+            und, pairs, prev_ids, nodes, nodes_ids, n_prev, rounds, max_rounds
+        )
+
+
+def _two_star_loop(und, pairs, prev_ids, nodes, nodes_ids, n_prev, rounds, max_rounds):
     for _ in range(max_rounds):
         rounds += 1
         sym = pairs.unionAll(
@@ -1238,40 +1273,46 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # later (dist_prev_ids), per ckpt_tracked_lazy's contract.
     frontier, frontier_ids = dist, set()
     dist_prev_ids: set = set()  # dist(k-1): dead once dist(k) materializes
-    for depth in range(1, _BFS_MAX_DEPTH + 1):
-        cand = (
-            und.join(
-                frontier,
-                (und["br"] == frontier["br"]) & (und["u"] == frontier["id"]),
+    # cap the level loop's shuffle grain to the edge count (round 15,
+    # VERDICT r14 #5): every level is an edge-vs-frontier join + anti-join
+    # over few-MB frames — see catalog.iter_grain
+    from ..catalog import iter_grain
+
+    with iter_grain(spark, und.count()):
+        for depth in range(1, _BFS_MAX_DEPTH + 1):
+            cand = (
+                und.join(
+                    frontier,
+                    (und["br"] == frontier["br"]) & (und["u"] == frontier["id"]),
+                )
+                .select(und["br"].alias("br"), F.col("v").alias("id"))
+                .distinct()
             )
-            .select(und["br"].alias("br"), F.col("v").alias("id"))
-            .distinct()
-        )
-        new, new_ids = _ckpt_tracked_lazy(
-            cand.join(dist, ["br", "id"], "left_anti").select(
-                "br", "id", F.lit(depth).cast("long").alias("hops")
+            new, new_ids = _ckpt_tracked_lazy(
+                cand.join(dist, ["br", "id"], "left_anti").select(
+                    "br", "id", F.lit(depth).cast("long").alias("hops")
+                )
             )
-        )
-        n_new = new.count()
-        # this count fully materialized `new` AND the current dist (the
-        # anti-join's build side) — so the PREVIOUS dist (unioned into
-        # the current one) and the old frontier are now dead
-        _drop_ckpt(und, dist_prev_ids | frontier_ids)
-        dist_prev_ids, frontier_ids = set(), set()
-        if n_new == 0:
-            _drop_ckpt(und, und_ids | new_ids)
-            break
-        nxt, nxt_ids = _ckpt_tracked_lazy(dist.unionByName(new))
-        dist_prev_ids = dist_ids  # droppable after nxt materializes
-        dist, dist_ids = nxt, nxt_ids
-        frontier, frontier_ids = new, new_ids
-    else:
-        # depth cap reached with the last union never probed: materialize
-        # it NOW so its inputs (last frontier + previous dist) can be
-        # freed — without this the returned lazy frame would still read
-        # them and the drop below would sever its lineage
-        dist.count()
-        _drop_ckpt(und, und_ids | frontier_ids | dist_prev_ids)
+            n_new = new.count()
+            # this count fully materialized `new` AND the current dist (the
+            # anti-join's build side) — so the PREVIOUS dist (unioned into
+            # the current one) and the old frontier are now dead
+            _drop_ckpt(und, dist_prev_ids | frontier_ids)
+            dist_prev_ids, frontier_ids = set(), set()
+            if n_new == 0:
+                _drop_ckpt(und, und_ids | new_ids)
+                break
+            nxt, nxt_ids = _ckpt_tracked_lazy(dist.unionByName(new))
+            dist_prev_ids = dist_ids  # droppable after nxt materializes
+            dist, dist_ids = nxt, nxt_ids
+            frontier, frontier_ids = new, new_ids
+        else:
+            # depth cap reached with the last union never probed: materialize
+            # it NOW so its inputs (last frontier + previous dist) can be
+            # freed — without this the returned lazy frame would still read
+            # them and the drop below would sever its lineage
+            dist.count()
+            _drop_ckpt(und, und_ids | frontier_ids | dist_prev_ids)
     return dist.select(
         "br",
         F.col("id").cast("long").alias("part_id"),

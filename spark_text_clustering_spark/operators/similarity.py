@@ -541,6 +541,10 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str] | None:
         "e",
         F.when(F.col("e").isNotNull(), array_to_vector(F.col("e"))).alias("features"),
     ).where(F.col("features").isNotNull())
+    # materialize once before the iterative fit (guide §5; round 15 —
+    # see knn_cosine_ivf): lineage-only, identical centers, and the
+    # index write below re-reads the checkpoint instead of the scan
+    vecs = vecs.localCheckpoint(eager=True)
     model = KMeans(
         k=min(_IVF_CLUSTERS, n_probe), seed=42, maxIter=20, featuresCol="features"
     ).fit(vecs)
@@ -1329,6 +1333,10 @@ def build_ivfpq_index(
         "e",
         F.when(F.col("e").isNotNull(), array_to_vector(F.col("e"))).alias("features"),
     ).where(F.col("features").isNotNull())
+    # materialize once before the iterative fit (guide §5; round 15 —
+    # see knn_cosine_ivfpq): lineage-only, identical centers; the encode
+    # + index write re-read the checkpoint instead of the normalization
+    vecs = vecs.localCheckpoint(eager=True)
     n_distinct = len({tuple(r["e"]) for r in sample_rows})
     if n_distinct < 2:
         assigned = vecs.select("vec_id", "e", F.lit(0).alias("cluster"))
@@ -1667,6 +1675,12 @@ def kmeans_cluster_embeddings(
     if emb.limit(k).count() < k:
         return spark.createDataFrame([], out_schema)
     feat = emb.select("vec_id", "e", array_to_vector("e").alias("features"))
+    # materialize ONCE before the iterative fit (guide §5; round 15):
+    # the ~max_iter iteration jobs otherwise re-evaluate the scan +
+    # array_to_vector lineage per job. Lineage-only — partitioning (and
+    # therefore the seeded k-means|| init) is unchanged, and the SSE
+    # summary below reuses the same materialized frame.
+    feat = feat.localCheckpoint(eager=True)
     model = KMeans(k=k, maxIter=max_iter, seed=42).fit(feat)
     pred = model.transform(feat).select(
         "vec_id", F.col("prediction").alias("cluster"), "e"
