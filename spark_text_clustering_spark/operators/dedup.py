@@ -640,7 +640,9 @@ def incremental_dedup_minhash(
     Store layout under ``store_path``, both partitioned by ``batch_id``:
       * ``signatures/`` — (doc_id, sig array<long>[64]): ~512 B/doc, so a
         100 TB corpus's signature store is ~0.5 TB — the only state the
-        history side ever ships;
+        history side ever ships. sig IS NULL marks unshingleable short
+        docs (round 15 fused commit): they are survivors with no
+        signature, carry no band rows, and can never match anything;
       * ``bands/`` — (band, key, doc_id): 16 LSH bucket rows per doc. The
         new batch's band rows join these on (band, key), so candidate
         generation shuffles bucket keys, never signatures — signatures are
@@ -704,6 +706,10 @@ def incremental_dedup_minhash(
         prior_sigs = (
             spark.read.parquet(f"{store_path}/signatures")
             .where(F.col("batch_id") != batch_id)
+            # sig IS NULL marks unsigned short docs (fused commit): they
+            # carry no bands, so they can never be candidates — keep them
+            # out of the partner union entirely
+            .where(F.col("sig").isNotNull())
             .select(F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old"))
         )
     else:
@@ -752,69 +758,39 @@ def incremental_dedup_minhash(
         .distinct()
     )
     survivors = sigs.join(dups, "doc_id", "left_anti")
-    # (3) commit: overwrite ONLY this batch's partition directories.
-    # The commit write IS the materializing job (round 14, VERDICT r13
-    # #3: fused — previously an eager localCheckpoint computed the
-    # pipeline and the write re-scanned the cached blocks, one extra job
-    # per batch); the read-back then serves every downstream use from
-    # the tiny just-written parquet (an all-dup batch still reads back
-    # fine: Spark writes a schema-bearing part file for an empty frame).
-    sig_dir = f"{store_path}/signatures/batch_id={batch_id}"
-    survivors.write.mode("overwrite").parquet(sig_dir)
-    survivors = spark.read.parquet(sig_dir)
     # Documents too short to carry a 3-gram shingle (< 3 whitespace
     # tokens, or null/empty text) produce NO signature, so they appear in
-    # neither the candidate machinery nor the store. Under the 3-gram
-    # Jaccard definition they cannot be near-duplicates of anything, so
-    # they must SURVIVE — union them back (round-6 ADVICE fix; previously
-    # they silently vanished from the output). They stay out of the
-    # signature store by construction (nothing can ever match them), and
-    # a replayed batch recomputes the same unsigned set, preserving the
-    # retry-idempotence contract.
+    # neither the candidate machinery nor the band store. Under the
+    # 3-gram Jaccard definition they cannot be near-duplicates of
+    # anything, so they must SURVIVE (round-6 ADVICE fix; previously they
+    # silently vanished from the output), and they must survive DURABLY
+    # (round-7 ADVICE fix: the streaming composition's foreachBatch
+    # discards this function's return value and later reads THE STORE).
     unsigned = new_docs.select("doc_id").join(
         sigs.select("doc_id"), "doc_id", "left_anti"
     )
-    # ...and persist them durably beside the signatures (round-7 ADVICE
-    # fix): the streaming composition's foreachBatch discards this
-    # function's return value and later reads THE STORE, so a survivor
-    # that exists only in the return value silently vanishes there (and
-    # from any fresh session reading the store). Same per-partition
-    # overwrite commit => same retry-idempotence contract. coalesce(1)
-    # guarantees a schema-bearing part file even for an empty batch.
-    # (the unsigned write is its own materializing job too — round 14
-    # dropped its eager checkpoint; the return value reads the parquet)
-    uns_dir = f"{store_path}/unsigned/batch_id={batch_id}"
-    # The bands commit (reads the survivors parquet just written) and the
-    # unsigned commit (reads new_docs + the sigs checkpoint) share no
-    # input or output — submit them CONCURRENTLY (round 14 session 4,
-    # guide §2: two serial ~0.5-1 s jobs per batch become one wall-clock
-    # step; Spark's scheduler runs independent jobs from separate driver
-    # threads). InheritableThread propagates the local properties the
-    # ckpt helpers set; both writes complete before the function returns,
-    # so the per-partition-overwrite commit contract is unchanged.
-    from pyspark import InheritableThread
-
-    errs: list = []
-
-    def _bands_commit() -> None:
-        try:
-            _band_rows(survivors).write.mode("overwrite").parquet(
-                f"{store_path}/bands/batch_id={batch_id}"
-            )
-        except BaseException as e:  # re-raised on the caller thread
-            errs.append(e)
-
-    t = InheritableThread(target=_bands_commit)
-    t.start()
-    try:
-        unsigned.coalesce(1).write.mode("overwrite").parquet(uns_dir)
-    finally:
-        t.join()
-    if errs:
-        raise errs[0]
-    return survivors.select("doc_id").unionAll(
-        spark.read.parquet(uns_dir).select("doc_id")
+    # (3) FUSED commit (round 15, VERDICT r14 #7): survivors and
+    # unsigned short docs commit in ONE write to this batch's
+    # signatures/ partition — unsigned rows carry sig = NULL (they have
+    # no signature by definition; band rows are built from non-null sigs
+    # only, so nothing can ever match them). This replaces the former
+    # separate unsigned/ sub-store, its per-batch write job, and the
+    # thread that overlapped it with the bands commit. The commit write
+    # IS the materializing job (round 14, VERDICT r13 #3), it overwrites
+    # ONLY this batch's partition directory (same retry-idempotence
+    # contract), and the read-back serves every downstream use from the
+    # tiny just-written parquet (an all-dup batch still reads back fine:
+    # Spark writes a schema-bearing part file for an empty frame).
+    committed = survivors.select("doc_id", "sig").unionAll(
+        unsigned.select("doc_id", F.lit(None).cast("array<long>").alias("sig"))
     )
+    sig_dir = f"{store_path}/signatures/batch_id={batch_id}"
+    committed.write.mode("overwrite").parquet(sig_dir)
+    committed = spark.read.parquet(sig_dir)
+    _band_rows(committed.where(F.col("sig").isNotNull())).write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/bands/batch_id={batch_id}")
+    return committed.select("doc_id")
 
 
 _INC_MH_CAP = 1500  # registered-demo bound: ids below this ingest
@@ -881,9 +857,11 @@ def incremental_dedup_minhash_batches(spark: SparkSession, sf_dir: str) -> DataF
                     ),
                 )
             )
-            bsig = spark.read.parquet(
-                f"{store}/signatures/batch_id={bid}"
-            ).select(F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old"))
+            bsig = (
+                spark.read.parquet(f"{store}/signatures/batch_id={bid}")
+                .where(F.col("sig").isNotNull())  # fused commit: NULL = unsigned
+                .select(F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old"))
+            )
             bband = spark.read.parquet(f"{store}/bands/batch_id={bid}").select(
                 "band", "key", F.col("doc_id").alias("old_id")
             )

@@ -85,20 +85,14 @@ def streaming_ingest_dedup(
         )
     if not minhash:
         return spark.read.parquet(store_path)
-    survivors = (
-        spark.read.parquet(f"{store_path}/signatures")
-        .select("doc_id", "batch_id")
+    # the signature store holds EVERY survivor since the round-15 fused
+    # commit: unshingleable (short/null-text) docs commit into the same
+    # batch partition with sig = NULL (round-7 ADVICE fix made them
+    # durable; round 15 folded their separate unsigned/ sub-store into
+    # the signatures write — one commit job per epoch instead of two)
+    return spark.read.parquet(f"{store_path}/signatures").select(
+        "doc_id", "batch_id"
     )
-    # unshingleable (short/null-text) docs live in their own sub-store —
-    # they carry no signature but ARE survivors (round-7 ADVICE fix:
-    # previously only this function's discarded foreachBatch return
-    # value knew about them, so they vanished from the streamed output)
-    unsigned_dir = os.path.join(store_path, "unsigned")
-    if os.path.isdir(unsigned_dir):
-        survivors = survivors.unionByName(
-            spark.read.parquet(unsigned_dir).select("doc_id", "batch_id")
-        )
-    return survivors
 
 
 from pyspark.sql import functions as F  # noqa: E402

@@ -203,9 +203,16 @@ def test_incremental_minhash_keeps_unshingleable_docs(spark, tmp_path):
     }
     assert out1 == {1, 2, 50, 51, 52, 53}
 
-    # unsigned docs never enter the signature store (nothing can match them)
+    # unsigned docs commit into the batch partition with sig = NULL
+    # (round-15 fused commit): they are durable survivors, but only
+    # SIGNED rows carry signatures and band rows — nothing can match them
     sig_store = spark.read.parquet(f"{store}/signatures")
-    assert {r["doc_id"] for r in sig_store.collect()} == {1, 2}
+    signed = sig_store.where(sig_store["sig"].isNotNull())
+    assert {r["doc_id"] for r in signed.collect()} == {1, 2}
+    unsigned = sig_store.where(sig_store["sig"].isNull())
+    assert {r["doc_id"] for r in unsigned.collect()} == {50, 51, 52, 53}
+    band_store = spark.read.parquet(f"{store}/bands")
+    assert {r["doc_id"] for r in band_store.collect()} <= {1, 2}
 
     # retry idempotence holds with unsigned docs in the batch
     out1b = {

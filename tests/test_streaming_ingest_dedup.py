@@ -147,21 +147,26 @@ def test_streaming_ingest_dedup_minhash(spark, tmp_path):
     survivors = {r["doc_id"] for r in sigs.select("doc_id").collect()}
     # file-1 perturbations (100..103) dropped; 200 fresh doc kept;
     # 201 is unshingleable so it carries no signature, but it IS a
-    # survivor: its epoch persists it to the unsigned/ sub-store and the
-    # streamed output unions it back (round-7 fix — previously only the
-    # discarded foreachBatch return value knew about it)
+    # survivor: its epoch commits it into the signature store with
+    # sig = NULL (round-7 fix made it durable; the round-15 fused commit
+    # moved it from a separate unsigned/ sub-store into the same batch
+    # partition)
     assert set(range(8)) <= survivors
     assert survivors & {100, 101, 102, 103} == set()
     assert 200 in survivors
     assert 201 in survivors
     # and it is durable: a fresh read of the store (what a new session
-    # would do) sees it too, in the unsigned sub-store only
-    unsigned = spark.read.parquet(f"{store}/unsigned")
-    assert {r["doc_id"] for r in unsigned.collect()} == {201}
-    sig_ids = {
-        r["doc_id"] for r in spark.read.parquet(f"{store}/signatures").collect()
+    # would do) sees it too — as a NULL-sig row that carries no band rows
+    # (nothing can ever match it)
+    sig_store = spark.read.parquet(f"{store}/signatures")
+    unsigned_ids = {
+        r["doc_id"] for r in sig_store.where(sig_store["sig"].isNull()).collect()
     }
-    assert 201 not in sig_ids
+    assert unsigned_ids == {201}
+    band_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{store}/bands").collect()
+    }
+    assert 201 not in band_ids
 
 
 def test_streaming_lda_serving_matches_batch(spark, tmp_path):
