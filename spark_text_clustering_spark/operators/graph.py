@@ -224,7 +224,7 @@ def pagerank_until_convergence(
     damping: float = _PR_DAMP,
     tol: float = 1e-4,
     max_iter: int = 40,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> tuple[DataFrame, int, float]:
     """Production PageRank: iterate to an L1 fixpoint instead of a fixed
     unroll — the convergence-loop companion of the registered
@@ -232,12 +232,17 @@ def pagerank_until_convergence(
     is this loop frozen at 3 iterations for the SQL oracle).
 
     Returns (ranks, iterations_run, final_l1_delta); ranks are RAW
-    (sum to 1 on a dangling-free graph). Engineering the loop for an
-    unbounded iteration count is exactly the EM-LDA discipline
-    (ml/lda.py): ``localCheckpoint`` every ``checkpoint_every``
-    iterations cuts the growing lineage, and the per-iteration L1 delta
-    — one small agg on the joined old/new vectors — is the stopping
-    signal. ``edges`` must contain both directions for undirected
+    (sum to 1 on a dangling-free graph). The per-iteration L1 delta —
+    one small agg on the joined old/new vectors — is the stopping
+    signal, and because it SCANS the new rank vector whole every
+    iteration, the LAZY localCheckpoint is taken every iteration by
+    default (round 15): the delta doubles as the materializer, so each
+    iteration executes exactly one round of work. A larger
+    ``checkpoint_every`` makes iteration k's delta re-execute the k
+    rounds since the last cut — measured 2x slower at every-5 on the
+    test graph with identical ranks; raise it only if checkpoint block
+    churn ever dominates (it should not: superseded blocks are dropped
+    each round). ``edges`` must contain both directions for undirected
     semantics (as the registered key builds them); every src must have
     at least one edge or its rank mass dangles."""
     edges = edges.localCheckpoint(eager=True)
@@ -675,7 +680,7 @@ def label_propagation_until_stable(
     edges: DataFrame,
     *,
     max_iter: int = 20,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> tuple[DataFrame, int, int]:
     """Production label propagation: iterate until NO node changes its
     label (or ``max_iter``) — the convergence companion of the
@@ -686,9 +691,11 @@ def label_propagation_until_stable(
     Same per-iteration body: src-keyed join, (dst,label) count, per-dst
     window top-1 with the deterministic (count desc, label asc)
     tiebreak. The change count is one node-keyed join + count per
-    iteration — the stopping signal, same role as PageRank's L1 delta.
-    localCheckpoint every ``checkpoint_every`` iterations cuts the
-    growing lineage (EM-LDA discipline). Caveat the paper documents:
+    iteration — the stopping signal, same role as PageRank's L1 delta,
+    and like it the count SCANS the new labels whole, so the lazy
+    localCheckpoint is taken every iteration by default (round 15: a
+    longer interval makes each probe re-execute every round since the
+    last cut — strictly more work). Caveat the paper documents:
     synchronous LPA can 2-cycle on bipartite structure — ``max_iter``
     is the guard, and a caller can drop to semi-synchronous coloring
     if oscillation is detected (change count alternating, not
@@ -787,7 +794,7 @@ def personalized_pagerank_until_convergence(
     damping: float = _PPR_DAMP,
     tol: float = 1e-4,
     max_iter: int = 40,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> tuple[DataFrame, int, float]:
     """Production personalized PageRank with the FRONTIER optimization
     the registered key documents: after t iterations only nodes within
@@ -945,12 +952,15 @@ def _hash_min_cc(und: DataFrame, max_rounds: int = 50, stride: int = 2) -> DataF
     (measured 5.6 -> 4.4 s at sf0.1; honest at scale too, where fewer
     materialization barriers is strictly less work — the only cost is
     up to stride-1 extra no-op hops at convergence, each a fraction of
-    a round). Correctness is stride-invariant because hash-min labels
-    only ever DECREASE: "no change across a stride" is possible only if
-    every hop in it was the identity, i.e. the fixpoint was reached, so
-    the probe can never stop early on a transient state
-    (tests/test_graph.py asserts stride-2 labels equal the handcrafted
-    expectation on multi-round chains). The convergence probe is a
+    a round). The probe compares the stride's LAST hop only (round 15,
+    ADVICE r14): hash-min labels only ever DECREASE, so one full
+    identity hop IS the fixpoint — the stride-1 criterion exactly —
+    and the probe can neither stop early on a transient state nor (as
+    the r14 whole-stride comparison could) miss a convergent final hop
+    behind an earlier in-stride change; with strides always running in
+    full, stride fusion leaves the supported last-change hop at
+    max_rounds - 1 unchanged (tests/test_graph.py pins stride-1/2/3
+    label equality and budget-boundary convergence). The convergence probe is a
     count on the (node-sized) changed set, the only driver-held value.
     Raises rather than returning partial labels if max_rounds is hit: a
     wrong component is worse than a loud failure."""
@@ -979,11 +989,21 @@ def _hash_min_cc_loop(
     )
     rounds = 0
     while rounds < max_rounds:
-        # `prev` pins the labels at the LAST materialized state, so the
-        # stride's change-count compares across the whole fused block
-        cur = comp.select("id", "comp", F.col("comp").alias("prev"))
-        for _ in range(stride):
+        # Each stride runs in FULL, even past max_rounds, and `prev` pins
+        # the labels before the stride's LAST hop only (ADVICE r14): the
+        # r14 probe compared across the whole stride, so a change in the
+        # stride's first hop masked a convergent final hop and a graph
+        # whose labels last change at hop max_rounds-1 raised at
+        # stride > 1 where stride 1 succeeded. One identity hop is
+        # exactly the stride-1 convergence criterion (hash-min labels
+        # only decrease: a full no-op hop IS the fixpoint), so probing
+        # the final hop preserves the supported diameter at any stride —
+        # the only cost is up to stride-1 extra no-op hops.
+        cur = comp.select("id", "comp")
+        for j in range(stride):
             rounds += 1
+            if j == stride - 1:  # pin the probe baseline before the last hop
+                cur = cur.select("id", "comp", F.col("comp").alias("prev"))
             nbr_min = (
                 und.join(cur, cur["id"] == und["u"])
                 .groupBy(F.col("v").alias("id2"))
@@ -994,10 +1014,8 @@ def _hash_min_cc_loop(
                 F.least(F.col("comp"), F.coalesce("nbr", F.col("comp"))).alias(
                     "comp"
                 ),
-                "prev",
+                *(["prev"] if j == stride - 1 else []),
             )
-            if rounds >= max_rounds:
-                break
         # LAZY (r13): the change-count below scans every nxt partition,
         # materializing the checkpoint — one job per stride instead of two
         nxt, nxt_ids = _ckpt_tracked_lazy(cur)

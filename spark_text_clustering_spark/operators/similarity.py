@@ -1251,6 +1251,13 @@ def _ivfpq_probe(
     # before an identical gather; results are bit-equal because the
     # same (query, code) pairs are scored with the same table lookups
     # and the shortlist window's (score, neighbor_id) order is total).
+    # Trade documented (ADVICE r14): the closure emits up to _PQ_RERANK
+    # rows per (query, CLUSTER, batch) — up to nprobe× more shortlist
+    # exchange rows than the r13 per-(query, batch) cut. Model-sized
+    # either way (nprobe × RERANK × |queries| rows max) and the window
+    # prunes to _PQ_RERANK; an in-closure per-query merge across
+    # clusters would re-add per-batch state for rows that cost less to
+    # ship than to merge at this fan-in.
     probed = codes_df.where(F.col("cluster").isin(sorted(cluster_to_qrows)))
     scored = probed.mapInPandas(
         adc_score, schema="query_id long, neighbor_id long, cosine_sim double"

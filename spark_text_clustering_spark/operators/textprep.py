@@ -610,6 +610,9 @@ def bpe_word_base(
 # CASE/ELSE mirrors F.when().otherwise(), 0-based get() on an empty
 # accumulator yields NULL and falls to ELSE exactly as before.
 _MERGE_FOLD_MEMO: dict = {}
+_MERGE_FOLD_MEMO_CAP = 4096  # bounded (ADVICE r14): a long-lived driver
+# session accumulates one small Column per distinct merge pair forever
+# otherwise — cleared wholesale at the cap (refilling is one parse each)
 
 
 def _merge_fold(col: str, a: str, b: str, merged: str):
@@ -625,6 +628,8 @@ def _merge_fold(col: str, a: str, b: str, merged: str):
             f"THEN concat(slice(acc, 1, greatest(size(acc) - 1, 0)), "
             f"array('{qm}')) ELSE concat(acc, array(x)) END)"
         )
+        if len(_MERGE_FOLD_MEMO) >= _MERGE_FOLD_MEMO_CAP:
+            _MERGE_FOLD_MEMO.clear()
         _MERGE_FOLD_MEMO[key] = got
     return got
 

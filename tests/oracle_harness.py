@@ -36,9 +36,14 @@ def canon(v):
 
 def frame_to_multiset(pdf):
     cols = sorted(pdf.columns)
-    rows = []
-    for _, row in pdf[cols].iterrows():
-        rows.append(tuple(canon(row[c]) for c in cols))
+    # itertuples, not iterrows (round 15): iterrows builds a Series per
+    # row (~100 µs each — 20+ s of pure comparison overhead on the
+    # 100k-row parity keys); itertuples yields plain tuples with the
+    # same per-column values, which canon() normalizes identically.
+    rows = [
+        tuple(canon(v) for v in tup)
+        for tup in pdf[cols].itertuples(index=False, name=None)
+    ]
     return cols, sorted(rows)
 
 

@@ -384,3 +384,27 @@ def test_hash_min_cc_stride_invariant(spark):
     for stride in (1, 2, 3):
         got = {r["id"]: r["comp"] for r in _hash_min_cc(und, stride=stride).collect()}
         assert got == want, f"stride={stride}"
+
+
+def test_hash_min_cc_stride_keeps_max_rounds_diameter(spark):
+    """ADVICE r14: strides run in FULL (even past max_rounds) and the
+    probe compares the stride's LAST hop only, so any graph stride 1
+    supports converges at every stride. The 9-chain's labels last change
+    at hop 9 and hop 10 confirms the fixpoint — max_rounds=10 is exactly
+    enough at stride 1; stride 2's probe after hops {9,10} sees the
+    identity hop 10, and stride 3 runs one full extra stride past the
+    budget ({10,11,12}) instead of raising."""
+    from pyspark.sql import functions as F
+
+    from spark_text_clustering_spark.operators.graph import _hash_min_cc
+
+    e = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(e, "u long, v long")
+    und = df.unionAll(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    want = {i: 0 for i in range(10)}
+    for stride in (1, 2, 3):
+        got = {
+            r["id"]: r["comp"]
+            for r in _hash_min_cc(und, max_rounds=10, stride=stride).collect()
+        }
+        assert got == want, f"stride={stride}"
